@@ -1,0 +1,137 @@
+"""Reads: search / recent / graph — parity with the reference API.
+
+- ``search_entities`` mirrors src/db/client.ts:212-266: the query is
+  normalized by replacing runs of whitespace/underscore/hyphen with
+  ``%``, wrapped in ``%…%``, and matched case-insensitively against
+  entity name, entity type, and observation content; relevance is
+  name=3 > type=2 > observation=1; results are DISTINCT entities
+  ordered by (relevance DESC, created_at DESC) with the limit capped
+  at 50 (plus a unique-name tiebreak so top-k is deterministic).
+- ``get_recent_entities`` mirrors src/db/client.ts:268-295.
+- ``relations_for_entities`` mirrors src/db/client.ts:407-430
+  (relations whose source OR target is in the entity set).
+- ``read_graph`` / ``search_nodes`` mirror src/db/client.ts:433-474.
+
+Scale: the matched/recent entity set is ≤50 rows by construction, so
+every relation lookup is a broadcast semi-join against the (possibly
+huge) relations table — the big side never shuffles. The LIKE scan
+itself is a single pass, predicate evaluated inside codegen; on a
+cluster the observation join shuffles on entity name once and AQE
+handles skew.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+MAX_SEARCH_LIMIT = 50
+
+
+def normalize_query(query: str) -> str:
+    """`%`-wrapped fuzzy pattern, runs of [\\s_-] → `%` (client.ts:217)."""
+    return "%" + re.sub(r"[\s_\-]+", "%", query) + "%"
+
+
+def search_entities(
+    entities: DataFrame,
+    observations: DataFrame,
+    query: str,
+    limit: int = 10,
+) -> DataFrame:
+    """Relevance-ranked fuzzy search → (name, entity_type, created_at,
+    relevance_score)."""
+    if not query or not query.strip():
+        raise ValueError("Text query cannot be empty")
+    pattern = normalize_query(query)
+    limit = min(limit, MAX_SEARCH_LIMIT)
+
+    e = entities.alias("e")
+    o = observations.alias("o")
+
+    name_hit = F.col("e.name").ilike(pattern)
+    type_hit = F.col("e.entity_type").ilike(pattern)
+    obs_hit = F.col("o.content").ilike(pattern)
+
+    joined = e.join(o, F.col("e.name") == F.col("o.entity_name"), "left")
+    matched = joined.where(name_hit | type_hit | obs_hit)
+    scored = matched.select(
+        F.col("e.name").alias("name"),
+        F.col("e.entity_type").alias("entity_type"),
+        F.col("e.created_at").alias("created_at"),
+        F.when(name_hit, F.lit(3))
+        .when(type_hit, F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("relevance_score"),
+    ).distinct()
+    return scored.orderBy(
+        F.col("relevance_score").desc(),
+        F.col("created_at").desc(),
+        F.col("name"),
+    ).limit(limit)
+
+
+def get_entity(
+    entities: DataFrame, observations: DataFrame, name: str
+) -> DataFrame:
+    """Single entity with its observations aggregated (client.ts:188).
+
+    → (name, entity_type, created_at, observations array, sorted for
+    determinism)."""
+    e = entities.where(F.col("name") == F.lit(name))
+    o = observations.where(F.col("entity_name") == F.lit(name)).groupBy(
+        "entity_name"
+    ).agg(F.sort_array(F.collect_list("content")).alias("observations"))
+    return (
+        e.join(broadcast(o), e["name"] == o["entity_name"], "left")
+        .select("name", "entity_type", "created_at", "observations")
+    )
+
+
+def get_recent_entities(entities: DataFrame, limit: int = 10) -> DataFrame:
+    """Most recent entities, deterministic tiebreak (client.ts:268)."""
+    limit = min(limit, MAX_SEARCH_LIMIT)
+    return entities.orderBy(
+        F.col("created_at").desc(), F.col("name")
+    ).limit(limit)
+
+
+def relations_for_entities(
+    relations: DataFrame, entity_names: DataFrame
+) -> DataFrame:
+    """Relations where source OR target ∈ entity set (client.ts:407).
+
+    ``entity_names`` is a 1-column (name) DataFrame, ≤50 rows → both
+    semi-joins broadcast; the relations table never shuffles.
+    """
+    names = broadcast(entity_names.select("name").distinct())
+    by_source = relations.join(
+        names, relations["source"] == names["name"], "leftsemi"
+    )
+    by_target = relations.join(
+        names, relations["target"] == names["name"], "leftsemi"
+    )
+    return by_source.unionByName(by_target).distinct()
+
+
+def read_graph(
+    entities: DataFrame, relations: DataFrame, limit: int = 10
+) -> DataFrame:
+    """Relations touching the most recent entities (client.ts:433)."""
+    recent = get_recent_entities(entities, limit)
+    return relations_for_entities(relations, recent.select("name"))
+
+
+def search_nodes(
+    entities: DataFrame,
+    observations: DataFrame,
+    relations: DataFrame,
+    query: str,
+    limit: int = 10,
+) -> DataFrame:
+    """Relations touching the search result set (client.ts:443)."""
+    matched = search_entities(entities, observations, query, limit)
+    return relations_for_entities(relations, matched.select("name"))

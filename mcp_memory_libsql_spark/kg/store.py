@@ -1,0 +1,188 @@
+"""Batch CRUD semantics — the Spark-idiomatic replacement for the
+reference's OLTP transactions (src/db/client.ts:58-186, 297-405).
+
+The reference mutates a libSQL database row-at-a-time inside
+transactions. On Spark, mutation is re-expressed as *deterministic
+batch merges over immutable snapshots*: each write API takes the
+current table(s) plus a batch and returns the next snapshot. A
+parquet-backed ``GraphStore`` persists snapshots; on a cluster this
+would be an ACID table format, with the merge below as the MERGE
+logic.
+
+- ``create_entities`` = upsert: batch rows replace existing entities
+  (last-writer-wins within the batch) and *replace* all their
+  observations, exactly like the reference's UPDATE-else-INSERT +
+  DELETE/INSERT of observations (client.ts:140-176).
+- ``delete_entity`` cascades to observations and relations
+  (client.ts:340-380).
+- ``delete_relation`` removes exact (source, target, type) matches
+  (client.ts:382-405).
+
+Scale: upsert is one shuffle on the entity name (the natural merge
+key — co-partition/bucket the store by name and even that reuses
+layout); deletes are broadcast anti-joins when the delete set is
+small, which is the reference's access pattern.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..sanitize import (
+    MAX_OBSERVATIONS_PER_ENTITY,
+    sanitize_entity_name,
+    sanitize_entity_type,
+    sanitize_observation,
+    sanitize_relation_type,
+)
+
+ENTITY_SCHEMA = "name string, entity_type string, created_at bigint"
+OBSERVATION_SCHEMA = "entity_name string, content string, created_at bigint"
+RELATION_SCHEMA = "source string, target string, relation_type string"
+
+
+def upsert_entities(
+    entities: DataFrame,
+    observations: DataFrame,
+    batch_entities: DataFrame,
+    batch_observations: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply a create_entities batch; returns (entities', observations').
+
+    Batch rows win over existing rows with the same name; existing
+    observations of upserted entities are replaced wholesale.
+    """
+    b_ent = batch_entities.select(
+        sanitize_entity_name(F.col("name")).alias("name"),
+        sanitize_entity_type(F.col("entity_type")).alias("entity_type"),
+        F.col("created_at").cast("bigint").alias("created_at"),
+    ).where(F.col("name") != "")
+    # Last-writer-wins inside the batch itself.
+    w = Window.partitionBy("name").orderBy(F.col("created_at").desc())
+    b_ent = (
+        b_ent.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    batch_names = b_ent.select("name").distinct()
+
+    kept = entities.join(broadcast(batch_names), "name", "left_anti")
+    new_entities = kept.unionByName(b_ent)
+
+    b_obs = batch_observations.select(
+        sanitize_entity_name(F.col("entity_name")).alias("entity_name"),
+        sanitize_observation(F.col("content")).alias("content"),
+        F.col("created_at").cast("bigint").alias("created_at"),
+    ).where(F.col("content") != "")
+    ow = Window.partitionBy("entity_name").orderBy("content")
+    b_obs = (
+        b_obs.withColumn("_rn", F.row_number().over(ow))
+        .where(F.col("_rn") <= MAX_OBSERVATIONS_PER_ENTITY)
+        .drop("_rn")
+    )
+    kept_obs = observations.join(
+        broadcast(batch_names),
+        observations["entity_name"] == batch_names["name"],
+        "left_anti",
+    )
+    new_observations = kept_obs.unionByName(b_obs)
+    return new_entities, new_observations
+
+
+def create_relations(
+    relations: DataFrame, batch_relations: DataFrame
+) -> DataFrame:
+    """Append sanitized relation rows (client.ts:298-338)."""
+    b = batch_relations.select(
+        sanitize_entity_name(F.col("source")).alias("source"),
+        sanitize_entity_name(F.col("target")).alias("target"),
+        sanitize_relation_type(F.col("relation_type")).alias("relation_type"),
+    ).where((F.col("source") != "") & (F.col("target") != "") & (F.col("relation_type") != ""))
+    return relations.unionByName(b)
+
+
+def delete_entities(
+    entities: DataFrame,
+    observations: DataFrame,
+    relations: DataFrame,
+    names: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Cascade delete by entity name set (client.ts:340-380)."""
+    n = broadcast(names.select("name").distinct())
+    e2 = entities.join(n, "name", "left_anti")
+    o2 = observations.join(
+        n, observations["entity_name"] == n["name"], "left_anti"
+    )
+    r2 = relations.join(n, relations["source"] == n["name"], "left_anti")
+    r2 = r2.join(n, r2["target"] == n["name"], "left_anti")
+    return e2, o2, r2
+
+
+def delete_relations(relations: DataFrame, batch: DataFrame) -> DataFrame:
+    """Remove exact (source, target, relation_type) matches."""
+    return relations.join(
+        broadcast(batch.select("source", "target", "relation_type").distinct()),
+        ["source", "target", "relation_type"],
+        "left_anti",
+    )
+
+
+class GraphStore:
+    """Parquet-backed persistent snapshot store for the three KG tables.
+
+    ``path/{entities,observations,relations}`` each hold a parquet
+    table. Writes produce a new snapshot directory version and swap a
+    ``_CURRENT`` pointer file — coarse-grained MVCC that maps onto an
+    ACID table format on a real cluster.
+    """
+
+    TABLES = ("entities", "observations", "relations")
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _version_file(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._version_file()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _table_dir(self, table: str, version: int) -> str:
+        return os.path.join(self.path, f"v{version}", table)
+
+    def init_empty(self) -> None:
+        empty = {
+            "entities": self.spark.createDataFrame([], ENTITY_SCHEMA),
+            "observations": self.spark.createDataFrame([], OBSERVATION_SCHEMA),
+            "relations": self.spark.createDataFrame([], RELATION_SCHEMA),
+        }
+        self.write(empty)
+
+    def read(self) -> dict[str, DataFrame]:
+        v = self.current_version()
+        if v < 0:
+            raise FileNotFoundError(f"no snapshot at {self.path}")
+        return {
+            tbl: self.spark.read.parquet(self._table_dir(tbl, v))
+            for tbl in self.TABLES
+        }
+
+    def write(self, tables: dict[str, DataFrame]) -> int:
+        v = self.current_version() + 1
+        for tbl in self.TABLES:
+            tables[tbl].write.mode("overwrite").parquet(self._table_dir(tbl, v))
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._version_file() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._version_file())
+        return v

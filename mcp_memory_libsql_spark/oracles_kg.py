@@ -1,0 +1,216 @@
+"""DuckDB oracle SQL for the knowledge-graph queries.
+
+The driver's correctness gate runs each ``queries()`` entry on Spark
+AND the matching SQL here on DuckDB over the same parquet tables,
+comparing row count + schema + order-insensitive value hash. The CTE
+prefix below derives the KG tables exactly as
+``mcp_memory_libsql_spark.kg.views`` does (same surrogate
+``created_at``, same integer-only string rendering).
+"""
+
+KG_CTE = """
+WITH entities AS (
+  SELECT r_name AS name, 'region' AS entity_type,
+         CAST(r_regionkey + 0 AS BIGINT) AS created_at FROM region
+  UNION ALL
+  SELECT n_name, 'nation', CAST(n_nationkey + 100 AS BIGINT) FROM nation
+  UNION ALL
+  SELECT s_name, 'supplier', CAST(s_suppkey + 1000 AS BIGINT) FROM supplier
+  UNION ALL
+  SELECT c_name, 'customer', CAST(c_custkey + 10000 AS BIGINT) FROM customer
+  UNION ALL
+  SELECT 'Part#' || CAST(p_partkey AS VARCHAR), 'part',
+         CAST(p_partkey + 1000000 AS BIGINT) FROM part
+),
+observations AS (
+  SELECT c_name AS entity_name, 'segment=' || c_mktsegment AS content,
+         CAST(c_custkey + 10000 AS BIGINT) AS created_at FROM customer
+  UNION ALL
+  SELECT c_name,
+         'acctbal_cents=' || CAST(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS VARCHAR),
+         CAST(c_custkey + 10000 AS BIGINT) FROM customer
+  UNION ALL
+  SELECT s_name,
+         'acctbal_cents=' || CAST(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS VARCHAR),
+         CAST(s_suppkey + 1000 AS BIGINT) FROM supplier
+  UNION ALL
+  SELECT 'Part#' || CAST(p_partkey AS VARCHAR), 'name=' || p_name,
+         CAST(p_partkey + 1000000 AS BIGINT) FROM part
+  UNION ALL
+  SELECT 'Part#' || CAST(p_partkey AS VARCHAR), 'brand=' || p_brand,
+         CAST(p_partkey + 1000000 AS BIGINT) FROM part
+  UNION ALL
+  SELECT 'Part#' || CAST(p_partkey AS VARCHAR), 'type=' || p_type,
+         CAST(p_partkey + 1000000 AS BIGINT) FROM part
+  UNION ALL
+  SELECT 'Part#' || CAST(p_partkey AS VARCHAR), 'size=' || CAST(p_size AS VARCHAR),
+         CAST(p_partkey + 1000000 AS BIGINT) FROM part
+  UNION ALL
+  SELECT n_name, 'region_key=' || CAST(n_regionkey AS VARCHAR),
+         CAST(n_nationkey + 100 AS BIGINT) FROM nation
+),
+relations AS (
+  SELECT c_name AS source, n_name AS target, 'LOCATED_IN' AS relation_type
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT s_name, n_name, 'LOCATED_IN'
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL
+  SELECT n_name, r_name, 'PART_OF'
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT DISTINCT s_name, 'Part#' || CAST(l_partkey AS VARCHAR), 'SUPPLIES'
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  UNION ALL
+  SELECT DISTINCT c_name, 'Part#' || CAST(l_partkey AS VARCHAR), 'PURCHASED'
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+)
+"""
+
+
+def _search_sql(pattern: str, limit: int) -> str:
+    return f"""{KG_CTE}
+SELECT DISTINCT e.name, e.entity_type, e.created_at,
+  CAST(CASE WHEN e.name ILIKE '{pattern}' THEN 3
+            WHEN e.entity_type ILIKE '{pattern}' THEN 2
+            ELSE 1 END AS INTEGER) AS relevance_score
+FROM entities e
+LEFT JOIN observations o ON e.name = o.entity_name
+WHERE e.name ILIKE '{pattern}'
+   OR e.entity_type ILIKE '{pattern}'
+   OR o.content ILIKE '{pattern}'
+ORDER BY relevance_score DESC, e.created_at DESC, e.name
+LIMIT {limit}
+"""
+
+
+def _search_names(pattern: str, limit: int) -> str:
+    """CTE fragment: names of the top-`limit` search hits."""
+    return f"""matched AS (
+  SELECT DISTINCT e.name, e.created_at,
+    CASE WHEN e.name ILIKE '{pattern}' THEN 3
+         WHEN e.entity_type ILIKE '{pattern}' THEN 2
+         ELSE 1 END AS relevance_score
+  FROM entities e
+  LEFT JOIN observations o ON e.name = o.entity_name
+  WHERE e.name ILIKE '{pattern}'
+     OR e.entity_type ILIKE '{pattern}'
+     OR o.content ILIKE '{pattern}'
+  ORDER BY relevance_score DESC, e.created_at DESC, e.name
+  LIMIT {limit}
+)"""
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["kg_entities"] = KG_CTE + "SELECT name, entity_type, created_at FROM entities"
+
+ORACLES["kg_observations"] = (
+    KG_CTE + "SELECT entity_name, content, created_at FROM observations"
+)
+
+ORACLES["kg_relations"] = (
+    KG_CTE + "SELECT source, target, relation_type FROM relations"
+)
+
+ORACLES["kg_get_entity"] = f"""{KG_CTE}
+SELECT e.name, e.entity_type, e.created_at,
+       (SELECT string_agg(o.content, '|' ORDER BY o.content)
+          FROM observations o WHERE o.entity_name = e.name) AS observations
+FROM entities e
+WHERE e.name = 'Customer#000000042'
+"""
+
+ORACLES["kg_search_entities"] = _search_sql("%customer%", 50)
+
+ORACLES["kg_search_fuzzy"] = _search_sql("%middle%east%", 10)
+
+ORACLES["kg_recent_entities"] = f"""{KG_CTE}
+SELECT name, entity_type, created_at FROM entities
+ORDER BY created_at DESC, name LIMIT 10
+"""
+
+ORACLES["kg_read_graph"] = f"""{KG_CTE},
+recent AS (SELECT name FROM entities ORDER BY created_at DESC, name LIMIT 10)
+SELECT DISTINCT source, target, relation_type FROM relations
+WHERE source IN (SELECT name FROM recent)
+   OR target IN (SELECT name FROM recent)
+"""
+
+ORACLES["kg_search_nodes"] = f"""{KG_CTE},
+{_search_names('%economy%', 10)}
+SELECT DISTINCT source, target, relation_type FROM relations
+WHERE source IN (SELECT name FROM matched)
+   OR target IN (SELECT name FROM matched)
+"""
+
+ORACLES["kg_create_entities"] = f"""{KG_CTE},
+batch AS (
+  SELECT c_name AS name, 'vip_customer' AS entity_type,
+         CAST(c_custkey + 20000 AS BIGINT) AS created_at
+  FROM customer WHERE c_custkey <= 5
+)
+SELECT e.name, e.entity_type, e.created_at FROM entities e
+WHERE e.name NOT IN (SELECT name FROM batch)
+UNION ALL
+SELECT name, entity_type, created_at FROM batch
+"""
+
+ORACLES["kg_delete_entity"] = f"""{KG_CTE},
+del AS (SELECT c_name AS name FROM customer WHERE c_custkey <= 3)
+SELECT source, target, relation_type FROM relations
+WHERE source NOT IN (SELECT name FROM del)
+  AND target NOT IN (SELECT name FROM del)
+"""
+
+ORACLES["kg_delete_relation"] = f"""{KG_CTE},
+del AS (
+  SELECT n_name AS source, r_name AS target, 'PART_OF' AS relation_type
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_regionkey = 0
+)
+SELECT r.source, r.target, r.relation_type FROM relations r
+WHERE NOT EXISTS (
+  SELECT 1 FROM del d
+  WHERE d.source = r.source AND d.target = r.target
+    AND d.relation_type = r.relation_type
+)
+"""
+
+ORACLES["kg_degree"] = f"""{KG_CTE},
+outs AS (SELECT source AS name, COUNT(*) AS out_degree FROM relations GROUP BY source),
+ins AS (SELECT target AS name, COUNT(*) AS in_degree FROM relations GROUP BY target)
+SELECT COALESCE(outs.name, ins.name) AS name,
+       CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree,
+       CAST(COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS BIGINT) AS degree
+FROM outs FULL OUTER JOIN ins ON outs.name = ins.name
+"""
+
+ORACLES["kg_neighbors_2hop"] = f"""{KG_CTE},
+seeds AS (SELECT s_name AS name FROM supplier WHERE s_suppkey = 1),
+n1 AS (
+  SELECT DISTINCT name FROM (
+    SELECT target AS name FROM relations WHERE source IN (SELECT name FROM seeds)
+    UNION
+    SELECT source FROM relations WHERE target IN (SELECT name FROM seeds)
+  ) WHERE name NOT IN (SELECT name FROM seeds)
+),
+seen1 AS (SELECT name FROM seeds UNION SELECT name FROM n1),
+n2 AS (
+  SELECT DISTINCT name FROM (
+    SELECT target AS name FROM relations WHERE source IN (SELECT name FROM n1)
+    UNION
+    SELECT source FROM relations WHERE target IN (SELECT name FROM n1)
+  ) WHERE name NOT IN (SELECT name FROM seen1)
+)
+SELECT name FROM n1 UNION SELECT name FROM n2
+"""
+
+ORACLES["kg_entity_type_counts"] = f"""{KG_CTE}
+SELECT entity_type, CAST(COUNT(*) AS BIGINT) AS n_entities,
+       MIN(created_at) AS oldest, MAX(created_at) AS newest
+FROM entities GROUP BY entity_type
+"""

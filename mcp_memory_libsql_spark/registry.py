@@ -1,0 +1,184 @@
+"""Query registry: maps SURVEY.md §2 keys to Spark callables and
+DuckDB oracle SQL. ``__spark_entry__.py`` re-exports these for the
+driver's correctness gate.
+
+Each callable takes (spark, sf_dir) and returns a DataFrame whose
+column names/types match the oracle exactly (the gate sorts columns
+by name and hashes values order-insensitively).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import broadcast
+
+from .io.tables import load_tables
+from .kg import search as kg_search
+from .kg import store as kg_store
+from .kg import traverse as kg_traverse
+from .kg import views as kg_views
+from .oracles_kg import ORACLES as KG_ORACLES
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+ORACLES.update(KG_ORACLES)
+
+
+def query(name: str):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+def _kg(spark: SparkSession, sf_dir: str):
+    t = load_tables(spark, sf_dir)
+    return kg_views.kg(t), t
+
+
+# ---------------------------------------------------------------- KG
+
+
+@query("kg_entities")
+def q_kg_entities(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return g["entities"]
+
+
+@query("kg_observations")
+def q_kg_observations(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return g["observations"]
+
+
+@query("kg_relations")
+def q_kg_relations(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return g["relations"]
+
+
+@query("kg_get_entity")
+def q_kg_get_entity(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    name = "Customer#000000042"
+    e = g["entities"].where(F.col("name") == name)
+    o = (
+        g["observations"]
+        .where(F.col("entity_name") == name)
+        .groupBy("entity_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("content")), "|").alias(
+                "observations"
+            )
+        )
+    )
+    return e.join(broadcast(o), e["name"] == o["entity_name"], "left").select(
+        "name", "entity_type", "created_at", "observations"
+    )
+
+
+@query("kg_search_entities")
+def q_kg_search_entities(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_search.search_entities(
+        g["entities"], g["observations"], "customer", limit=50
+    )
+
+
+@query("kg_search_fuzzy")
+def q_kg_search_fuzzy(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_search.search_entities(
+        g["entities"], g["observations"], "middle east", limit=10
+    )
+
+
+@query("kg_recent_entities")
+def q_kg_recent_entities(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_search.get_recent_entities(g["entities"], 10)
+
+
+@query("kg_read_graph")
+def q_kg_read_graph(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_search.read_graph(g["entities"], g["relations"], 10)
+
+
+@query("kg_search_nodes")
+def q_kg_search_nodes(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_search.search_nodes(
+        g["entities"], g["observations"], g["relations"], "economy", limit=10
+    )
+
+
+@query("kg_create_entities")
+def q_kg_create_entities(spark, sf_dir):
+    g, t = _kg(spark, sf_dir)
+    batch_e = t["customer"].where(F.col("c_custkey") <= 5).select(
+        F.col("c_name").alias("name"),
+        F.lit("vip_customer").alias("entity_type"),
+        (F.col("c_custkey") + 20000).cast("bigint").alias("created_at"),
+    )
+    batch_o = t["customer"].where(F.col("c_custkey") <= 5).select(
+        F.col("c_name").alias("entity_name"),
+        F.lit("tier=vip").alias("content"),
+        (F.col("c_custkey") + 20000).cast("bigint").alias("created_at"),
+    )
+    e2, _ = kg_store.upsert_entities(
+        g["entities"], g["observations"], batch_e, batch_o
+    )
+    return e2
+
+
+@query("kg_delete_entity")
+def q_kg_delete_entity(spark, sf_dir):
+    g, t = _kg(spark, sf_dir)
+    names = t["customer"].where(F.col("c_custkey") <= 3).select(
+        F.col("c_name").alias("name")
+    )
+    _, _, r2 = kg_store.delete_entities(
+        g["entities"], g["observations"], g["relations"], names
+    )
+    return r2
+
+
+@query("kg_delete_relation")
+def q_kg_delete_relation(spark, sf_dir):
+    g, t = _kg(spark, sf_dir)
+    batch = (
+        t["nation"]
+        .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_regionkey") == 0)
+        .select(
+            F.col("n_name").alias("source"),
+            F.col("r_name").alias("target"),
+            F.lit("PART_OF").alias("relation_type"),
+        )
+    )
+    return kg_store.delete_relations(g["relations"], batch)
+
+
+@query("kg_degree")
+def q_kg_degree(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.degree(g["relations"])
+
+
+@query("kg_neighbors_2hop")
+def q_kg_neighbors_2hop(spark, sf_dir):
+    g, t = _kg(spark, sf_dir)
+    seeds = t["supplier"].where(F.col("s_suppkey") == 1).select(
+        F.col("s_name").alias("name")
+    )
+    return kg_traverse.neighbors_n_hop(g["relations"], seeds, 2)
+
+
+@query("kg_entity_type_counts")
+def q_kg_entity_type_counts(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.entity_type_counts(g["entities"])

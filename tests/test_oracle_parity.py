@@ -1,0 +1,37 @@
+"""Every queries() entry must hash-match its DuckDB oracle — the
+local version of the driver's CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.parity import compare, duckdb_connection
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connection(sf_dir)
+    yield c
+    c.close()
+
+
+def test_every_query_has_callable():
+    assert QUERIES, "no queries registered"
+
+
+@pytest.mark.parametrize("key", sorted(ORACLES.keys()))
+def test_parity(key, spark, sf_dir, con):
+    assert key in QUERIES, f"oracle {key} has no Spark query"
+    df = QUERIES[key](spark, sf_dir)
+    res = compare(df, con, ORACLES[key])
+    assert res["ok"], f"{key}: {res}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert df.columns
