@@ -1,0 +1,94 @@
+"""Event-stream analytics (batch form; streaming twin lives in
+``streaming/pipeline.py``).
+
+Scale notes:
+- windowed agg: one shuffle on (window, event_type) with map-side
+  partials; window bucketing is a pure projection (no UDF).
+- sessionize: one shuffle on user_id, then window functions within
+  the user partition — the canonical gap-sessionization plan; at
+  100 TB the user_id shuffle is the cost and AQE splits skewed
+  users' ranges only if we salt; heavy-hitter users are rare for
+  session data so default hash partitioning holds.
+- topk_users: partial-agg shuffle then a tiny global top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+SESSION_GAP_MINUTES = 30
+
+
+def windowed_counts(t, minutes: int = 60) -> DataFrame:
+    """Tumbling window aggregation per event_type."""
+    ev = t["events"]
+    win = F.window("ts", f"{minutes} minutes")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def windowed_counts_exact(t, minutes: int = 60) -> DataFrame:
+    """Oracle-checkable variant (exact distinct, epoch-second window)."""
+    ev = t["events"]
+    secs = minutes * 60
+    bucket = (F.unix_timestamp("ts") / secs).cast("bigint") * secs
+    return (
+        ev.groupBy(bucket.alias("window_start_epoch"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+def sessionize(t, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Gap-based sessions → one row per (user_id, session_id) with
+    bounds and size. session_id is the running count of gap-breaks
+    per user (deterministic)."""
+    ev = t["events"].select("user_id", "ts", "value")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "value")
+    prev_ts = F.lag("ts").over(by_user)
+    is_new = (
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > gap_minutes * 60)
+    ).cast("int")
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_timestamp("ts")).alias("start_epoch"),
+        F.max(F.unix_timestamp("ts")).alias("end_epoch"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def topk_users(t, k: int = 20) -> DataFrame:
+    ev = t["events"]
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(k)
+    )

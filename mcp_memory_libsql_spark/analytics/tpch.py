@@ -1,0 +1,96 @@
+"""Relational analytics headliners (TPC-H-style) — the engine's
+general query capability and the bench workload.
+
+Scale notes per query:
+- q1: single scan + hash agg on a low-cardinality key; partial
+  aggregation map-side means the shuffle carries only
+  (flag,status) groups — survives any SF.
+- q3: customer filter → broadcast to orders join (small side after
+  filter at bench SF; at 100 TB AQE picks SMJ), then join to
+  lineitem on orderkey; aggregation re-uses the orderkey shuffle.
+- q5: classic 6-way join; region/nation/supplier broadcast, the
+  orders⋈lineitem join shuffles on orderkey once.
+
+All money aggregates are ROUND(…, 2)-ed so the DuckDB oracle hash
+matches bit-for-bit despite double summation order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+
+def q1_pricing_summary(t, cutoff: str = "2001-09-01") -> DataFrame:
+    li = t["lineitem"].where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(t, segment: str = "BUILDING", date: str = "1998-03-15") -> DataFrame:
+    cust = t["customer"].where(F.col("c_mktsegment") == segment).select("c_custkey")
+    orders = t["orders"].where(
+        F.col("o_orderdate") < F.lit(date).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = t["lineitem"].where(
+        F.col("l_shipdate") > F.lit(date).cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        orders.join(broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(
+    t, region: str = "ASIA", date_from: str = "1996-01-01", date_to: str = "1997-01-01"
+) -> DataFrame:
+    reg = t["region"].where(F.col("r_name") == region)
+    nat = t["nation"].join(
+        broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = t["customer"].join(
+        broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("c_nation"))
+    supp = t["supplier"].join(
+        broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("s_nation"))
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # "local" supplier: customer and supplier in the same nation
+        .where(F.col("c_nation") == F.col("s_nation"))
+    )
+    return (
+        joined.groupBy(F.col("c_nation").alias("n_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

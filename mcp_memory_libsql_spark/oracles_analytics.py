@@ -1,0 +1,91 @@
+"""DuckDB oracle SQL for the relational/event analytics queries."""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 4) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+  ROUND(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["tpch_q3"] = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+ORACLES["tpch_q5"] = """
+SELECT n1.n_name AS n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND n1.n_name = n2.n_name
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n1.n_name
+"""
+
+ORACLES["events_windowed"] = """
+SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLES["events_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR FLOOR(epoch(ts)) - FLOOR(epoch(lag(ts) OVER w)) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+),
+sess AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, value
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST(MIN(FLOOR(epoch(ts))) AS BIGINT) AS start_epoch,
+       CAST(MAX(FLOOR(epoch(ts))) AS BIGINT) AS end_epoch,
+       ROUND(SUM(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+ORACLES["events_topk_users"] = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 20
+"""

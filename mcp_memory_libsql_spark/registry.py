@@ -14,16 +14,20 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import broadcast
 
+from .analytics import events as ev_ops
+from .analytics import tpch
 from .io.tables import load_tables
 from .kg import search as kg_search
 from .kg import store as kg_store
 from .kg import traverse as kg_traverse
 from .kg import views as kg_views
+from .oracles_analytics import ORACLES as ANALYTICS_ORACLES
 from .oracles_kg import ORACLES as KG_ORACLES
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 ORACLES.update(KG_ORACLES)
+ORACLES.update(ANALYTICS_ORACLES)
 
 
 def query(name: str):
@@ -182,3 +186,36 @@ def q_kg_neighbors_2hop(spark, sf_dir):
 def q_kg_entity_type_counts(spark, sf_dir):
     g, _ = _kg(spark, sf_dir)
     return kg_traverse.entity_type_counts(g["entities"])
+
+
+# --------------------------------------------------------- analytics
+
+
+@query("tpch_q1")
+def q_tpch_q1(spark, sf_dir):
+    return tpch.q1_pricing_summary(load_tables(spark, sf_dir))
+
+
+@query("tpch_q3")
+def q_tpch_q3(spark, sf_dir):
+    return tpch.q3_shipping_priority(load_tables(spark, sf_dir))
+
+
+@query("tpch_q5")
+def q_tpch_q5(spark, sf_dir):
+    return tpch.q5_local_supplier_volume(load_tables(spark, sf_dir))
+
+
+@query("events_windowed")
+def q_events_windowed(spark, sf_dir):
+    return ev_ops.windowed_counts_exact(load_tables(spark, sf_dir), minutes=60)
+
+
+@query("events_sessionize")
+def q_events_sessionize(spark, sf_dir):
+    return ev_ops.sessionize(load_tables(spark, sf_dir))
+
+
+@query("events_topk_users")
+def q_events_topk_users(spark, sf_dir):
+    return ev_ops.topk_users(load_tables(spark, sf_dir), k=20)
