@@ -1,0 +1,160 @@
+"""DuckDB oracle SQL for the text/dedup queries.
+
+The shingle CTE mirrors ``textops.tokenize`` / ``textops.dedup``
+exactly: lowercase [a-z0-9]+ tokens, distinct 3-gram shingles,
+document-frequency cap 100, md5-derived portable hashes.
+"""
+
+_STOP_EN = "['the','of','and','to','in','is','it','that','a']"
+_STOP_ES = "['el','la','de','que','y','en','un','es']"
+_STOP_DE = "['der','die','das','und','ist','von','mit','zu']"
+_STOP_FR = "['le','la','de','et','un','est','pour','que']"
+
+SHINGLE_CTE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE []::VARCHAR[] END)) AS shingle
+  FROM toks
+),
+freq AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 100),
+sh AS (SELECT doc_id, shingle FROM sh0
+       WHERE shingle NOT IN (SELECT shingle FROM freq))
+"""
+
+_MINHASH_COLS = ", ".join(
+    f"MIN(('0x' || substr(md5('{i}:' || shingle), 1, 8))::BIGINT) AS h{i}"
+    for i in range(8)
+)
+
+MINHASH_CTE = (
+    SHINGLE_CTE
+    + f""",
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id)
+"""
+)
+
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, '{b}' || '_' || CAST(h{2 * b} AS VARCHAR) || '_' || "
+    f"CAST(h{2 * b + 1} AS VARCHAR) AS band_key FROM sig"
+    for b in range(4)
+)
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["dedup_exact"] = """
+SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+ORACLES["dedup_ngram_jaccard"] = (
+    SHINGLE_CTE
+    + """,
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT doc_a, doc_b, inter_size, sa.sz AS size_a, sb.sz AS size_b,
+         ROUND(inter_size / (sa.sz + sb.sz - inter_size), 6) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)
+WHERE jaccard >= 0.1
+"""
+)
+
+ORACLES["dedup_minhash"] = MINHASH_CTE + "SELECT * FROM sig"
+
+ORACLES["dedup_minhash_lsh"] = (
+    MINHASH_CTE
+    + f""",
+banded AS (
+{_BAND_SELECTS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+)
+
+ORACLES["dedup_simhash"] = (
+    SHINGLE_CTE
+    + """,
+hashes AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+),
+bits AS (
+  SELECT doc_id, j, (h >> j) & 1 AS bit
+  FROM hashes CROSS JOIN (SELECT unnest(range(0, 60)) AS j) js
+),
+votes AS (
+  SELECT doc_id, j, SUM(2 * bit - 1) AS vote FROM bits GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << CAST(j AS INTEGER))
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+)
+
+ORACLES["text_quality"] = f"""
+SELECT doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars_q,
+  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,
+  ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 4)
+    AS punct_ratio,
+  ROUND(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                        x -> list_contains({_STOP_EN}, x)))
+        / len(regexp_extract_all(lower(text), '[a-z0-9]+')), 4)
+    AS stopword_ratio,
+  ROUND(length(regexp_replace(text, '[^A-Z]', '', 'g')) / length(text), 4)
+    AS upper_ratio
+FROM documents
+"""
+
+ORACLES["text_tokens"] = """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+       AS INTEGER) AS bpe_tokens
+FROM documents
+"""
+
+ORACLES["text_langid"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id, lang,
+    len(list_filter(w, x -> list_contains({_STOP_EN}, x))) AS en,
+    len(list_filter(w, x -> list_contains({_STOP_ES}, x))) AS es,
+    len(list_filter(w, x -> list_contains({_STOP_DE}, x))) AS de,
+    len(list_filter(w, x -> list_contains({_STOP_FR}, x))) AS fr
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE WHEN greatest(en, es, de, fr) = 0 THEN 'other'
+       WHEN en = greatest(en, es, de, fr) THEN 'en'
+       WHEN es = greatest(en, es, de, fr) THEN 'es'
+       WHEN de = greatest(en, es, de, fr) THEN 'de'
+       ELSE 'fr' END AS lang_pred
+FROM h
+"""
+
+ORACLES["text_fingerprint"] = """
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+  ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT
+    AS fp64
+FROM documents
+"""

@@ -1,0 +1,80 @@
+"""DuckDB oracle SQL for the vector queries."""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["vec_knn_cosine"] = """
+WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       ROUND(list_cosine_similarity(embedding::DOUBLE[], q_embedding::DOUBLE[]), 6)
+         AS cosine_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 20
+"""
+
+ORACLES["vec_knn_dot"] = """
+WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       ROUND(list_dot_product(embedding::DOUBLE[], q_embedding::DOUBLE[]), 6)
+         AS dot_product
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY dot_product DESC, vec_id
+LIMIT 20
+"""
+
+ORACLES["vec_knn_batch"] = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_embedding FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q_embedding::DOUBLE[]), 6)
+           AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE q_id <> e.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cosine_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY cosine_sim DESC, vec_id) AS INTEGER)
+           AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+ORACLES["vec_centroids"] = """
+SELECT label, CAST(pos - 1 AS INTEGER) AS pos, ROUND(AVG(val), 6) AS centroid
+FROM (
+  SELECT label, unnest(embedding)::DOUBLE AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)
+GROUP BY label, pos
+"""
+
+ORACLES["vec_norms"] = """
+SELECT label, COUNT(*) AS n_vectors,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm,
+       ROUND(AVG(nrm), 6) AS avg_norm
+FROM (
+  SELECT label,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+GROUP BY label
+"""
+
+ORACLES["dedup_embedding"] = """
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+           AS cosine_sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+)
+WHERE cosine_sim >= 0.95
+"""

@@ -23,11 +23,18 @@ from .kg import traverse as kg_traverse
 from .kg import views as kg_views
 from .oracles_analytics import ORACLES as ANALYTICS_ORACLES
 from .oracles_kg import ORACLES as KG_ORACLES
+from .oracles_text import ORACLES as TEXT_ORACLES
+from .oracles_vector import ORACLES as VECTOR_ORACLES
+from .textops import dedup as dd
+from .textops import quality as tq
+from .vector import knn
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 ORACLES.update(KG_ORACLES)
 ORACLES.update(ANALYTICS_ORACLES)
+ORACLES.update(VECTOR_ORACLES)
+ORACLES.update(TEXT_ORACLES)
 
 
 def query(name: str):
@@ -219,3 +226,102 @@ def q_events_sessionize(spark, sf_dir):
 @query("events_topk_users")
 def q_events_topk_users(spark, sf_dir):
     return ev_ops.topk_users(load_tables(spark, sf_dir), k=20)
+
+
+# ------------------------------------------------------------ vector
+
+
+@query("vec_knn_cosine")
+def q_vec_knn_cosine(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return knn.knn_cosine(t["embeddings"], query_vec_id=0, k=20)
+
+
+@query("vec_knn_dot")
+def q_vec_knn_dot(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return knn.knn_dot(t["embeddings"], query_vec_id=0, k=20)
+
+
+@query("vec_knn_batch")
+def q_vec_knn_batch(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    queries_df = t["embeddings"].where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return knn.knn_batch(t["embeddings"], queries_df, k=5)
+
+
+@query("vec_centroids")
+def q_vec_centroids(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return knn.centroids(t["embeddings"])
+
+
+@query("vec_norms")
+def q_vec_norms(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return knn.norm_stats(t["embeddings"])
+
+
+@query("dedup_embedding")
+def q_dedup_embedding(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.embedding_near_pairs(t["embeddings"], threshold=0.95)
+
+
+# ------------------------------------------------------- text / dedup
+
+
+@query("dedup_exact")
+def q_dedup_exact(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.exact_groups(t["documents"])
+
+
+@query("dedup_ngram_jaccard")
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.ngram_jaccard_pairs(t["documents"], n=3, threshold=0.1)
+
+
+@query("dedup_minhash")
+def q_dedup_minhash(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.minhash_signatures(t["documents"], n=3)
+
+
+@query("dedup_minhash_lsh")
+def q_dedup_minhash_lsh(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.minhash_lsh_candidates(t["documents"], n=3)
+
+
+@query("dedup_simhash")
+def q_dedup_simhash(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.simhash_signatures(t["documents"], n=3)
+
+
+@query("text_quality")
+def q_text_quality(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.quality(t["documents"])
+
+
+@query("text_tokens")
+def q_text_tokens(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.token_counts(t["documents"])
+
+
+@query("text_langid")
+def q_text_langid(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.lang_id(t["documents"])
+
+
+@query("text_fingerprint")
+def q_text_fingerprint(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.fingerprint(t["documents"])

@@ -1,0 +1,230 @@
+"""Deduplication operators over the documents table.
+
+The scale story (the whole point of these designs):
+- exact: one hash-groupBy shuffle on the digest — the cheapest
+  possible exact dedup at any SF.
+- n-gram Jaccard: inverted-index join — explode distinct shingles,
+  shuffle on the *shingle* key, pair counts map-side combined. A
+  document-frequency cap drops ubiquitous shingles, bounding the
+  worst-case pair blowup (the classic skew killer at 100 TB).
+- MinHash: k portable hash functions, one pass over exploded
+  shingles, min-aggregated per doc — signatures are tiny (k·8 bytes)
+  regardless of document size.
+- MinHash-LSH: band the signatures; candidate pairs only need to
+  agree on one band → the self-join shuffles on the band key, never
+  on raw content.
+- SimHash: 60-bit bit-majority signature; near-dup candidates via
+  exact-match on signature chunks (hamming ≤ r ⇒ some chunk equal).
+- embedding cosine: brute pairwise above a threshold (candidate
+  generation at scale goes through vector/lsh.py instead).
+
+All hashes are md5-derived so the DuckDB oracle matches bit-for-bit
+(swap for xxhash64 in production — same plan shape, cheaper CPU).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..vector.similarity import cosine
+from .tokenize import md5_hash32, md5_hash60, word_shingles, words
+
+DF_CAP = 100  # drop shingles appearing in more docs than this
+MINHASH_K = 8
+BANDS = 4  # 2 hashes per band
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # 15 bits each
+
+
+def exact_groups(documents: DataFrame) -> DataFrame:
+    """(h, n_copies, keep_id): md5-exact duplicate groups; keep the
+    smallest doc_id of each group."""
+    return (
+        documents.select(F.md5(F.col("text")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word-n-gram shingles, DF-capped."""
+    sh = documents.select(
+        "doc_id",
+        F.explode(word_shingles(words(F.col("text")), n)).alias("shingle"),
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    frequent = df_counts.where(F.col("df") > DF_CAP).select("shingle")
+    return sh.join(frequent, "shingle", "left_anti")
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.1
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard ≥ threshold via inverted-index
+    join → (doc_a, doc_b, inter_size, size_a, size_b, jaccard)."""
+    sh = doc_shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter_size")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+                6,
+            ),
+        )
+    )
+    return scored.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "inter_size", "size_a", "size_b", "jaccard"
+    )
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h0..h{k-1}) MinHash signature over word shingles."""
+    sh = doc_shingles(documents, n)
+    aggs = [
+        F.min(md5_hash32(F.col("shingle"), seed=i)).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ≥1 of the signature
+    bands → (doc_a, doc_b). Join key is the band value, so the
+    shuffle is tiny and skew-bounded."""
+    sig = minhash_signatures(documents, n)
+    bands = []
+    for b in range(BANDS):
+        key = F.concat_ws(
+            "_",
+            F.lit(str(b)),
+            F.col(f"h{2 * b}").cast("string"),
+            F.col(f"h{2 * b + 1}").cast("string"),
+        )
+        bands.append(sig.select("doc_id", key.alias("band_key")))
+    banded = bands[0]
+    for df in bands[1:]:
+        banded = banded.unionByName(df)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, F.col("a.band_key") == F.col("b.band_key"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, simhash) — 60-bit bit-majority SimHash over shingle
+    hashes. posexplode of per-shingle bit arrays → per-(doc,bit)
+    majority vote → weighted bit sum (all BIGINT math, no doubles)."""
+    sh = doc_shingles(documents, n).select(
+        "doc_id", md5_hash60(F.col("shingle")).alias("h")
+    )
+    bits = sh.select(
+        "doc_id",
+        F.posexplode(
+            # shift amount is a column → SQL expr (the python
+            # shiftright() only takes a literal bit count)
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BITS - 1}),"
+                " j -> shiftright(h, j) & CAST(1 AS BIGINT))"
+            )
+        ).alias("j", "bit"),
+    )
+    votes = bits.groupBy("doc_id", "j").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    documents: DataFrame, n: int = 3, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ r via chunk-match
+    candidates (pigeonhole: ≤3 differing bits over 4 chunks ⇒ at
+    least one 15-bit chunk identical) → (doc_a, doc_b, hamming)."""
+    sig = simhash_signatures(documents, n)
+    chunks = []
+    for c in range(SIMHASH_CHUNKS):
+        chunk_val = F.shiftright(F.col("simhash"), c * 15).bitwiseAND(
+            F.lit((1 << 15) - 1)
+        )
+        chunks.append(
+            sig.select(
+                "doc_id",
+                "simhash",
+                F.concat_ws(
+                    "_", F.lit(str(c)), chunk_val.cast("string")
+                ).alias("chunk_key"),
+            )
+        )
+    banded = chunks[0]
+    for df in chunks[1:]:
+        banded = banded.unionByName(df)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, F.col("a.chunk_key") == F.col("b.chunk_key"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force; LSH path for
+    scale) → (vec_a, vec_b, cosine_sim)."""
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    pairs = a.crossJoin(b).where(F.col("a.vec_id") < F.col("b.vec_id"))
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,82 @@
+"""Text quality / language-ID / fingerprint operators (documents).
+
+All pure column expressions — single scan, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .tokenize import BPE_RE, words
+
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "it", "that", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "zu"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pour", "que"],
+}
+
+PUNCT_RE = "[^.,;:!?]"
+UPPER_RE = "[^A-Z]"
+
+
+def _hits(tokens, lang: str):
+    wl = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens, lambda x: F.array_contains(wl, x)))
+
+
+def quality(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_chars_q, n_tokens, punct_ratio, stopword_ratio,
+    upper_ratio) — heuristic quality signals."""
+    toks = words(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    punct = F.length(F.regexp_replace(F.col("text"), PUNCT_RE, ""))
+    upper = F.length(F.regexp_replace(F.col("text"), UPPER_RE, ""))
+    stop = _hits(toks, "en")
+    return documents.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars_q"),
+        n_tokens.cast("int").alias("n_tokens"),
+        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(upper / n_chars, 4).alias("upper_ratio"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens) — whitespace + BPE-ish regex."""
+    ws = F.size(F.regexp_extract_all(F.col("text"), F.lit("\\S+"), 0))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+    return documents.select(
+        "doc_id",
+        ws.cast("int").alias("ws_tokens"),
+        bpe.cast("int").alias("bpe_tokens"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-list language ID → (doc_id, lang, lang_pred).
+    Deterministic argmax with fixed priority en>es>de>fr>other."""
+    toks = words(F.col("text"))
+    en, es, de, fr = (_hits(toks, lang) for lang in ("en", "es", "de", "fr"))
+    best = F.greatest(en, es, de, fr)
+    pred = (
+        F.when(best == 0, F.lit("other"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return documents.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """(doc_id, fp, fp64) — md5 of whitespace-normalized lowercase
+    text, plus a 60-bit numeric variant for joins."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint").alias("fp64"),
+    )

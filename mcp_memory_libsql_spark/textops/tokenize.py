@@ -1,0 +1,48 @@
+"""Tokenization / shingling as JVM-side expressions.
+
+Everything here uses regex + array built-ins only (codegen'd,
+scan-parallel) and has exact DuckDB equivalents so dedup results are
+oracle-checkable. The hash functions are md5-derived so Spark and the
+oracle compute bit-identical values (xxhash64 exists in both engines
+but with different seeds/variants — md5 is the portable choice; at
+100 TB you'd swap in xxhash64 for ~3× cheaper hashing, semantics
+unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+WORD_RE = "[a-z0-9]+"
+# BPE-ish pre-tokenizer: alpha runs, digit runs, single punctuation.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def words(text: Column) -> Column:
+    """Lowercased word tokens."""
+    return F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0)
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-gram word shingles (space-joined). Guarded so short
+    docs yield an empty array (Spark's sequence() would otherwise
+    generate a descending range when size < n)."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    parts = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + j) for j in range(n)]
+    )
+    return F.when(
+        F.size(tokens) >= n, F.array_distinct(F.transform(idx, parts))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def md5_hash32(s: Column, seed: int | None = None) -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5 → BIGINT.
+    Identical to DuckDB's ('0x' || substr(md5(x),1,8))::BIGINT."""
+    keyed = s if seed is None else F.concat(F.lit(f"{seed}:"), s)
+    return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("bigint")
+
+
+def md5_hash60(s: Column) -> Column:
+    """Portable 60-bit hash (15 hex chars → fits signed BIGINT)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")

@@ -1,0 +1,108 @@
+"""Brute-force and batch k-NN over the embeddings table.
+
+Scale notes:
+- Single-query top-k: the query vector joins in as a broadcast
+  1-row side (kept in-plan — no driver collect), similarity is a
+  projection over the scan, and the top-k is TakeOrderedAndProject
+  (per-partition heaps + tiny driver merge). This is the exact shape
+  a 100 TB brute-force scan wants.
+- Batch top-k: Q query vectors broadcast, cross-join projection
+  computes Q·N similarities, per-query rank via window on the query
+  id. The shuffle carries only (query_id) partitions; for large Q
+  switch to the LSH path (vector/lsh.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from .similarity import cosine, dot, norm2
+
+
+def _query_vec(embeddings: DataFrame, vec_id: int) -> DataFrame:
+    return embeddings.where(F.col("vec_id") == vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+
+
+def knn_cosine(embeddings: DataFrame, query_vec_id: int, k: int = 20) -> DataFrame:
+    """Top-k by cosine similarity to the embedding of ``query_vec_id``
+    (query row itself excluded) → (vec_id, label, cosine_sim)."""
+    q = broadcast(_query_vec(embeddings, query_vec_id))
+    scored = (
+        embeddings.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col("vec_id")).limit(k)
+
+
+def knn_dot(embeddings: DataFrame, query_vec_id: int, k: int = 20) -> DataFrame:
+    q = broadcast(_query_vec(embeddings, query_vec_id))
+    scored = (
+        embeddings.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot(F.col("embedding"), F.col("q_embedding")), 6).alias(
+                "dot_product"
+            ),
+        )
+    )
+    return scored.orderBy(F.col("dot_product").desc(), F.col("vec_id")).limit(k)
+
+
+def knn_batch(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Per-query top-k: ``queries`` is (q_id, q_embedding), broadcast.
+    → (q_id, vec_id, cosine_sim, rank)."""
+    scored = embeddings.crossJoin(broadcast(queries)).select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias(
+            "cosine_sim"
+        ),
+    ).where(F.col("q_id") != F.col("vec_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label per-dimension centroid → (label, pos, centroid).
+    posexplode + groupBy(label,pos): one shuffle with map-side
+    partial aggregation; emitting (label,pos) rows instead of
+    re-assembled arrays keeps the result oracle-checkable."""
+    exploded = embeddings.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid")
+    )
+
+
+def norm_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label L2-norm statistics."""
+    with_norm = embeddings.select(
+        "label", norm2(F.col("embedding")).alias("norm")
+    )
+    return with_norm.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+        F.round(F.avg("norm"), 6).alias("avg_norm"),
+    )
