@@ -25,6 +25,7 @@ All hashes are md5-derived so the DuckDB oracle matches bit-for-bit
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from ..vector.similarity import cosine
 from .tokenize import md5_hash32, md5_hash60, word_shingles, words
@@ -50,14 +51,23 @@ def exact_groups(documents: DataFrame) -> DataFrame:
 
 
 def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word-n-gram shingles, DF-capped."""
+    """(doc_id, shingle) distinct word-n-gram shingles, DF-capped.
+
+    The document-frequency cap uses a count window over the shingle
+    partition — ONE shuffle on the shingle key (vs. a groupBy +
+    anti-join which scans and shuffles the exploded table twice), and
+    the output is already partitioned by shingle, exactly what the
+    inverted-index self-join downstream wants."""
     sh = documents.select(
         "doc_id",
         F.explode(word_shingles(words(F.col("text")), n)).alias("shingle"),
     )
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    frequent = df_counts.where(F.col("df") > DF_CAP).select("shingle")
-    return sh.join(frequent, "shingle", "left_anti")
+    df_count = F.count("*").over(Window.partitionBy("shingle"))
+    return (
+        sh.withColumn("_df", df_count)
+        .where(F.col("_df") <= DF_CAP)
+        .drop("_df")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -65,7 +75,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold via inverted-index
     join → (doc_a, doc_b, inter_size, size_a, size_b, jaccard)."""
-    sh = doc_shingles(documents, n)
+    # Three consumers (pair-join both sides + sizes) → materialize the
+    # shingle table once instead of re-deriving it per subtree. At
+    # cluster scale this is "write the shingle index table" — the
+    # standard shape for petabyte dedup pipelines.
+    sh = doc_shingles(documents, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
