@@ -20,13 +20,18 @@ MAX_RELATION_TYPE_LENGTH = 256
 
 # \p{C} minus \n\t : control/format/unassigned chars to strip.
 _CONTROL_CHARS = r"[\p{Cc}\p{Cf}\p{Co}\p{Cn}&&[^\n\t]]"
+# Unicode-aware trim (Spark's trim() only strips ASCII spaces).
+_EDGE_WS = r"^[\s\p{Z}]+|[\s\p{Z}]+$"
 
 
 def sanitize_col(col: Column, max_length: int) -> Column:
     """Sanitized, length-capped version of a string column."""
     cleaned = F.regexp_replace(col, _CONTROL_CHARS, "")
     collapsed = F.regexp_replace(cleaned, r"\n{3,}", "\n\n")
-    return F.substring(F.trim(collapsed), 1, max_length)
+    trimmed = F.regexp_replace(collapsed, _EDGE_WS, "")
+    capped = F.substring(trimmed, 1, max_length)
+    # the cap can expose trailing whitespace → trim once more
+    return F.regexp_replace(capped, _EDGE_WS, "")
 
 
 def sanitize_entity_name(col: Column) -> Column:

@@ -1,0 +1,123 @@
+"""Structured Streaming twins of the batch event/KG operators.
+
+The reference is an always-on server mutating state per request; the
+Spark-native equivalent of that "live" surface is Structured
+Streaming: an events stream feeding watermarked windowed aggregates,
+and an entity-upsert stream applied through the same last-writer-wins
+merge as the batch store (via ``foreachBatch``).
+
+Scale notes: windowed aggregation state is partitioned by
+(window, event_type) in the state store; the 10-minute watermark
+bounds state size; ``foreachBatch`` upserts give exactly-once table
+maintenance when the sink table is an ACID format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source stream of event JSON files (one file per micro-batch
+    in tests; a Kafka source drops in unchanged on a cluster)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(dir_path)
+    )
+
+
+def windowed_agg_stream(
+    events: DataFrame, minutes: int = 60, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — streaming twin of
+    ``analytics.events.windowed_counts``; late data beyond the
+    watermark is dropped and state is evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, mode: str = "update"
+):
+    """Drive a streaming DF into a memory sink (tests/demos)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .start()
+    )
+
+
+def entity_upsert_stream(
+    spark: SparkSession,
+    dir_path: str,
+    store,
+):
+    """Micro-batch entity upserts: each arriving JSON file carries
+    create_entities batches (name, entity_type, created_at, plus
+    observation content rows) applied to a ``GraphStore`` through the
+    same merge as the batch path — streaming and batch share one
+    mutation semantics (no divergent code paths to keep correct).
+    """
+    from ..kg.store import upsert_entities
+
+    batch_schema = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("entity_type", StringType()),
+            StructField("created_at", LongType()),
+            StructField("content", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(batch_schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(dir_path)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        tables = store.read()
+        batch_e = batch_df.select("name", "entity_type", "created_at").distinct()
+        batch_o = batch_df.where(F.col("content").isNotNull()).select(
+            F.col("name").alias("entity_name"), "content", "created_at"
+        )
+        e2, o2 = upsert_entities(
+            tables["entities"], tables["observations"], batch_e, batch_o
+        )
+        store.write(
+            {"entities": e2, "observations": o2, "relations": tables["relations"]}
+        )
+
+    return stream.writeStream.foreachBatch(apply_batch).outputMode("update").start()

@@ -1,0 +1,110 @@
+"""Streaming ↔ batch equivalence and stream upserts."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from mcp_memory_libsql_spark.io.tables import load_tables
+from mcp_memory_libsql_spark.kg.store import GraphStore
+from mcp_memory_libsql_spark.streaming import pipeline
+
+
+def _wait(q, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        q.processAllAvailable()
+        return
+    raise TimeoutError
+
+
+def test_windowed_stream_matches_batch(spark, sf_dir, tmp_path):
+    # split the batch events into 3 json files → 3 micro-batches
+    events = load_tables(spark, sf_dir)["events"]
+    pdf = events.toPandas()
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    n = len(pdf)
+    for i in range(3):
+        chunk = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        with open(src / f"part{i}.json", "w") as f:
+            for _, row in chunk.iterrows():
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": int(row.event_id),
+                            "ts": row.ts.isoformat(),
+                            "user_id": int(row.user_id),
+                            "event_type": row.event_type,
+                            "value": float(row.value),
+                            "props": row.props,
+                        }
+                    )
+                    + "\n"
+                )
+
+    stream = pipeline.read_event_stream(spark, str(src))
+    agg = pipeline.windowed_agg_stream(stream, minutes=60)
+    q = pipeline.run_stream_to_memory(agg, "win_agg", mode="complete")
+    try:
+        _wait(q)
+        got = spark.sql(
+            "select window_start, event_type, n_events, sum_value from win_agg"
+        )
+        expect = (
+            events.groupBy(
+                F.window("ts", "60 minutes").alias("w"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+    finally:
+        q.stop()
+
+
+def test_entity_upsert_stream(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "store"))
+    store.init_empty()
+    src = tmp_path / "upsert_src"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        f.write(
+            json.dumps(
+                {"name": "E1", "entity_type": "t1", "created_at": 1, "content": "o1"}
+            )
+            + "\n"
+        )
+    q = pipeline.entity_upsert_stream(spark, str(src), store)
+    try:
+        q.processAllAvailable()
+        # second batch updates E1 and adds E2
+        with open(src / "b2.json", "w") as f:
+            for rec in (
+                {"name": "E1", "entity_type": "t2", "created_at": 2, "content": "o2"},
+                {"name": "E2", "entity_type": "t1", "created_at": 2, "content": "oX"},
+            ):
+                f.write(json.dumps(rec) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = store.read()
+    ents = {r.name: r.entity_type for r in t["entities"].collect()}
+    assert ents == {"E1": "t2", "E2": "t1"}
+    obs = {
+        r.content
+        for r in t["observations"].where(F.col("entity_name") == "E1").collect()
+    }
+    assert obs == {"o2"}  # o1 replaced, not appended
