@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata,
+processed with Arrow-batched pandas UDFs (``mapInPandas``).
+
+The real decode (image/audio codecs) is STUBBED — the decode libs
+aren't in this container — behind ``decode_stub``, which produces a
+deterministic fake so the pipeline is testable end-to-end. Everything
+Spark-side is real and scale-shaped:
+
+- media rows are (media_id, kind, payload binary, meta struct);
+- processing is ``mapInPandas`` so payloads stream through Arrow in
+  batches (no per-row Python overhead, bounded executor memory via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``);
+- at 100 TB: payloads live in parquet binary columns partitioned by
+  kind/date; feature extraction is a narrow map — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "meta struct<width:int, height:int, n_frames:int>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id bigint, kind string, n_bytes int, "
+    "mean_intensity double, frame_hashes array<string>"
+)
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media table derived from documents: payload
+    = utf-8 text bytes standing in for encoded media; metadata derived
+    from doc stats. Mirrors how a real ingest would attach typed
+    metadata next to the opaque blob."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 64 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 48 + 1).cast("int").alias("height"),
+            (F.col("n_chars") % 10 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes, kind: str) -> bytes:
+    """STUB for the real codec. A real build would dispatch to
+    PIL/ffmpeg here; the container has neither, so we return the
+    payload unchanged (deterministic passthrough)."""
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"unknown media kind: {kind}")
+    return payload
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the opaque payloads:
+    byte length, mean byte intensity of the decoded blob, and
+    per-frame content hashes (frame sampling = even byte-range split
+    by meta.n_frames)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                blob = decode_stub(bytes(r.payload), r.kind)
+                n_frames = max(int(r.meta["n_frames"]), 1)
+                step = max(len(blob) // n_frames, 1)
+                frames = [
+                    blob[i * step : (i + 1) * step] for i in range(n_frames)
+                ]
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "kind": r.kind,
+                        "n_bytes": len(blob),
+                        "mean_intensity": (
+                            float(sum(blob)) / len(blob) if blob else 0.0
+                        ),
+                        "frame_hashes": [
+                            hashlib.md5(fr).hexdigest() for fr in frames if fr
+                        ],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "n_bytes",
+                    "mean_intensity",
+                    "frame_hashes",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: metadata is updated JVM-side; the pixel
+    transform itself is the stubbed codec step."""
+    return media.withColumn(
+        "meta",
+        F.struct(
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.col("meta.n_frames").alias("n_frames"),
+        ),
+    )

@@ -325,3 +325,23 @@ def q_text_langid(spark, sf_dir):
 def q_text_fingerprint(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return tq.fingerprint(t["documents"])
+
+
+# ---------------------------------------- approximate / multimodal
+# (no SQL oracle — rows-only gate; correctness covered in pytest:
+# ann recall vs brute force, multimodal feature determinism)
+
+from .multimodal import media as mm  # noqa: E402
+from .vector import lsh  # noqa: E402
+
+
+@query("ann_lsh_cosine")
+def q_ann_lsh_cosine(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return lsh.ann_cosine(t["embeddings"], query_vec_id=0, k=10, dim=64)
+
+
+@query("mm_features")
+def q_mm_features(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return mm.extract_features(mm.synthesize_media(t["documents"]))

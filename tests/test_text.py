@@ -1,0 +1,91 @@
+"""Text/dedup operator behavior tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_memory_libsql_spark.io.tables import load_tables
+from mcp_memory_libsql_spark.textops import dedup, quality
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+
+
+def test_exact_dedup_finds_duplicates(spark):
+    d = _docs_df(spark, ["hello world foo", "hello world foo", "other text here"])
+    groups = dedup.exact_groups(d).collect()
+    by_n = sorted([(g.n_copies, g.keep_id) for g in groups])
+    assert by_n == [(1, 2), (2, 0)]
+
+
+def test_jaccard_identical_docs_score_1(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    d = _docs_df(spark, [base, base, "totally different words entirely here now"])
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.doc_a, p.doc_b, p.jaccard) == (0, 1, 1.0)
+
+
+def test_minhash_identical_docs_equal_signatures(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    d = _docs_df(spark, [base, base])
+    sigs = dedup.minhash_signatures(d, n=3).collect()
+    s0 = [getattr(sigs[0], f"h{i}") for i in range(8)]
+    s1 = [getattr(sigs[1], f"h{i}") for i in range(8)]
+    assert s0 == s1
+
+
+def test_minhash_lsh_catches_identical(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = _docs_df(spark, [base, base, "unrelated content that differs fully here"])
+    cands = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_candidates(d).collect()}
+    assert (0, 1) in cands
+
+
+def test_simhash_identical_zero_hamming(spark):
+    base = "red green blue yellow purple orange pink brown black white"
+    d = _docs_df(spark, [base, base])
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(d).collect()}
+    assert sigs[0] == sigs[1]
+    pairs = dedup.simhash_near_pairs(d, max_hamming=0).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+def test_quality_ranges(docs):
+    q = quality.quality(docs)
+    rows = q.collect()
+    for r in rows:
+        assert r.n_tokens > 0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+
+
+def test_langid_deterministic_and_covers(docs):
+    out = quality.lang_id(docs)
+    preds = {r.lang_pred for r in out.collect()}
+    assert preds <= {"en", "es", "de", "fr", "other"}
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    d = _docs_df(spark, ["hello   world", "hello world", "HELLO WORLD"])
+    fps = [r.fp for r in quality.fingerprint(d).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_embedding_near_pairs_threshold(spark, sf_dir):
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    pairs = dedup.embedding_near_pairs(emb, threshold=0.99)
+    for r in pairs.collect():
+        assert r.cosine_sim >= 0.99
+        assert r.vec_a < r.vec_b

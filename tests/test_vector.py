@@ -1,0 +1,83 @@
+"""Vector ops vs numpy ground truth + ANN recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_memory_libsql_spark.io.tables import load_tables
+from mcp_memory_libsql_spark.vector import knn, lsh
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_tables(spark, sf_dir)["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _brute_topk(ids, mat, qid, k):
+    q = mat[ids == qid][0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        [(round(s, 6), i) for s, i in zip(sims, ids) if i != qid],
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [i for _, i in order[:k]]
+
+
+def test_knn_cosine_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    got = [r.vec_id for r in knn.knn_cosine(emb, 0, k=20).collect()]
+    assert got == _brute_topk(ids, mat, 0, 20)
+
+
+def test_knn_batch_per_query(emb, emb_np):
+    ids, mat = emb_np
+    out = knn.knn_batch(
+        emb,
+        emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+        ),
+        k=5,
+    ).collect()
+    for qid in range(3):
+        got = [r.vec_id for r in sorted(out, key=lambda r: r.rank) if r.q_id == qid]
+        assert got == _brute_topk(ids, mat, qid, 5)
+
+
+def test_centroids_match_numpy(emb, emb_np):
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    cents = knn.centroids(emb).collect()
+    rows = emb.select("label", "embedding").collect()
+    for lbl in labels:
+        mat = np.array(
+            [r.embedding for r in rows if r.label == lbl], dtype=np.float64
+        )
+        want = mat.mean(axis=0)
+        got = sorted(
+            [(c.pos, c.centroid) for c in cents if c.label == lbl]
+        )
+        for (pos, val), w in zip(got, want):
+            assert abs(val - round(w, 6)) <= 1e-6
+
+
+def test_ann_recall_vs_brute(emb, emb_np):
+    ids, mat = emb_np
+    want = set(_brute_topk(ids, mat, 0, 10))
+    got = {r.vec_id for r in lsh.ann_cosine(emb, 0, k=10, dim=64).collect()}
+    # approximate: require decent overlap with the exact answer
+    assert len(got & want) >= 5, f"recall too low: {got & want}"
+
+
+def test_ann_deterministic(emb):
+    a = [tuple(r) for r in lsh.ann_cosine(emb, 0, k=10, dim=64).collect()]
+    b = [tuple(r) for r in lsh.ann_cosine(emb, 0, k=10, dim=64).collect()]
+    assert a == b
