@@ -108,13 +108,14 @@ def relations_for_entities(
     semi-joins broadcast; the relations table never shuffles.
     """
     names = broadcast(entity_names.select("name").distinct())
-    by_source = relations.join(
-        names, relations["source"] == names["name"], "leftsemi"
+    # Single OR-condition semi-join (SQL: source IN (…) OR target IN
+    # (…)) → ONE pass over the big relations table as a broadcast
+    # nested-loop semi-join over the ≤50-row name set, and the
+    # (expensive) name-set subplan is evaluated once, not per branch.
+    cond = (relations["source"] == names["name"]) | (
+        relations["target"] == names["name"]
     )
-    by_target = relations.join(
-        names, relations["target"] == names["name"], "leftsemi"
-    )
-    return by_source.unionByName(by_target).distinct()
+    return relations.join(names, cond, "leftsemi").distinct()
 
 
 def read_graph(

@@ -28,7 +28,9 @@ sh AS (SELECT doc_id, shingle FROM sh0
 """
 
 _MINHASH_COLS = ", ".join(
-    f"MIN(('0x' || substr(md5('{i}:' || shingle), 1, 8))::BIGINT) AS h{i}"
+    "MIN(('0x' || substr(md5("
+    + ("shingle" if i < 4 else "'x:' || shingle")
+    + f"), {1 + 8 * (i % 4)}, 8))::BIGINT) AS h{i}"
     for i in range(8)
 )
 

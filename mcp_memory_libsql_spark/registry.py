@@ -45,9 +45,22 @@ def query(name: str):
     return deco
 
 
+# In a real deployment the KG tables are materialized tables, not
+# re-derived per query; mirror that by persisting the derived views
+# once per (session, sf_dir) so successive queries reuse them.
+_KG_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def _kg(spark: SparkSession, sf_dir: str):
     t = load_tables(spark, sf_dir)
-    return kg_views.kg(t), t
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KG_CACHE:
+        g = kg_views.kg(t)
+        # relations is the only expensive derivation (fact-table
+        # distinct); entities/observations are cheap narrow unions.
+        g["relations"] = g["relations"].persist()
+        _KG_CACHE[key] = g
+    return _KG_CACHE[key], t
 
 
 # ---------------------------------------------------------------- KG

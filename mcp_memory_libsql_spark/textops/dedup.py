@@ -28,13 +28,25 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..vector.similarity import cosine
-from .tokenize import md5_hash32, md5_hash60, word_shingles, words
+from .tokenize import md5_hash60, word_shingles, words
 
 DF_CAP = 100  # drop shingles appearing in more docs than this
 MINHASH_K = 8
 BANDS = 4  # 2 hashes per band
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4  # 15 bits each
+
+
+def _exploded_shingles(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle) — tokens are projected in a SEPARATE select
+    before shingling: referencing the regexp tokenizer directly inside
+    the shingle transform() lambda would re-evaluate it per array
+    element (lambdas defeat codegen subexpression elimination; ~15×
+    slower at sf0.1)."""
+    toks = documents.select("doc_id", words(F.col("text")).alias("w"))
+    return toks.select(
+        "doc_id", F.explode(word_shingles(F.col("w"), n)).alias("shingle")
+    )
 
 
 def exact_groups(documents: DataFrame) -> DataFrame:
@@ -58,10 +70,7 @@ def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     anti-join which scans and shuffles the exploded table twice), and
     the output is already partitioned by shingle, exactly what the
     inverted-index self-join downstream wants."""
-    sh = documents.select(
-        "doc_id",
-        F.explode(word_shingles(words(F.col("text")), n)).alias("shingle"),
-    )
+    sh = _exploded_shingles(documents, n)
     df_count = F.count("*").over(Window.partitionBy("shingle"))
     return (
         sh.withColumn("_df", df_count)
@@ -73,21 +82,42 @@ def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
 def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.1
 ) -> DataFrame:
-    """Near-dup pairs by n-gram Jaccard ≥ threshold via inverted-index
-    join → (doc_a, doc_b, inter_size, size_a, size_b, jaccard)."""
-    # Three consumers (pair-join both sides + sizes) → materialize the
-    # shingle table once instead of re-deriving it per subtree. At
-    # cluster scale this is "write the shingle index table" — the
-    # standard shape for petabyte dedup pipelines.
-    sh = doc_shingles(documents, n).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    """Near-dup pairs by n-gram Jaccard ≥ threshold via an inverted
+    index → (doc_a, doc_b, inter_size, size_a, size_b, jaccard).
+
+    Plan shape: ONE shuffle groups each shingle's posting list
+    (sorted doc ids); the DF cap is a ``size(ids)`` filter on the
+    aggregated row (no window sort, no anti-join); candidate pairs
+    are exploded combinations of each posting list — the classic
+    postings-join without re-shuffling the exploded shingle table
+    twice. The posting-list table is persisted for its two consumers
+    (pair counts + per-doc sizes); at cluster scale that's "write the
+    shingle index table once"."""
+    sh = _exploded_shingles(documents, n)
+    postings = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") <= DF_CAP)
+        .persist()
+    )
+    sizes = (
+        postings.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        postings.select(F.explode(combos).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
         )
         .agg(F.count("*").alias("inter_size"))
     )
@@ -111,12 +141,23 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, h0..h{k-1}) MinHash signature over word shingles."""
-    sh = doc_shingles(documents, n)
-    aggs = [
-        F.min(md5_hash32(F.col("shingle"), seed=i)).alias(f"h{i}")
-        for i in range(MINHASH_K)
-    ]
+    """(doc_id, h0..h{k-1}) MinHash signature over word shingles.
+
+    The k=8 hash family is sliced out of TWO md5 digests (4×32-bit
+    chunks each) instead of k keyed digests — md5 is the expensive
+    part (k× fewer digest computations; at sf0.1 that's ~60M saved
+    md5 calls), and chunks of one digest are independent enough for
+    MinHash."""
+    sh = doc_shingles(documents, n).select(
+        "doc_id",
+        F.md5(F.col("shingle")).alias("d1"),
+        F.md5(F.concat(F.lit("x:"), F.col("shingle"))).alias("d2"),
+    )
+    aggs = []
+    for i in range(MINHASH_K):
+        src = F.col("d1") if i < 4 else F.col("d2")
+        chunk = F.substring(src, 1 + 8 * (i % 4), 8)
+        aggs.append(F.min(F.conv(chunk, 16, 10).cast("bigint")).alias(f"h{i}"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -125,18 +166,21 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3) -> DataFrame:
     bands → (doc_a, doc_b). Join key is the band value, so the
     shuffle is tiny and skew-bounded."""
     sig = minhash_signatures(documents, n)
-    bands = []
-    for b in range(BANDS):
-        key = F.concat_ws(
-            "_",
-            F.lit(str(b)),
-            F.col(f"h{2 * b}").cast("string"),
-            F.col(f"h{2 * b + 1}").cast("string"),
-        )
-        bands.append(sig.select("doc_id", key.alias("band_key")))
-    banded = bands[0]
-    for df in bands[1:]:
-        banded = banded.unionByName(df)
+    # All band keys in ONE array projection + a single explode — a
+    # per-band UNION would re-derive the whole signature pipeline
+    # once per band (4× the work).
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),
+                F.col(f"h{2 * b}").cast("string"),
+                F.col(f"h{2 * b + 1}").cast("string"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(keys).alias("band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -187,23 +231,21 @@ def simhash_near_pairs(
     candidates (pigeonhole: ≤3 differing bits over 4 chunks ⇒ at
     least one 15-bit chunk identical) → (doc_a, doc_b, hamming)."""
     sig = simhash_signatures(documents, n)
-    chunks = []
-    for c in range(SIMHASH_CHUNKS):
-        chunk_val = F.shiftright(F.col("simhash"), c * 15).bitwiseAND(
-            F.lit((1 << 15) - 1)
-        )
-        chunks.append(
-            sig.select(
-                "doc_id",
-                "simhash",
-                F.concat_ws(
-                    "_", F.lit(str(c)), chunk_val.cast("string")
-                ).alias("chunk_key"),
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(c)),
+                F.shiftright(F.col("simhash"), c * 15)
+                .bitwiseAND(F.lit((1 << 15) - 1))
+                .cast("string"),
             )
-        )
-    banded = chunks[0]
-    for df in chunks[1:]:
-        banded = banded.unionByName(df)
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(keys).alias("chunk_key")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
