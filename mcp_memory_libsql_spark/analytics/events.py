@@ -92,3 +92,46 @@ def topk_users(t, k: int = 20) -> DataFrame:
         .orderBy(F.col("n_events").desc(), F.col("user_id"))
         .limit(k)
     )
+
+
+def daily_type_counts(t) -> DataFrame:
+    """Events per (day, type) — partition-pruning-shaped rollup (at
+    scale the events table is date-partitioned and this reads only
+    matching partitions)."""
+    ev = t["events"]
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            # sum, not avg: a 2-decimal-cents sum rounds identically
+            # across engines; an avg can land exactly on a rounding
+            # boundary and flip the last digit per summation order
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def signup_purchase_funnel(t, days: int = 7) -> DataFrame:
+    """Users whose first purchase followed their first signup within
+    ``days`` → (user_id, signup_epoch, purchase_epoch). Two tiny
+    pre-aggregations then a broadcastable equi-join on user_id."""
+    ev = t["events"].select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("epoch")
+    )
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("signup_epoch"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("epoch").alias("p_epoch")
+    )
+    joined = purchases.join(signups, "user_id").where(
+        (F.col("p_epoch") >= F.col("signup_epoch"))
+        & (F.col("p_epoch") <= F.col("signup_epoch") + days * 86400)
+    )
+    return joined.groupBy("user_id", "signup_epoch").agg(
+        F.min("p_epoch").alias("purchase_epoch")
+    )

@@ -56,6 +56,56 @@ def q3_shipping_priority(t, segment: str = "BUILDING", date: str = "1998-03-15")
         .agg(F.round(revenue, 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
+        # date rendered as a string so the oracle value-hash is
+        # engine-format independent
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q6_forecast_revenue(
+    t, date_from: str = "1996-01-01", date_to: str = "1997-01-01"
+) -> DataFrame:
+    """TPC-H Q6: pure scan + filter + scalar agg — the pushdown
+    showcase (every predicate reaches the parquet scan)."""
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q10_returned_items(t, date_from: str = "1996-01-01", date_to: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q10: top customers by revenue lost to returns."""
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    cust = t["customer"].select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nat = t["nation"].select("n_nationkey", "n_name")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
     )
 
 

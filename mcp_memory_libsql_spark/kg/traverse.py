@@ -70,3 +70,69 @@ def entity_type_counts(entities: DataFrame) -> DataFrame:
         F.min("created_at").alias("oldest"),
         F.max("created_at").alias("newest"),
     )
+
+
+def relation_type_counts(relations: DataFrame) -> DataFrame:
+    return relations.groupBy("relation_type").agg(
+        F.count("*").alias("n_relations"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("target").alias("n_targets"),
+    )
+
+
+def observation_counts(entities: DataFrame, observations: DataFrame) -> DataFrame:
+    """(name, entity_type, n_observations) — left join so
+    observation-less entities report 0, like the reference's
+    get_entity returning an empty observations list."""
+    counts = observations.groupBy(F.col("entity_name").alias("name")).agg(
+        F.count("*").alias("n_obs")
+    )
+    return entities.join(counts, "name", "left").select(
+        "name",
+        "entity_type",
+        F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_observations"),
+    )
+
+
+def pagerank(relations: DataFrame, iterations: int = 5, damping: float = 0.85) -> DataFrame:
+    """PageRank over the relation graph → (name, rank).
+
+    Iterative DataFrame algebra: each step is one shuffle
+    (contributions grouped by target). The per-iteration plan is
+    identical, so at cluster scale you checkpoint every few steps to
+    cut lineage. Deterministic: rank rounded at the end only.
+    """
+    edges = relations.select("source", "target").distinct()
+    nodes = (
+        edges.select(F.col("source").alias("name"))
+        .unionByName(edges.select(F.col("target").alias("name")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col("source").alias("name")).agg(
+        F.count("*").alias("out_degree")
+    )
+    n_nodes = nodes.count()  # scalar graph size — drives the teleport term
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges["source"] == ranks["name"])
+            .join(out_deg, "name")
+            .select(
+                F.col("target").alias("name"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("name")
+            .agg(F.sum("contrib").alias("in_rank"))
+        )
+        ranks = (
+            nodes.join(contribs, "name", "left")
+            .select(
+                "name",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("name", F.round("rank", 8).alias("rank"))

@@ -89,3 +89,50 @@ GROUP BY user_id
 ORDER BY n_events DESC, user_id
 LIMIT 20
 """
+
+ORACLES["tpch_q3"] = ORACLES["tpch_q3"].replace(
+    "SELECT o_orderkey, o_orderdate,",
+    "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,",
+).replace("GROUP BY o_orderkey, o_orderdate,", "GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'),")
+
+ORACLES["tpch_q6"] = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+ORACLES["tpch_q10"] = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLES["events_daily"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["events_funnel"] = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch
+  FROM events
+),
+s AS (SELECT user_id, MIN(epoch) AS signup_epoch FROM ev
+      WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT user_id, epoch AS p_epoch FROM ev WHERE event_type = 'purchase')
+SELECT p.user_id, signup_epoch, MIN(p_epoch) AS purchase_epoch
+FROM p JOIN s ON p.user_id = s.user_id
+WHERE p_epoch >= signup_epoch AND p_epoch <= signup_epoch + 604800
+GROUP BY p.user_id, signup_epoch
+"""

@@ -214,3 +214,19 @@ SELECT entity_type, CAST(COUNT(*) AS BIGINT) AS n_entities,
        MIN(created_at) AS oldest, MAX(created_at) AS newest
 FROM entities GROUP BY entity_type
 """
+
+ORACLES["kg_relation_type_counts"] = f"""{KG_CTE}
+SELECT relation_type, COUNT(*) AS n_relations,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT target) AS BIGINT) AS n_targets
+FROM relations GROUP BY relation_type
+"""
+
+ORACLES["kg_observation_counts"] = f"""{KG_CTE}
+SELECT e.name, e.entity_type,
+       CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_observations
+FROM entities e
+LEFT JOIN (SELECT entity_name, COUNT(*) AS n_obs
+           FROM observations GROUP BY entity_name) c
+  ON e.name = c.entity_name
+"""

@@ -160,3 +160,29 @@ SELECT doc_id,
     AS fp64
 FROM documents
 """
+
+ORACLES["text_quality_filter"] = f"""
+SELECT doc_id, n_tokens, stopword_ratio FROM ({ORACLES["text_quality"]})
+WHERE n_tokens >= 30 AND stopword_ratio <= 0.2
+"""
+
+ORACLES["dedup_keep_docs"] = (
+    SHINGLE_CTE
+    + """,
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         ROUND(inter_size / (sa.sz + sb.sz - inter_size), 6) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_b FROM scored WHERE jaccard >= 0.5)
+"""
+)

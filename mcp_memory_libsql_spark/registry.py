@@ -358,3 +358,76 @@ def q_ann_lsh_cosine(spark, sf_dir):
 def q_mm_features(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return mm.extract_features(mm.synthesize_media(t["documents"]))
+
+
+# ----------------------------------------------------- coverage wave 2
+
+from .vector import ivf  # noqa: E402
+
+
+@query("tpch_q6")
+def q_tpch_q6(spark, sf_dir):
+    return tpch.q6_forecast_revenue(load_tables(spark, sf_dir))
+
+
+@query("tpch_q10")
+def q_tpch_q10(spark, sf_dir):
+    return tpch.q10_returned_items(load_tables(spark, sf_dir))
+
+
+@query("events_daily")
+def q_events_daily(spark, sf_dir):
+    return ev_ops.daily_type_counts(load_tables(spark, sf_dir))
+
+
+@query("events_funnel")
+def q_events_funnel(spark, sf_dir):
+    return ev_ops.signup_purchase_funnel(load_tables(spark, sf_dir), days=7)
+
+
+@query("kg_relation_type_counts")
+def q_kg_relation_type_counts(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.relation_type_counts(g["relations"])
+
+
+@query("kg_observation_counts")
+def q_kg_observation_counts(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.observation_counts(g["entities"], g["observations"])
+
+
+@query("kg_pagerank")
+def q_kg_pagerank(spark, sf_dir):
+    # iterative — no SQL oracle (rows-only gate); convergence/sum
+    # invariants covered in tests/test_kg2.py
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.pagerank(g["relations"], iterations=5)
+
+
+@query("vec_ivf_ann")
+def q_vec_ivf_ann(spark, sf_dir):
+    # approximate — rows-only gate; recall vs brute force in pytest
+    t = load_tables(spark, sf_dir)
+    return ivf.ivf_ann(t["embeddings"], query_vec_id=0, k=10, dim=64)
+
+
+@query("text_quality_filter")
+def q_text_quality_filter(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        tq.quality(t["documents"])
+        .where((F.col("n_tokens") >= 30) & (F.col("stopword_ratio") <= 0.2))
+        .select("doc_id", "n_tokens", "stopword_ratio")
+    )
+
+
+@query("dedup_keep_docs")
+def q_dedup_keep_docs(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    drops = dd.ngram_jaccard_pairs(t["documents"], n=3, threshold=0.5).select(
+        F.col("doc_b").alias("doc_id")
+    )
+    return t["documents"].join(drops, "doc_id", "left_anti").select(
+        "doc_id", "n_chars"
+    )
