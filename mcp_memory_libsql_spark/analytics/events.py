@@ -135,3 +135,19 @@ def signup_purchase_funnel(t, days: int = 7) -> DataFrame:
     return joined.groupBy("user_id", "signup_epoch").agg(
         F.min("p_epoch").alias("purchase_epoch")
     )
+
+
+def weekly_retention(t) -> DataFrame:
+    """Users active in week w who return in week w+1 → (week,
+    n_retained). Distinct (week,user) first (partial-agg shuffle),
+    then a self-join on user co-partitioned by the same key."""
+    ev = t["events"].select(
+        (F.floor(F.unix_timestamp("ts") / 604800)).cast("bigint").alias("week"),
+        "user_id",
+    ).distinct()
+    nxt = ev.select((F.col("week") - 1).alias("week"), F.col("user_id"))
+    return (
+        ev.join(nxt, ["week", "user_id"])
+        .groupBy("week")
+        .agg(F.count("*").alias("n_retained"))
+    )

@@ -144,3 +144,42 @@ def q5_local_supplier_volume(
             ).alias("revenue")
         )
     )
+
+
+def q7_volume_shipping(
+    t, nation_a: str = "NATION_1", nation_b: str = "NATION_2"
+) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations per year.
+    Both nation dims broadcast; the only big shuffle is
+    lineitem⋈orders on orderkey."""
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(t["orders"].select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"), volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )

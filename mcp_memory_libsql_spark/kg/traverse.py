@@ -136,3 +136,35 @@ def pagerank(relations: DataFrame, iterations: int = 5, damping: float = 0.85) -
         )
         ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("name", F.round("rank", 8).alias("rank"))
+
+
+def connected_components(relations: DataFrame, max_iter: int = 8) -> DataFrame:
+    """Undirected connected components via min-label propagation
+    → (name, component) where component = lexicographic min name
+    reachable. Converges in graph-diameter iterations; each step is
+    one shuffle (min over neighbor labels), lineage cut with
+    localCheckpoint — the standard large-graph CC shape (HashMin)."""
+    fwd = relations.select(F.col("source").alias("a"), F.col("target").alias("b"))
+    bwd = relations.select(F.col("target").alias("a"), F.col("source").alias("b"))
+    edges = fwd.unionByName(bwd).distinct()
+    labels = edges.select(F.col("a").alias("name")).distinct().withColumn(
+        "component", F.col("name")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["a"] == labels["name"])
+            .groupBy(F.col("b").alias("name"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        labels = (
+            labels.join(neighbor_min, "name", "left")
+            .select(
+                "name",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

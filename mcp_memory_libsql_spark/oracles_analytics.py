@@ -136,3 +136,32 @@ FROM p JOIN s ON p.user_id = s.user_id
 WHERE p_epoch >= signup_epoch AND p_epoch <= signup_epoch + 604800
 GROUP BY p.user_id, signup_epoch
 """
+
+ORACLES["tpch_q7"] = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+ORACLES["events_retention"] = """
+WITH wu AS (
+  SELECT DISTINCT CAST(FLOOR(FLOOR(epoch(ts)) / 604800) AS BIGINT) AS week,
+         user_id
+  FROM events
+)
+SELECT a.week AS week, COUNT(*) AS n_retained
+FROM wu a JOIN wu b ON a.user_id = b.user_id AND b.week = a.week + 1
+GROUP BY a.week
+"""

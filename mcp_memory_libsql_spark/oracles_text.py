@@ -186,3 +186,42 @@ SELECT d.doc_id, d.n_chars FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_b FROM scored WHERE jaccard >= 0.5)
 """
 )
+
+ORACLES["dedup_simhash_pairs"] = (
+    SHINGLE_CTE
+    + """,
+hashes AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+),
+bits AS (
+  SELECT doc_id, j, (h >> j) & 1 AS bit
+  FROM hashes CROSS JOIN (SELECT unnest(range(0, 60)) AS j) js
+),
+votes AS (
+  SELECT doc_id, j, SUM(2 * bit - 1) AS vote FROM bits GROUP BY doc_id, j
+),
+sims AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << CAST(j AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash,
+         CAST(c AS VARCHAR) || '_' ||
+         CAST((simhash >> (CAST(c AS INTEGER) * 15)) & 32767 AS VARCHAR)
+           AS chunk_key
+  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM banded a JOIN banded b
+    ON a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= 6
+"""
+)

@@ -431,3 +431,29 @@ def q_dedup_keep_docs(spark, sf_dir):
     return t["documents"].join(drops, "doc_id", "left_anti").select(
         "doc_id", "n_chars"
     )
+
+
+# ----------------------------------------------------- coverage wave 3
+
+
+@query("tpch_q7")
+def q_tpch_q7(spark, sf_dir):
+    return tpch.q7_volume_shipping(load_tables(spark, sf_dir))
+
+
+@query("events_retention")
+def q_events_retention(spark, sf_dir):
+    return ev_ops.weekly_retention(load_tables(spark, sf_dir))
+
+
+@query("dedup_simhash_pairs")
+def q_dedup_simhash_pairs(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.simhash_near_pairs(t["documents"], n=3, max_hamming=6)
+
+
+@query("kg_components")
+def q_kg_components(spark, sf_dir):
+    # iterative — rows-only gate; invariants in tests/test_kg2.py
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.connected_components(g["relations"])

@@ -75,3 +75,27 @@ def test_observation_counts_cover_all_entities(spark, t):
         .count()
         == 0
     )
+
+
+def test_connected_components(spark, t):
+    from mcp_memory_libsql_spark.kg import views as kv
+
+    rel = kv.relations(t)
+    cc = kg_traverse.connected_components(rel)
+    comps = {r.component for r in cc.collect()}
+    # the KG graph is fully connected through nation/region hubs →
+    # a single component labeled by the global min name
+    names = [r.name for r in cc.collect()]
+    assert comps == {min(names)}
+
+
+def test_connected_components_disjoint(spark):
+    rel = spark.createDataFrame(
+        [("a", "b", "t"), ("b", "c", "t"), ("x", "y", "t")],
+        "source string, target string, relation_type string",
+    )
+    cc = {
+        r.name: r.component
+        for r in kg_traverse.connected_components(rel, max_iter=4).collect()
+    }
+    assert cc == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
