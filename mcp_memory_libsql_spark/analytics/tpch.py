@@ -183,3 +183,26 @@ def q7_volume_shipping(
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.round(F.sum("volume"), 2).alias("revenue"))
     )
+
+
+def q4_priority_late(t, days: int = 100) -> DataFrame:
+    """Q4-style order priority check (adapted: this schema has no
+    commitdate/receiptdate, so "late" = any lineitem shipped > ``days``
+    after the order date). Semi-join keeps the aggregation input
+    minimal — the canonical EXISTS plan."""
+    orders = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {days} DAYS")
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(late, "o_orderkey", "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+    )

@@ -167,10 +167,21 @@ class GraphStore:
         }
         self.write(empty)
 
-    def read(self) -> dict[str, DataFrame]:
-        v = self.current_version()
-        if v < 0:
-            raise FileNotFoundError(f"no snapshot at {self.path}")
+    def list_versions(self) -> list[int]:
+        try:
+            return sorted(
+                int(d[1:])
+                for d in os.listdir(self.path)
+                if d.startswith("v") and d[1:].isdigit()
+            )
+        except FileNotFoundError:
+            return []
+
+    def read(self, version: int | None = None) -> dict[str, DataFrame]:
+        """Read the current snapshot, or time-travel to ``version``."""
+        v = self.current_version() if version is None else version
+        if v < 0 or (version is not None and v not in self.list_versions()):
+            raise FileNotFoundError(f"no snapshot v{v} at {self.path}")
         return {
             tbl: self.spark.read.parquet(self._table_dir(tbl, v))
             for tbl in self.TABLES

@@ -165,3 +165,15 @@ SELECT a.week AS week, COUNT(*) AS n_retained
 FROM wu a JOIN wu b ON a.user_id = b.user_id AND b.week = a.week + 1
 GROUP BY a.week
 """
+
+ORACLES["tpch_q4"] = """
+WITH late AS (
+  SELECT DISTINCT o_orderkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 100 DAY
+)
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders
+WHERE o_orderkey IN (SELECT o_orderkey FROM late)
+GROUP BY o_orderpriority
+"""

@@ -230,3 +230,18 @@ LEFT JOIN (SELECT entity_name, COUNT(*) AS n_obs
            FROM observations GROUP BY entity_name) c
   ON e.name = c.entity_name
 """
+
+ORACLES["kg_search_typed"] = f"""{KG_CTE},
+entities_f AS (SELECT * FROM entities WHERE entity_type = 'part')
+SELECT DISTINCT e.name, e.entity_type, e.created_at,
+  CAST(CASE WHEN e.name ILIKE '%economy%' THEN 3
+            WHEN e.entity_type ILIKE '%economy%' THEN 2
+            ELSE 1 END AS INTEGER) AS relevance_score
+FROM entities_f e
+LEFT JOIN observations o ON e.name = o.entity_name
+WHERE e.name ILIKE '%economy%'
+   OR e.entity_type ILIKE '%economy%'
+   OR o.content ILIKE '%economy%'
+ORDER BY relevance_score DESC, e.created_at DESC, e.name
+LIMIT 20
+"""

@@ -225,3 +225,26 @@ FROM cand
 WHERE bit_count(xor(sim_a, sim_b)) <= 6
 """
 )
+
+_EST_AGREE = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+ORACLES["dedup_minhash_est"] = (
+    MINHASH_CTE
+    + f""",
+banded AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(({_EST_AGREE}) / 8, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON doc_a = sa.doc_id
+JOIN sig sb ON doc_b = sb.doc_id
+"""
+)

@@ -457,3 +457,25 @@ def q_kg_components(spark, sf_dir):
     # iterative — rows-only gate; invariants in tests/test_kg2.py
     g, _ = _kg(spark, sf_dir)
     return kg_traverse.connected_components(g["relations"])
+
+
+@query("tpch_q4")
+def q_tpch_q4(spark, sf_dir):
+    return tpch.q4_priority_late(load_tables(spark, sf_dir))
+
+
+@query("dedup_minhash_est")
+def q_dedup_minhash_est(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.minhash_jaccard_estimates(t["documents"], n=3)
+
+
+@query("kg_search_typed")
+def q_kg_search_typed(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_search.search_entities(
+        g["entities"].where(F.col("entity_type") == "part"),
+        g["observations"],
+        "economy",
+        limit=20,
+    )

@@ -284,3 +284,27 @@ def embedding_near_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def minhash_jaccard_estimates(documents: DataFrame, n: int = 3) -> DataFrame:
+    """LSH candidate pairs with their MinHash Jaccard ESTIMATE
+    (fraction of agreeing signature components) → (doc_a, doc_b,
+    est_jaccard). The scale pattern: estimate on k-byte signatures
+    first, exact-verify only pairs above threshold."""
+    sig = minhash_signatures(documents, n)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = minhash_lsh_candidates(documents, n)
+    agree = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    return (
+        cand.join(a, cand["doc_a"] == F.col("a.doc_id"))
+        .join(b, cand["doc_b"] == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(MINHASH_K), 6).alias("est_jaccard"),
+        )
+    )

@@ -192,3 +192,30 @@ def test_graph_store_roundtrip(spark, tmp_path):
     t1 = store.read()
     assert t1["entities"].count() == 1
     assert t1["observations"].collect()[0].content == "obs"
+
+
+def test_graph_store_time_travel(spark, tmp_path):
+    store = kg_store.GraphStore(spark, str(tmp_path / "tt"))
+    store.init_empty()
+    for i, name in enumerate(["A", "B"]):
+        t = store.read()
+        e2, o2 = kg_store.upsert_entities(
+            t["entities"],
+            t["observations"],
+            spark.createDataFrame(
+                [(name, "t", i)],
+                "name string, entity_type string, created_at bigint",
+            ),
+            spark.createDataFrame(
+                [], "entity_name string, content string, created_at bigint"
+            ),
+        )
+        store.write({"entities": e2, "observations": o2, "relations": t["relations"]})
+    assert store.list_versions() == [0, 1, 2]
+    assert store.read(version=0)["entities"].count() == 0
+    assert store.read(version=1)["entities"].count() == 1
+    assert store.read()["entities"].count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        store.read(version=99)

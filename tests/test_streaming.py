@@ -108,3 +108,57 @@ def test_entity_upsert_stream(spark, tmp_path):
         for r in t["observations"].where(F.col("entity_name") == "E1").collect()
     }
     assert obs == {"o2"}  # o1 replaced, not appended
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    """State must carry across micro-batches: events 10 min apart stay
+    in one session; a 2h gap opens a new one."""
+    src = tmp_path / "sess_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for eid, ts, uid, val in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts": ts,
+                            "user_id": uid,
+                            "event_type": "x",
+                            "value": val,
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+
+    from mcp_memory_libsql_spark.streaming import sessions
+
+    write_batch("b1.json", [(1, "2024-01-01T00:00:00", 7, 1.0)])
+    stream = pipeline.read_event_stream(spark, str(src))
+    out = sessions.sessionize_stream(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: +10 min (same session) and +2h (new session)
+        write_batch(
+            "b2.json",
+            [(2, "2024-01-01T00:10:00", 7, 2.0), (3, "2024-01-01T02:30:00", 7, 5.0)],
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select * from sess_out order by session_id, n_events"
+        ).collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:
+        latest[(r.user_id, r.session_id)] = (r.n_events, r.sum_value)
+    assert latest[(7, 1)] == (2, 3.0)  # carried across batches
+    assert latest[(7, 2)] == (1, 5.0)  # gap opened a new session
