@@ -479,3 +479,11 @@ def q_kg_search_typed(spark, sf_dir):
         "economy",
         limit=20,
     )
+
+
+@query("dedup_embedding_lsh")
+def q_dedup_embedding_lsh(spark, sf_dir):
+    # approximate (LSH candidates) — rows-only gate; candidate-recall
+    # property vs brute force covered in tests/test_vector.py
+    t = load_tables(spark, sf_dir)
+    return lsh.near_dup_pairs_lsh(t["embeddings"], threshold=0.9)

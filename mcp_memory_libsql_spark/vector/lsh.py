@@ -124,3 +124,48 @@ def ann_cosine(
         )
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col("vec_id")).limit(k)
+
+
+def near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_tables: int = N_TABLES,
+    n_bits: int = N_BITS,
+) -> DataFrame:
+    """Embedding near-dup pairs via LSH candidates + exact rescore —
+    the 100 TB path replacing the brute N² cross join
+    (textops.dedup.embedding_near_pairs): candidates must share a
+    bucket in ≥1 table, so the self-join shuffles on (table, sig)
+    instead of materializing all pairs.
+    → (vec_a, vec_b, cosine_sim)."""
+    index = bucketize(embeddings, dim, n_tables, n_bits)
+    cand = (
+        index.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    scored = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine_sim"),
+        )
+    )
+    return scored.where(F.col("cosine_sim") >= threshold)

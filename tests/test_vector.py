@@ -81,3 +81,22 @@ def test_ann_deterministic(emb):
     a = [tuple(r) for r in lsh.ann_cosine(emb, 0, k=10, dim=64).collect()]
     b = [tuple(r) for r in lsh.ann_cosine(emb, 0, k=10, dim=64).collect()]
     assert a == b
+
+
+def test_lsh_near_dup_pairs_subset_of_brute(emb):
+    from mcp_memory_libsql_spark.textops import dedup
+
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in dedup.embedding_near_pairs(emb, threshold=0.5).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in lsh.near_dup_pairs_lsh(emb, threshold=0.5).collect()
+    }
+    # every LSH pair must be a true pair with the identical score
+    for k, v in approx.items():
+        assert k in brute and brute[k] == v
+    # and with 16 tables at sim≥0.5 recall should be decent
+    if brute:
+        assert len(approx) / len(brute) >= 0.5
