@@ -487,3 +487,14 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     # property vs brute force covered in tests/test_vector.py
     t = load_tables(spark, sf_dir)
     return lsh.near_dup_pairs_lsh(t["embeddings"], threshold=0.9)
+
+
+@query("text_semantic_search")
+def q_text_semantic_search(spark, sf_dir):
+    # MLlib TF-IDF pipeline — rows-only gate; self-retrieval property
+    # covered in tests/test_vector.py
+    from .vector import embed
+
+    t = load_tables(spark, sf_dir)
+    target = t["documents"].where(F.col("doc_id") == 7).collect()[0].text
+    return embed.semantic_search(t["documents"], target, k=10)

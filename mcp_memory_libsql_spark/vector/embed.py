@@ -1,0 +1,81 @@
+"""Batch embedding generation with Spark MLlib + semantic text search.
+
+The north-star surface: generate document embeddings as a batch job
+(MLlib TF-IDF here; a sentence-transformer via Pandas UDF drops into
+the same shape when the model libs exist), then serve semantic
+search as a DataFrame query — embed the query with the SAME fitted
+model, broadcast it, cosine top-k over the embedding column.
+
+Scale: HashingTF needs no vocabulary shuffle (feature hashing), IDF
+is one treeAggregate over the corpus; transform is a narrow map. The
+search plan is identical to vector/knn.py — scan + projection +
+TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import IDF, IDFModel, RegexTokenizer, HashingTF
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+from .similarity import cosine
+
+NUM_FEATURES = 256
+
+
+def fit_tfidf(documents: DataFrame, num_features: int = NUM_FEATURES):
+    """Fit the embedding pipeline → (tokenizer, hashing_tf, idf_model)."""
+    tok = RegexTokenizer(
+        inputCol="text", outputCol="_words", pattern="[^a-z0-9]+", minTokenLength=1
+    )
+    tf = HashingTF(inputCol="_words", outputCol="_tf", numFeatures=num_features)
+    words = tok.transform(documents)
+    tfs = tf.transform(words)
+    idf_model: IDFModel = IDF(inputCol="_tf", outputCol="_emb").fit(tfs)
+    return tok, tf, idf_model
+
+
+def embed_documents(
+    documents: DataFrame, pipeline=None, num_features: int = NUM_FEATURES
+) -> DataFrame:
+    """(doc_id, embedding array<double>) — TF-IDF document vectors."""
+    tok, tf, idf_model = pipeline or fit_tfidf(documents, num_features)
+    out = idf_model.transform(tf.transform(tok.transform(documents)))
+    return out.select(
+        "doc_id", vector_to_array(F.col("_emb")).alias("embedding")
+    )
+
+
+def semantic_search(
+    documents: DataFrame,
+    query_text: str,
+    k: int = 10,
+    num_features: int = NUM_FEATURES,
+) -> DataFrame:
+    """Top-k documents by TF-IDF cosine against a query string
+    → (doc_id, cosine_sim). The query embeds through the SAME fitted
+    pipeline (single-row transform), then broadcasts into the scan."""
+    spark = documents.sparkSession
+    pipeline = fit_tfidf(documents, num_features)
+    doc_vecs = embed_documents(documents, pipeline)
+    q_df = spark.createDataFrame(
+        [(int(-1), query_text, "", "", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    q_vec = broadcast(
+        embed_documents(q_df, pipeline).select(
+            F.col("embedding").alias("q_embedding")
+        )
+    )
+    scored = doc_vecs.crossJoin(q_vec).select(
+        "doc_id",
+        F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    return (
+        scored.where(F.col("cosine_sim").isNotNull())
+        .orderBy(F.col("cosine_sim").desc(), F.col("doc_id"))
+        .limit(k)
+    )

@@ -100,3 +100,26 @@ def test_lsh_near_dup_pairs_subset_of_brute(emb):
     # and with 16 tables at sim≥0.5 recall should be decent
     if brute:
         assert len(approx) / len(brute) >= 0.5
+
+
+def test_tfidf_semantic_search_self_retrieval(spark, sf_dir):
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.vector import embed
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    target = docs.where(F.col("doc_id") == 7).collect()[0]
+    out = embed.semantic_search(docs, target.text, k=5).collect()
+    assert out[0].doc_id == 7  # a doc's own text retrieves it first
+    assert out[0].cosine_sim > 0.99
+    assert all(out[i].cosine_sim >= out[i + 1].cosine_sim for i in range(4))
+
+
+def test_tfidf_embeddings_shape(spark, sf_dir):
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.vector import embed
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    vecs = embed.embed_documents(docs)
+    assert vecs.count() == docs.count()
+    row = vecs.limit(1).collect()[0]
+    assert len(row.embedding) == embed.NUM_FEATURES
