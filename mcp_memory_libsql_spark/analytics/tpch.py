@@ -11,8 +11,15 @@ Scale notes per query:
 - q5: classic 6-way join; region/nation/supplier broadcast, the
   orders⋈lineitem join shuffles on orderkey once.
 
-All money aggregates are ROUND(…, 2)-ed so the DuckDB oracle hash
-matches bit-for-bit despite double summation order differences.
+Money arithmetic is DECIMAL-exact: the testdata money columns are
+2-decimal doubles, so casting to DECIMAL before the product/sum makes
+every intermediate exact — ROUND(…, 2) then cannot diverge from the
+DuckDB oracle when a sum lands on a half-cent boundary (double
+summation order flipped tpch_q10 by one cent in r01). Outputs are
+cast back to DOUBLE so the gate schema is engine-neutral. Averages
+use exact scaled-integer round-half-up — see ``_avg4`` — because
+DuckDB promotes decimal division to DOUBLE, which would reintroduce
+the boundary flake.
 """
 
 from __future__ import annotations
@@ -20,21 +27,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
+# Exact 2-decimal money terms (DECIMAL widths sized to the data:
+# l_extendedprice < 1.1e5, l_discount/l_tax ≤ 0.10, all 2-decimal).
+_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+_TAX = "CAST(l_tax AS DECIMAL(4,2))"
+_ONE = "CAST(1 AS DECIMAL(3,2))"
+# revenue term: price * (1 - discount), exact at scale 4
+_REV = f"{_PRICE} * ({_ONE} - {_DISC})"
+
+
+def _money_sum(expr_sql: str, alias: str):
+    """SUM a decimal-exact money expression, ROUND to cents, render
+    as DOUBLE (exact → identical in Spark and DuckDB)."""
+    return F.expr(f"CAST(ROUND(SUM({expr_sql}), 2) AS DOUBLE)").alias(alias)
+
+
+def _avg4(col_dec_sql: str, alias: str):
+    """round-half-up(avg, 4 decimals) in exact integer math:
+    A = sum of the column scaled to 1e4 BIGINTs (exact — inputs have
+    ≤2 decimals), then q = (2A + N) div (2N) is the half-up-rounded
+    scaled average; q/1e4 as DOUBLE is identical cross-engine.
+    (DuckDB spelling: ``//`` instead of ``div``.)"""
+    return F.expr(
+        f"CAST((2 * SUM(CAST({col_dec_sql} * 10000 AS BIGINT)) + COUNT(*))"
+        f" DIV (2 * COUNT(*)) AS DOUBLE) / 10000"
+    ).alias(alias)
+
 
 def q1_pricing_summary(t, cutoff: str = "2001-09-01") -> DataFrame:
     li = t["lineitem"].where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    qty = "CAST(l_quantity AS DECIMAL(12,2))"
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _money_sum(qty, "sum_qty"),
+            _money_sum(_PRICE, "sum_base_price"),
+            _money_sum(_REV, "sum_disc_price"),
+            _money_sum(f"{_REV} * ({_ONE} + {_TAX})", "sum_charge"),
+            _avg4(qty, "avg_qty"),
+            _avg4(_PRICE, "avg_price"),
+            _avg4(_DISC, "avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -48,12 +81,11 @@ def q3_shipping_priority(t, segment: str = "BUILDING", date: str = "1998-03-15")
     li = t["lineitem"].where(
         F.col("l_shipdate") > F.lit(date).cast("timestamp")
     ).select("l_orderkey", "l_extendedprice", "l_discount")
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         orders.join(broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(revenue, 2).alias("revenue"))
+        .agg(_money_sum(_REV, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
         # date rendered as a string so the oracle value-hash is
@@ -79,11 +111,7 @@ def q6_forecast_revenue(
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     )
-    return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        )
-    )
+    return li.agg(_money_sum(f"{_PRICE} * {_DISC}", "revenue"))
 
 
 def q10_returned_items(t, date_from: str = "1996-01-01", date_to: str = "1996-04-01") -> DataFrame:
@@ -97,13 +125,12 @@ def q10_returned_items(t, date_from: str = "1996-01-01", date_to: str = "1996-04
     )
     cust = t["customer"].select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
     nat = t["nation"].select("n_nationkey", "n_name")
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(revenue, 2).alias("revenue"))
+        .agg(_money_sum(_REV, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -138,11 +165,7 @@ def q5_local_supplier_volume(
     )
     return (
         joined.groupBy(F.col("c_nation").alias("n_name"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_money_sum(_REV, "revenue"))
     )
 
 
@@ -174,14 +197,14 @@ def q7_volume_shipping(
             | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
         )
     )
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         joined.select(
             "supp_nation", "cust_nation",
-            F.year("l_shipdate").alias("l_year"), volume.alias("volume"),
+            F.year("l_shipdate").alias("l_year"),
+            F.expr(_REV).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(F.expr("CAST(ROUND(SUM(volume), 2) AS DOUBLE)").alias("revenue"))
     )
 
 

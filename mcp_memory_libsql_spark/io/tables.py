@@ -10,6 +10,7 @@ filter as early as possible.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -33,18 +34,45 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# events.parquet carries TIMESTAMP(NANOS), which Spark reads only via
+# the nanosAsLong legacy conf. Leaving that conf set session-wide
+# would silently decode ANY later nanos column as bigint, so events is
+# normalized ONCE per (session, sf_dir) to a microsecond-ts parquet
+# (the ingest-normalization pattern: at 100 TB this is the ingest
+# job's problem, not a per-query conf), with the legacy conf scoped
+# strictly to that one rewrite.
+_EVENTS_MICROS: dict[tuple[str, str], str] = {}
+
+
+def _events_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _EVENTS_MICROS.get(key)
+    if path is None:
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            raw = spark.read.parquet(table_path(sf_dir, "events"))
+            micros = raw.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+            )
+            path = tempfile.mkdtemp(prefix="spark_events_micros_")
+            # the write action executes inside the conf scope
+            micros.write.mode("overwrite").parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+        _EVENTS_MICROS[key] = path
+    return spark.read.parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark only reads it
-        # via the nanosAsLong legacy conf → convert back to a proper
-        # (microsecond) timestamp column.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
-        )
+        return _events_normalized(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -74,6 +74,52 @@ def search_entities(
     ).limit(limit)
 
 
+def with_observations(matched: DataFrame, observations: DataFrame) -> DataFrame:
+    """Attach each matched entity's observations (sorted, '|'-joined)
+    — the reference returns full ``Entity`` objects with observations
+    from search/recent/read_graph (client.ts:249-266, 285-295).
+
+    ``matched`` is ≤50 rows by construction, so the observations table
+    is reduced with ONE broadcast semi-join (never shuffled), the tiny
+    per-name aggregate happens on ≤50×100 rows, and the final join is
+    broadcast too.
+    """
+    names = broadcast(matched.select("name").distinct())
+    obs = (
+        observations.join(
+            names, observations["entity_name"] == names["name"], "leftsemi"
+        )
+        .groupBy("entity_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("content")), "|").alias(
+                "observations"
+            )
+        )
+    )
+    return matched.join(
+        broadcast(obs), matched["name"] == obs["entity_name"], "left"
+    ).drop("entity_name")
+
+
+def search_entities_full(
+    entities: DataFrame,
+    observations: DataFrame,
+    query: str,
+    limit: int = 10,
+) -> DataFrame:
+    """search_entities + observations — the reference's search result
+    shape (client.ts:249-266)."""
+    matched = search_entities(entities, observations, query, limit)
+    return with_observations(matched, observations)
+
+
+def get_recent_entities_full(
+    entities: DataFrame, observations: DataFrame, limit: int = 10
+) -> DataFrame:
+    """get_recent_entities + observations (client.ts:285-295)."""
+    return with_observations(get_recent_entities(entities, limit), observations)
+
+
 def get_entity(
     entities: DataFrame, observations: DataFrame, name: str
 ) -> DataFrame:
@@ -89,6 +135,19 @@ def get_entity(
         e.join(broadcast(o), e["name"] == o["entity_name"], "left")
         .select("name", "entity_type", "created_at", "observations")
     )
+
+
+def get_entity_strict(
+    entities: DataFrame, observations: DataFrame, name: str
+) -> DataFrame:
+    """``get_entity`` with the reference's not-found semantics: the
+    reference throws ``Entity not found: <name>`` when the name is
+    absent (client.ts:195); this raises ``KeyError`` likewise. The
+    existence probe is a single pushed-down point lookup."""
+    result = get_entity(entities, observations, name)
+    if not result.take(1):
+        raise KeyError(f"Entity not found: {name}")
+    return result
 
 
 def get_recent_entities(entities: DataFrame, limit: int = 10) -> DataFrame:
@@ -126,6 +185,16 @@ def read_graph(
     return relations_for_entities(relations, recent.select("name"))
 
 
+def read_graph_entities(
+    entities: DataFrame, observations: DataFrame, limit: int = 10
+) -> DataFrame:
+    """The entities half of ``read_graph`` — the reference returns
+    ``{entities, relations}`` (client.ts:433-441); ``read_graph``
+    covers the relations half, this covers the recent entities with
+    their observations."""
+    return get_recent_entities_full(entities, observations, limit)
+
+
 def search_nodes(
     entities: DataFrame,
     observations: DataFrame,
@@ -136,3 +205,14 @@ def search_nodes(
     """Relations touching the search result set (client.ts:443)."""
     matched = search_entities(entities, observations, query, limit)
     return relations_for_entities(relations, matched.select("name"))
+
+
+def search_nodes_entities(
+    entities: DataFrame,
+    observations: DataFrame,
+    query: str,
+    limit: int = 10,
+) -> DataFrame:
+    """The entities half of ``search_nodes`` (client.ts:443-474):
+    matched entities with observations attached."""
+    return search_entities_full(entities, observations, query, limit)

@@ -53,22 +53,50 @@ def upsert_entities(
 ) -> tuple[DataFrame, DataFrame]:
     """Apply a create_entities batch; returns (entities', observations').
 
-    Batch rows win over existing rows with the same name; existing
-    observations of upserted entities are replaced wholesale.
+    Batch rows win over existing rows with the same name (the batch's
+    ``entity_type`` replaces the stored one), but an existing entity
+    KEEPS its stored ``created_at`` — the reference updates only
+    entity_type on conflict (client.ts:145-156), so recency ordering
+    is unaffected by upserts. Existing observations of upserted
+    entities are replaced wholesale.
+
+    Batch-semantics notes (row-at-a-time validation → batch):
+    - rows whose sanitized name/content is empty are DROPPED (the
+      reference throws per call; a batch merge can't abort, so invalid
+      rows are filtered — use ``rejected_*`` helpers below to observe
+      them);
+    - entities with > MAX_OBSERVATIONS_PER_ENTITY observations keep
+      the first 100 sorted by content (reference rejects the entity).
     """
     b_ent = batch_entities.select(
         sanitize_entity_name(F.col("name")).alias("name"),
         sanitize_entity_type(F.col("entity_type")).alias("entity_type"),
         F.col("created_at").cast("bigint").alias("created_at"),
     ).where(F.col("name") != "")
-    # Last-writer-wins inside the batch itself.
-    w = Window.partitionBy("name").orderBy(F.col("created_at").desc())
+    # Last-writer-wins inside the batch itself; entity_type tiebreak
+    # keeps the winner deterministic when created_at ties.
+    w = Window.partitionBy("name").orderBy(
+        F.col("created_at").desc(), F.col("entity_type")
+    )
     b_ent = (
         b_ent.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
     batch_names = b_ent.select("name").distinct()
+
+    # Existing rows for upserted names: ≤ batch size (reference caps
+    # 50/call), extracted with a broadcast semi-join so the big
+    # entities table never shuffles — then joined back to the batch
+    # (both sides tiny) to preserve the stored created_at.
+    existing = entities.join(broadcast(batch_names), "name", "leftsemi").select(
+        "name", F.col("created_at").alias("_stored_created_at")
+    )
+    b_ent = b_ent.join(broadcast(existing), "name", "left").select(
+        "name",
+        "entity_type",
+        F.coalesce("_stored_created_at", "created_at").alias("created_at"),
+    )
 
     kept = entities.join(broadcast(batch_names), "name", "left_anti")
     new_entities = kept.unionByName(b_ent)
@@ -78,7 +106,9 @@ def upsert_entities(
         sanitize_observation(F.col("content")).alias("content"),
         F.col("created_at").cast("bigint").alias("created_at"),
     ).where(F.col("content") != "")
-    ow = Window.partitionBy("entity_name").orderBy("content")
+    # Truncation to the cap is deterministic: first N sorted by
+    # (content, created_at).
+    ow = Window.partitionBy("entity_name").orderBy("content", "created_at")
     b_obs = (
         b_obs.withColumn("_rn", F.row_number().over(ow))
         .where(F.col("_rn") <= MAX_OBSERVATIONS_PER_ENTITY)
@@ -96,13 +126,35 @@ def upsert_entities(
 def create_relations(
     relations: DataFrame, batch_relations: DataFrame
 ) -> DataFrame:
-    """Append sanitized relation rows (client.ts:298-338)."""
+    """Append sanitized relation rows (client.ts:298-338).
+
+    Rows whose sanitized source/target/type is empty are DROPPED
+    (the reference throws "Invalid relation" per call; the batch
+    adaptation filters instead — ``rejected_relations`` exposes the
+    discarded rows so callers can observe data loss).
+    """
     b = batch_relations.select(
         sanitize_entity_name(F.col("source")).alias("source"),
         sanitize_entity_name(F.col("target")).alias("target"),
         sanitize_relation_type(F.col("relation_type")).alias("relation_type"),
     ).where((F.col("source") != "") & (F.col("target") != "") & (F.col("relation_type") != ""))
     return relations.unionByName(b)
+
+
+def rejected_relations(batch_relations: DataFrame) -> DataFrame:
+    """Rows ``create_relations`` would drop (reference-invalid input:
+    empty source/target/type after sanitization)."""
+    return batch_relations.where(
+        (sanitize_entity_name(F.col("source")) == "")
+        | (sanitize_entity_name(F.col("target")) == "")
+        | (sanitize_relation_type(F.col("relation_type")) == "")
+    )
+
+
+def rejected_entities(batch_entities: DataFrame) -> DataFrame:
+    """Entity rows ``upsert_entities`` would drop (empty sanitized
+    name — the reference throws "Invalid entity name")."""
+    return batch_entities.where(sanitize_entity_name(F.col("name")) == "")
 
 
 def delete_entities(

@@ -67,13 +67,25 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the opaque payloads:
     byte length, mean byte intensity of the decoded blob, and
     per-frame content hashes (frame sampling = even byte-range split
-    by meta.n_frames)."""
+    by meta.n_frames).
+
+    The worker closure is SELF-CONTAINED (nested ``_decode`` instead
+    of the module-level ``decode_stub``): cloudpickle serializes
+    module functions by reference, which would require this package
+    on every executor's import path — nested defs ship by value, so
+    the job runs on plain executors with no package deployment."""
+
+    def _decode(payload: bytes, kind: str) -> bytes:
+        # keep in sync with decode_stub (the public stub API)
+        if kind not in ("image", "audio", "video"):
+            raise NotImplementedError(f"unknown media kind: {kind}")
+        return payload
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                blob = decode_stub(bytes(r.payload), r.kind)
+                blob = _decode(bytes(r.payload), r.kind)
                 n_frames = max(int(r.meta["n_frames"]), 1)
                 step = max(len(blob) // n_frames, 1)
                 frames = [

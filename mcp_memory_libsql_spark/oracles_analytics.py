@@ -1,25 +1,52 @@
-"""DuckDB oracle SQL for the relational/event analytics queries."""
+"""DuckDB oracle SQL for the relational/event analytics queries.
+
+Money arithmetic mirrors analytics/tpch.py exactly: DECIMAL casts
+before product/sum (exact — inputs are 2-decimal), ROUND on the exact
+decimal, CAST back to DOUBLE; averages via the same scaled-integer
+half-up division ((2A+N) // (2N), DuckDB's ``//`` == Spark's ``div``
+for positive BIGINTs).
+"""
 
 ORACLES: dict[str, str] = {}
 
-ORACLES["tpch_q1"] = """
+# Decimal-exact money terms — keep in lockstep with analytics/tpch.py.
+_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+_TAX = "CAST(l_tax AS DECIMAL(4,2))"
+_ONE = "CAST(1 AS DECIMAL(3,2))"
+_REV = f"{_PRICE} * ({_ONE} - {_DISC})"
+_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+
+
+def _money_sum(expr_sql: str) -> str:
+    return f"CAST(ROUND(SUM({expr_sql}), 2) AS DOUBLE)"
+
+
+def _avg4(col_dec_sql: str) -> str:
+    return (
+        f"CAST((2 * SUM(CAST({col_dec_sql} * 10000 AS BIGINT)) + COUNT(*))"
+        f" // (2 * COUNT(*)) AS DOUBLE) / 10000"
+    )
+
+
+ORACLES["tpch_q1"] = f"""
 SELECT l_returnflag, l_linestatus,
-  ROUND(SUM(l_quantity), 2) AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  ROUND(AVG(l_quantity), 4) AS avg_qty,
-  ROUND(AVG(l_extendedprice), 4) AS avg_price,
-  ROUND(AVG(l_discount), 4) AS avg_disc,
+  {_money_sum(_QTY)} AS sum_qty,
+  {_money_sum(_PRICE)} AS sum_base_price,
+  {_money_sum(_REV)} AS sum_disc_price,
+  {_money_sum(f'{_REV} * ({_ONE} + {_TAX})')} AS sum_charge,
+  {_avg4(_QTY)} AS avg_qty,
+  {_avg4(_PRICE)} AS avg_price,
+  {_avg4(_DISC)} AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01'
 GROUP BY l_returnflag, l_linestatus
 """
 
-ORACLES["tpch_q3"] = """
+ORACLES["tpch_q3"] = f"""
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_money_sum(_REV)} AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -31,9 +58,9 @@ ORDER BY revenue DESC, o_orderkey
 LIMIT 10
 """
 
-ORACLES["tpch_q5"] = """
+ORACLES["tpch_q5"] = f"""
 SELECT n1.n_name AS n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_money_sum(_REV)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -95,16 +122,16 @@ ORACLES["tpch_q3"] = ORACLES["tpch_q3"].replace(
     "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,",
 ).replace("GROUP BY o_orderkey, o_orderdate,", "GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'),")
 
-ORACLES["tpch_q6"] = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+ORACLES["tpch_q6"] = f"""
+SELECT {_money_sum(f'{_PRICE} * {_DISC}')} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
 """
 
-ORACLES["tpch_q10"] = """
+ORACLES["tpch_q10"] = f"""
 SELECT c_custkey, c_name, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_money_sum(_REV)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -137,12 +164,13 @@ WHERE p_epoch >= signup_epoch AND p_epoch <= signup_epoch + 604800
 GROUP BY p.user_id, signup_epoch
 """
 
-ORACLES["tpch_q7"] = """
-SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+ORACLES["tpch_q7"] = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
-         l_extendedprice * (1 - l_discount) AS volume
+         {_REV} AS volume
   FROM supplier
   JOIN lineitem ON s_suppkey = l_suppkey
   JOIN orders ON o_orderkey = l_orderkey

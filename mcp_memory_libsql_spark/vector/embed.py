@@ -47,27 +47,40 @@ def embed_documents(
     )
 
 
+def embed_query(spark, pipeline, query_text: str) -> DataFrame:
+    """Embed one query string through a FITTED pipeline (single-row
+    transform — no refit) → 1-row (q_embedding) frame."""
+    q_df = spark.createDataFrame(
+        [(int(-1), query_text, "", "", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return embed_documents(q_df, pipeline).select(
+        F.col("embedding").alias("q_embedding")
+    )
+
+
 def semantic_search(
     documents: DataFrame,
     query_text: str,
     k: int = 10,
     num_features: int = NUM_FEATURES,
+    pipeline=None,
+    doc_vecs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents by TF-IDF cosine against a query string
     → (doc_id, cosine_sim). The query embeds through the SAME fitted
-    pipeline (single-row transform), then broadcasts into the scan."""
+    pipeline (single-row transform), then broadcasts into the scan.
+
+    Serve-path contract: pass a prefitted ``pipeline`` (and ideally
+    the precomputed ``doc_vecs``) — fitting happens once at index
+    build, NEVER per query; the fallback fit here is only for ad-hoc
+    exploration."""
     spark = documents.sparkSession
-    pipeline = fit_tfidf(documents, num_features)
-    doc_vecs = embed_documents(documents, pipeline)
-    q_df = spark.createDataFrame(
-        [(int(-1), query_text, "", "", 0)],
-        "doc_id bigint, text string, lang string, source string, n_chars bigint",
-    )
-    q_vec = broadcast(
-        embed_documents(q_df, pipeline).select(
-            F.col("embedding").alias("q_embedding")
-        )
-    )
+    if pipeline is None:
+        pipeline = fit_tfidf(documents, num_features)
+    if doc_vecs is None:
+        doc_vecs = embed_documents(documents, pipeline)
+    q_vec = broadcast(embed_query(spark, pipeline, query_text))
     scored = doc_vecs.crossJoin(q_vec).select(
         "doc_id",
         F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias(

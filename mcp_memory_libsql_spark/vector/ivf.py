@@ -8,16 +8,16 @@ assigned table is written partitioned by cell, so a query scans
 ``n_probe/K`` of the data (partition pruning), and the centroid set
 (K × dim doubles) broadcasts everywhere.
 
-Centroids here are seeded from the ``label`` column (k-means-lite:
-one refinement step of mean-per-current-cell would drop in
-unchanged); everything is deterministic and JVM-side.
+Centroids are seeded from the ``label`` column, then refined with
+``refine_steps`` Lloyd iterations (assign → mean-per-cell), so the
+cells are learned from geometry, not just label structure;
+everything is deterministic and JVM-side.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
-from pyspark.sql.window import Window
 
 from .similarity import cosine
 
@@ -28,7 +28,7 @@ def _sq_dist(a, b):
 
 
 def label_centroids(embeddings: DataFrame, dim: int) -> DataFrame:
-    """(cell, centroid array<double>) — label means as coarse cells."""
+    """(cell, centroid array<double>) — label means as coarse seeds."""
     aggs = [
         F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
         for i in range(dim)
@@ -40,11 +40,13 @@ def label_centroids(embeddings: DataFrame, dim: int) -> DataFrame:
 
 
 def assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, label, embedding, cell) — nearest-centroid assignment
-    via broadcast cross join + per-vector rank (K is small)."""
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("dist"), F.col("cell")
-    )
+    """(vec_id, label, embedding, cell) — nearest-centroid assignment.
+
+    Broadcast cross join scores N·K rows, then ``min_by`` picks the
+    nearest cell per vector: a hash aggregation with map-side partial
+    combine, so the shuffle carries ~N rows — unlike a row_number
+    window, which would shuffle and sort all N·K scored rows.
+    Deterministic tiebreak via the (dist, cell) struct ordering."""
     scored = embeddings.crossJoin(broadcast(cents)).select(
         "vec_id",
         "label",
@@ -53,10 +55,38 @@ def assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
         _sq_dist(F.col("embedding"), F.col("centroid")).alias("dist"),
     )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "dist")
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("label", "embedding", "cell"),
+                F.struct("dist", "cell"),
+            ).alias("_best")
+        )
+        .select("vec_id", "_best.label", "_best.embedding", "_best.cell")
     )
+
+
+def kmeans_refine(
+    embeddings: DataFrame, cents: DataFrame, dim: int, steps: int = 1
+) -> DataFrame:
+    """Lloyd refinement: reassign to nearest centroid, recompute cell
+    means. Each step is one broadcast-scored pass + one partial-agg
+    shuffle; empty cells drop out (fewer, tighter cells)."""
+    for _ in range(steps):
+        assigned = assign_cells(embeddings, cents)
+        aggs = [
+            F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
+            for i in range(dim)
+        ]
+        cents = (
+            assigned.groupBy("cell")
+            .agg(*aggs)
+            .select(
+                "cell",
+                F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid"),
+            )
+        )
+    return cents
 
 
 def ivf_ann(
@@ -65,10 +95,13 @@ def ivf_ann(
     k: int = 10,
     dim: int = 64,
     n_probe: int = 3,
+    refine_steps: int = 1,
 ) -> DataFrame:
     """Approximate top-k cosine via IVF probing
     → (vec_id, label, cosine_sim)."""
     cents = label_centroids(embeddings, dim)
+    if refine_steps:
+        cents = kmeans_refine(embeddings, cents, dim, refine_steps)
     assigned = assign_cells(embeddings, cents)
 
     q = broadcast(

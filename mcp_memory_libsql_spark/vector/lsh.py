@@ -9,6 +9,17 @@ table is written partitioned by (table_id, signature) so a query
 touches only its buckets (partition pruning), and signatures are
 tiny regardless of vector width.
 
+Tuning (recall per neighbor ≈ 1-(1-(1-θ/π)^n_bits)^n_tables):
+- ANN over weakly-similar corpora (top cosine ~0.3-0.5) needs NARROW
+  signatures for recall — the defaults below.
+- Near-dup mining at tight thresholds (τ≥0.9) needs WIDE signatures:
+  with b bits a table has 2^b buckets and the bucket self-join pairs
+  ~N²/2^b rows per table — at 4 bits that is the all-pairs blowup the
+  operator exists to avoid. ``n_bits_for_threshold`` picks the width
+  from τ, and ``bucket_cap`` bounds the worst bucket (the DF_CAP
+  analog from textops.dedup), so no bucket can explode regardless of
+  data skew.
+
 Hyperplanes are deterministic (seeded md5 → uniform in [-1,1]) and
 embedded in the plan as array literals — no driver-side data
 collection, no RNG divergence between runs.
@@ -24,11 +35,26 @@ from pyspark.sql.functions import broadcast
 
 from .similarity import cosine
 
-# Tuning: recall per neighbor ≈ 1-(1-(1-θ/π)^N_BITS)^N_TABLES.
-# Defaults favor recall on weakly-similar corpora (top cosine ~0.3);
-# raise N_BITS for tight near-dup thresholds (0.9+) to cut candidates.
 N_TABLES = 16
-N_BITS = 4
+N_BITS = 4  # ANN default: recall-oriented (see module docstring)
+BUCKET_CAP = 100  # max vectors per (table, sig) bucket in pair mining
+
+
+def n_bits_for_threshold(threshold: float) -> int:
+    """Signature width scaled to the rescore threshold: per-bit
+    agreement p = 1-arccos(τ)/π rises with τ, so tight thresholds
+    tolerate wide signatures (recall holds) while slashing candidate
+    volume — 16 bits at τ≥0.9 gives 65,536 buckets/table vs 16 at the
+    ANN default."""
+    if threshold >= 0.9:
+        return 16
+    if threshold >= 0.8:
+        return 12
+    if threshold >= 0.7:
+        return 8
+    if threshold >= 0.6:
+        return 6
+    return N_BITS
 
 
 def _plane(seed: str, dim: int) -> list[float]:
@@ -69,21 +95,25 @@ def bucketize(
     n_tables: int = N_TABLES,
     n_bits: int = N_BITS,
 ) -> DataFrame:
-    """(vec_id, table_id, sig) — the LSH index table. On a cluster:
-    write once, partitioned by (table_id, sig), reuse across queries."""
+    """(vec_id, table_id, sig) — the LSH index table. ONE scan of the
+    embeddings computes every table's signature and explodes — not a
+    per-table union, which would re-read the source n_tables times.
+    On a cluster: write once, partitioned by (table_id, sig), reuse
+    across queries."""
     ps = planes(dim, n_tables, n_bits)
-    parts = [
-        embeddings.select(
-            "vec_id",
-            F.lit(t).alias("table_id"),
-            _signature(F.col("embedding"), ps[t]).alias("sig"),
-        )
-        for t in range(n_tables)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _signature(F.col("embedding"), ps[t]).alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return (
+        embeddings.select("vec_id", F.explode(sigs).alias("_ts"))
+        .select("vec_id", F.col("_ts.table_id").alias("table_id"), F.col("_ts.sig").alias("sig"))
+    )
 
 
 def ann_cosine(
@@ -93,11 +123,21 @@ def ann_cosine(
     dim: int = 64,
     n_tables: int = N_TABLES,
     n_bits: int = N_BITS,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate top-k by cosine: candidates from LSH bucket
-    agreement, exact rescoring of candidates only.
-    → (vec_id, label, cosine_sim)."""
+    agreement, exact rescoring of candidates only. ``bucket_cap``
+    optionally drops overfull buckets (bounded per-query work in
+    dense regions, at a recall cost). → (vec_id, label, cosine_sim)."""
     index = bucketize(embeddings, dim, n_tables, n_bits)
+    if bucket_cap is not None:
+        ok = (
+            index.groupBy("table_id", "sig")
+            .count()
+            .where(F.col("count") <= bucket_cap)
+            .select("table_id", "sig")
+        )
+        index = index.join(ok, ["table_id", "sig"], "leftsemi")
     q_sigs = broadcast(
         index.where(F.col("vec_id") == query_vec_id).select("table_id", "sig")
     )
@@ -131,26 +171,48 @@ def near_dup_pairs_lsh(
     threshold: float = 0.9,
     dim: int = 64,
     n_tables: int = N_TABLES,
-    n_bits: int = N_BITS,
+    n_bits: int | None = None,
+    bucket_cap: int = BUCKET_CAP,
 ) -> DataFrame:
     """Embedding near-dup pairs via LSH candidates + exact rescore —
     the 100 TB path replacing the brute N² cross join
-    (textops.dedup.embedding_near_pairs): candidates must share a
-    bucket in ≥1 table, so the self-join shuffles on (table, sig)
-    instead of materializing all pairs.
-    → (vec_a, vec_b, cosine_sim)."""
+    (textops.dedup.embedding_near_pairs). → (vec_a, vec_b, cosine_sim).
+
+    Plan (never N², bounded per bucket):
+    1. signature width auto-scales with ``threshold``
+       (``n_bits_for_threshold``; ≥16 bits at τ≥0.9);
+    2. a cheap count pass (map-side partial agg) finds buckets with
+       2..bucket_cap members — overfull buckets are dropped exactly
+       like high-DF shingles in ngram dedup, so the worst bucket
+       yields ≤ cap·(cap-1)/2 pairs no matter how skewed the data;
+    3. surviving rows group per bucket (the semi-join has already
+       partitioned by the bucket key, so this groupBy reuses the
+       shuffle) and emit intra-bucket pairs from the sorted id array;
+    4. distinct pairs get ONE exact rescore each.
+    """
+    if n_bits is None:
+        n_bits = n_bits_for_threshold(threshold)
     index = bucketize(embeddings, dim, n_tables, n_bits)
-    cand = (
-        index.alias("a")
-        .join(
-            index.alias("b"),
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+    ok = (
+        index.groupBy("table_id", "sig")
+        .count()
+        .where((F.col("count") >= 2) & (F.col("count") <= bucket_cap))
+        .select("table_id", "sig")
+    )
+    capped = index.join(ok, ["table_id", "sig"], "leftsemi")
+    pairs = (
+        capped.groupBy("table_id", "sig")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
         .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS vec_a, y AS vec_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.vec_a", "p.vec_b")
         .distinct()
     )
     ea = embeddings.select(
@@ -160,7 +222,7 @@ def near_dup_pairs_lsh(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
     )
     scored = (
-        cand.join(ea, "vec_a")
+        pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
             "vec_a",
