@@ -1,6 +1,12 @@
 #!/usr/bin/env python
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+the per-query MEDIAN — env wall-time variance was ±50% in r01, and
+round-over-round comparison needs stable numbers. One-time session
+costs (KG ingest materialization, JIT) land in the first run and drop
+out of the median.
+
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"tpch_q1": sec, ...}, "sf": 0.1}
@@ -11,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -46,12 +53,16 @@ def main() -> None:
     # the plans, not first-touch JIT.
     QUERIES["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for key in HEADLINE:
-        t0 = time.perf_counter()
-        df = QUERIES[key](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = QUERIES[key](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[key] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

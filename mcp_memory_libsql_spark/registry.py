@@ -45,21 +45,27 @@ def query(name: str):
     return deco
 
 
-# In a real deployment the KG tables are materialized tables, not
-# re-derived per query; mirror that by persisting the derived views
-# once per (session, sf_dir) so successive queries reuse them.
+# In a real deployment the KG tables are materialized tables written
+# by an ingest job, not views re-derived per query. Mirror that: the
+# first KG query per (session, sf_dir) derives the tables ONCE and
+# writes them through GraphStore (parquet snapshot); every query then
+# reads the materialized parquet — column-pruned, pushdown-friendly,
+# and free of the relations derivation cost (the lineitem⋈orders
+# distinct dominated kg_search_nodes in r01's bench).
 _KG_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def _kg(spark: SparkSession, sf_dir: str):
+    import tempfile
+
     t = load_tables(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _KG_CACHE:
-        g = kg_views.kg(t)
-        # relations is the only expensive derivation (fact-table
-        # distinct); entities/observations are cheap narrow unions.
-        g["relations"] = g["relations"].persist()
-        _KG_CACHE[key] = g
+        store = kg_store.GraphStore(
+            spark, tempfile.mkdtemp(prefix="spark_kg_store_")
+        )
+        store.write(kg_views.kg(t))  # the one-time ingest job
+        _KG_CACHE[key] = store.read()
     return _KG_CACHE[key], t
 
 
