@@ -137,6 +137,27 @@ def signup_purchase_funnel(t, days: int = 7) -> DataFrame:
     )
 
 
+def weekly_cohorts(t) -> DataFrame:
+    """Cohort analysis: users grouped by first-active week, counted at
+    each week offset → (cohort_week, week_offset, n_users). The
+    distinct (week, user) set and the per-user min share the user_id
+    shuffle; rows are already unique per (user, week) so the final
+    count needs no distinct."""
+    ev = t["events"].select(
+        (F.floor(F.unix_timestamp("ts") / 604800)).cast("bigint").alias("week"),
+        "user_id",
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 def weekly_retention(t) -> DataFrame:
     """Users active in week w who return in week w+1 → (week,
     n_retained). Distinct (week,user) first (partial-agg shuffle),

@@ -208,6 +208,107 @@ def q7_volume_shipping(
     )
 
 
+def q13_customer_distribution(t) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer. Left join
+    shuffles on custkey with map-side combine; the regroup on c_count
+    is over ≤ a few hundred distinct counts — negligible at any SF."""
+    counts = (
+        t["customer"].select("c_custkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q14_promo_effect(
+    t, date_from: str = "1996-01-01", date_to: str = "1996-02-01"
+) -> DataFrame:
+    """TPC-H Q14 (adapted: p_type is categorical here, so "promo" =
+    p_type = 'PROMO'). Revenues are decimal-exact; the percentage is
+    a single IEEE division of two exactly-derived doubles, identical
+    cross-engine without rounding."""
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    joined = li.join(
+        broadcast(t["part"].select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    promo = f"CASE WHEN p_type = 'PROMO' THEN {_REV} END"
+    return joined.agg(
+        _money_sum(promo, "promo_revenue"),
+        _money_sum(_REV, "total_revenue"),
+        F.expr(
+            f"CAST(SUM({promo}) AS DOUBLE) / CAST(SUM({_REV}) AS DOUBLE) * 100"
+        ).alias("promo_pct"),
+    )
+
+
+def q15_top_supplier(
+    t, date_from: str = "1996-01-01", date_to: str = "1996-04-01"
+) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the max revenue in a quarter.
+    Per-supplier revenue is one partial-agg shuffle; the max is a
+    1-row broadcast, and the winner set broadcasts into the supplier
+    dim — the big tables never shuffle twice. The max-equality join
+    is on EXACT decimals, so ties are exact, not float-fuzzy."""
+    srev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.expr(f"SUM({_REV})").alias("_total"))
+    )
+    mx = srev.agg(F.max("_total").alias("_mx"))
+    top = srev.join(broadcast(mx), F.col("_total") == F.col("_mx"))
+    return (
+        t["supplier"].select("s_suppkey", "s_name")
+        .join(broadcast(top), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.expr("CAST(ROUND(_total, 2) AS DOUBLE)").alias("total_revenue"),
+        )
+    )
+
+
+def q18_large_orders(t, min_qty: int = 300) -> DataFrame:
+    """TPC-H Q18: large-volume orders. The quantity rollup is one
+    orderkey shuffle; the survivor set (rare orders) broadcasts into
+    orders, then the customer dim broadcasts in."""
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.expr("SUM(CAST(l_quantity AS DECIMAL(12,2)))").alias("_qty"))
+        .where(F.col("_qty") > min_qty)
+    )
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .join(broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            broadcast(t["customer"].select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.expr("CAST(_qty AS DOUBLE)").alias("sum_qty"),
+        )
+    )
+
+
 def q4_priority_late(t, days: int = 100) -> DataFrame:
     """Q4-style order priority check (adapted: this schema has no
     commitdate/receiptdate, so "late" = any lineitem shipped > ``days``

@@ -194,6 +194,66 @@ FROM wu a JOIN wu b ON a.user_id = b.user_id AND b.week = a.week + 1
 GROUP BY a.week
 """
 
+ORACLES["tpch_q13"] = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+ORACLES["tpch_q14"] = f"""
+SELECT
+  {_money_sum(f"CASE WHEN p_type = 'PROMO' THEN {_REV} END")} AS promo_revenue,
+  {_money_sum(_REV)} AS total_revenue,
+  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} END) AS DOUBLE)
+    / CAST(SUM({_REV}) AS DOUBLE) * 100 AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-02-01'
+"""
+
+ORACLES["tpch_q15"] = f"""
+WITH srev AS (
+  SELECT l_suppkey, SUM({_REV}) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue
+FROM supplier JOIN srev ON s_suppkey = l_suppkey
+WHERE total = (SELECT MAX(total) FROM srev)
+"""
+
+ORACLES["tpch_q18"] = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+       CAST(qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+ORACLES["events_cohorts"] = """
+WITH wu AS (
+  SELECT DISTINCT CAST(FLOOR(FLOOR(epoch(ts)) / 604800) AS BIGINT) AS week,
+         user_id
+  FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM wu GROUP BY user_id)
+SELECT cohort_week, week - cohort_week AS week_offset, COUNT(*) AS n_users
+FROM wu JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
 ORACLES["tpch_q4"] = """
 WITH late AS (
   SELECT DISTINCT o_orderkey

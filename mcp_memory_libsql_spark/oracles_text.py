@@ -226,6 +226,17 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 6
 """
 )
 
+ORACLES["text_corpus_stats"] = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+         AS total_tokens
+FROM documents
+GROUP BY lang, source
+"""
+
 # Multimodal feature extraction oracle. The synthesized media payload
 # is the utf-8 document text (all testdata docs are pure ASCII, so
 # byte arithmetic == character arithmetic in SQL): n_bytes = length,

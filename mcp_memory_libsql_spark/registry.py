@@ -538,6 +538,39 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return lsh.near_dup_pairs_lsh(t["embeddings"], threshold=0.9)
 
 
+# ----------------------------------------------------- coverage wave 5
+
+
+@query("tpch_q13")
+def q_tpch_q13(spark, sf_dir):
+    return tpch.q13_customer_distribution(load_tables(spark, sf_dir))
+
+
+@query("tpch_q14")
+def q_tpch_q14(spark, sf_dir):
+    return tpch.q14_promo_effect(load_tables(spark, sf_dir))
+
+
+@query("tpch_q15")
+def q_tpch_q15(spark, sf_dir):
+    return tpch.q15_top_supplier(load_tables(spark, sf_dir))
+
+
+@query("tpch_q18")
+def q_tpch_q18(spark, sf_dir):
+    return tpch.q18_large_orders(load_tables(spark, sf_dir))
+
+
+@query("events_cohorts")
+def q_events_cohorts(spark, sf_dir):
+    return ev_ops.weekly_cohorts(load_tables(spark, sf_dir))
+
+
+@query("text_corpus_stats")
+def q_text_corpus_stats(spark, sf_dir):
+    return tq.corpus_stats(load_tables(spark, sf_dir)["documents"])
+
+
 # TF-IDF model: fitted ONCE per (session, sf_dir) — the serve path
 # never refits (an index-build job owns fitting at scale); doc
 # vectors persist for reuse across queries.

@@ -71,6 +71,24 @@ def lang_id(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "lang", pred.alias("lang_pred"))
 
 
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """Per-(lang, source) corpus composition: doc/char/token counts —
+    the pipeline-health rollup a training-data curation job runs after
+    every filter stage. One partial-agg shuffle on a tiny key space."""
+    toks = F.size(words(F.col("text")))
+    return (
+        documents.select("lang", "source", "n_chars", toks.alias("_tok"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, fp, fp64) — md5 of whitespace-normalized lowercase
     text, plus a 60-bit numeric variant for joins."""

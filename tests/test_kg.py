@@ -219,3 +219,95 @@ def test_graph_store_time_travel(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         store.read(version=99)
+
+
+def test_upsert_preserves_stored_created_at(spark, g):
+    """The reference updates only entity_type on conflict
+    (client.ts:145-156): an upserted existing entity keeps its stored
+    created_at, so recency ordering is unaffected."""
+    orig = g["entities"].where(F.col("name") == "Customer#000000001").collect()[0]
+    batch_e = _df(
+        spark,
+        [("Customer#000000001", "vip", 99999)],
+        "name string, entity_type string, created_at bigint",
+    )
+    batch_o = _df(spark, [], "entity_name string, content string, created_at bigint")
+    e2, _ = kg_store.upsert_entities(
+        g["entities"], g["observations"], batch_e, batch_o
+    )
+    row = e2.where(F.col("name") == "Customer#000000001").collect()[0]
+    assert row.entity_type == "vip"  # type replaced
+    assert row.created_at == orig.created_at  # recency preserved
+    # brand-new names DO take the batch created_at
+    batch_new = _df(
+        spark,
+        [("Fresh Entity", "widget", 424242)],
+        "name string, entity_type string, created_at bigint",
+    )
+    e3, _ = kg_store.upsert_entities(g["entities"], g["observations"], batch_new, batch_o)
+    assert e3.where(F.col("name") == "Fresh Entity").collect()[0].created_at == 424242
+
+
+def test_upsert_tied_created_at_deterministic(spark, g):
+    """Equal created_at in a batch → entity_type tiebreak, not a
+    nondeterministic row_number winner."""
+    batch_e = _df(
+        spark,
+        [("Tied Entity", "zeta", 7), ("Tied Entity", "alpha", 7)],
+        "name string, entity_type string, created_at bigint",
+    )
+    batch_o = _df(spark, [], "entity_name string, content string, created_at bigint")
+    for _ in range(3):
+        e2, _ = kg_store.upsert_entities(
+            g["entities"], g["observations"], batch_e, batch_o
+        )
+        assert e2.where(F.col("name") == "Tied Entity").collect()[0].entity_type == "alpha"
+
+
+def test_rejected_rows_observable(spark):
+    """Invalid batch rows are dropped by the batch merge (the
+    reference throws per-call); rejected_* exposes them."""
+    batch_r = _df(
+        spark,
+        [("", "T", "REL"), ("S", "T", "LINKS"), ("S", "T", "")],
+        "source string, target string, relation_type string",
+    )
+    rej = kg_store.rejected_relations(batch_r).collect()
+    assert {(r.source, r.target) for r in rej} == {("", "T"), ("S", "T")}
+    kept = kg_store.create_relations(
+        _df(spark, [], "source string, target string, relation_type string"),
+        batch_r,
+    )
+    assert kept.count() == 1
+    batch_e = _df(
+        spark,
+        [("   ", "ghost", 1), ("Real", "t", 2)],
+        "name string, entity_type string, created_at bigint",
+    )
+    assert kg_store.rejected_entities(batch_e).count() == 1
+
+
+def test_get_entity_strict_not_found(g):
+    """Reference parity: get_entity throws 'Entity not found'
+    (client.ts:195)."""
+    with pytest.raises(KeyError, match="Entity not found"):
+        kg_search.get_entity_strict(
+            g["entities"], g["observations"], "No Such Entity"
+        )
+    # present name returns the row
+    row = kg_search.get_entity_strict(
+        g["entities"], g["observations"], "Customer#000000001"
+    ).collect()
+    assert len(row) == 1
+
+
+def test_search_full_attaches_observations(g):
+    out = kg_search.search_entities_full(
+        g["entities"], g["observations"], "customer", limit=5
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.observations is not None and "segment=" in r.observations
+        # sorted, '|'-joined
+        parts = r.observations.split("|")
+        assert parts == sorted(parts)
