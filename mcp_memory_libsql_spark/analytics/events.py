@@ -158,6 +158,26 @@ def weekly_cohorts(t) -> DataFrame:
     )
 
 
+def props_stats(t) -> DataFrame:
+    """Semi-structured payload analytics: extract the numeric ``k``
+    field from the JSON ``props`` column and aggregate per event_type.
+    JSON path extraction is a JVM-side expression (no UDF), so the
+    scan + agg stays in whole-stage codegen; at scale, frequently-read
+    JSON fields get promoted to real columns at ingest."""
+    ev = t["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def weekly_retention(t) -> DataFrame:
     """Users active in week w who return in week w+1 → (week,
     n_retained). Distinct (week,user) first (partial-agg shuffle),

@@ -309,6 +309,22 @@ def q18_large_orders(t, min_qty: int = 300) -> DataFrame:
     )
 
 
+def q16_parts_supplier_count(t, exclude_brand: str = "Brand#1") -> DataFrame:
+    """TPC-H Q16 (adapted: no partsupp table — supplier/part pairs
+    come from observed lineitem shipments). Distinct (part, supplier)
+    first (pair-key shuffle with partial agg), then the part dim
+    broadcasts in and the rollup groups on a tiny key space."""
+    pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    part = t["part"].where(F.col("p_brand") != exclude_brand).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        pairs.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q4_priority_late(t, days: int = 100) -> DataFrame:
     """Q4-style order priority check (adapted: this schema has no
     commitdate/receiptdate, so "late" = any lineitem shipped > ``days``

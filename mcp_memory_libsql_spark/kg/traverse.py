@@ -168,3 +168,17 @@ def connected_components(relations: DataFrame, max_iter: int = 8) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def isolated_entities(entities: DataFrame, relations: DataFrame) -> DataFrame:
+    """Entities with no incident relation (neither source nor target)
+    — the orphan audit a graph-store operator runs after bulk deletes.
+    The endpoint set is a distinct union (partial-agg shuffle on
+    name); the anti-join shuffles entities on the same key, so the
+    two stages co-partition."""
+    endpoints = (
+        relations.select(F.col("source").alias("name"))
+        .unionByName(relations.select(F.col("target").alias("name")))
+        .distinct()
+    )
+    return entities.join(endpoints, "name", "left_anti")

@@ -254,6 +254,24 @@ FROM wu JOIN first USING (user_id)
 GROUP BY cohort_week, week_offset
 """
 
+ORACLES["tpch_q16"] = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY p_brand, p_type, p_size
+"""
+
+ORACLES["events_props_stats"] = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
 ORACLES["tpch_q4"] = """
 WITH late AS (
   SELECT DISTINCT o_orderkey

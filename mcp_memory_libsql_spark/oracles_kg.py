@@ -271,6 +271,12 @@ LEFT JOIN (SELECT entity_name, COUNT(*) AS n_obs
   ON e.name = c.entity_name
 """
 
+ORACLES["kg_isolated"] = f"""{KG_CTE}
+SELECT name, entity_type, created_at FROM entities
+WHERE name NOT IN (SELECT source FROM relations)
+  AND name NOT IN (SELECT target FROM relations)
+"""
+
 ORACLES["kg_search_typed"] = f"""{KG_CTE},
 entities_f AS (SELECT * FROM entities WHERE entity_type = 'part')
 SELECT DISTINCT e.name, e.entity_type, e.created_at,

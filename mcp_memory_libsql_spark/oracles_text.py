@@ -226,6 +226,18 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 6
 """
 )
 
+ORACLES["text_top_terms"] = """
+SELECT term, COUNT(*) AS total_freq,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+)
+GROUP BY term
+ORDER BY total_freq DESC, term
+LIMIT 50
+"""
+
 ORACLES["text_corpus_stats"] = """
 SELECT lang, source, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,

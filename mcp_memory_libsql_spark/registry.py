@@ -571,6 +571,27 @@ def q_text_corpus_stats(spark, sf_dir):
     return tq.corpus_stats(load_tables(spark, sf_dir)["documents"])
 
 
+@query("tpch_q16")
+def q_tpch_q16(spark, sf_dir):
+    return tpch.q16_parts_supplier_count(load_tables(spark, sf_dir))
+
+
+@query("events_props_stats")
+def q_events_props_stats(spark, sf_dir):
+    return ev_ops.props_stats(load_tables(spark, sf_dir))
+
+
+@query("text_top_terms")
+def q_text_top_terms(spark, sf_dir):
+    return tq.top_terms(load_tables(spark, sf_dir)["documents"], k=50)
+
+
+@query("kg_isolated")
+def q_kg_isolated(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.isolated_entities(g["entities"], g["relations"])
+
+
 # TF-IDF model: fitted ONCE per (session, sf_dir) — the serve path
 # never refits (an index-build job owns fitting at scale); doc
 # vectors persist for reuse across queries.

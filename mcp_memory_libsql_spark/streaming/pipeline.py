@@ -80,6 +80,26 @@ def run_stream_to_memory(
     )
 
 
+def dedup_stream(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup — the continuous-ingest twin of
+    ``textops.dedup.exact_groups``: drop records whose content digest
+    was already seen, with the watermark bounding dedup state (a
+    pragmatic TTL: exact-once only within the watermark horizon, which
+    is the standard trade at 100 TB/day ingest rates — unbounded
+    dedup state would grow forever).
+
+    State is partitioned by the digest, the same key the batch
+    dedup's groupBy shuffles on."""
+    keyed = events.withColumn(
+        "digest", F.md5(F.concat_ws("|", "event_type", "props"))
+    )
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["digest"]
+    )
+
+
 def entity_upsert_stream(
     spark: SparkSession,
     dir_path: str,

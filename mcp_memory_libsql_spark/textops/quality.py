@@ -89,6 +89,26 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def top_terms(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus-wide top-k terms by document frequency (distinct docs
+    containing the term) AND total frequency — the vocabulary scan
+    behind tokenizer/stopword curation. Distinct shingle-style
+    explode, partial-agg shuffle on the term, tiny global top-k with
+    a deterministic term tiebreak."""
+    toks = documents.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count("*").alias("total_freq"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("total_freq").desc(), F.col("term"))
+        .limit(k)
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, fp, fp64) — md5 of whitespace-normalized lowercase
     text, plus a 60-bit numeric variant for joins."""

@@ -162,3 +162,33 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
         latest[(r.user_id, r.session_id)] = (r.n_events, r.sum_value)
     assert latest[(7, 1)] == (2, 3.0)  # carried across batches
     assert latest[(7, 2)] == (1, 5.0)  # gap opened a new session
+
+
+def test_dedup_stream_drops_repeats(spark, tmp_path):
+    """Streaming exact dedup keeps one record per content digest
+    within the watermark horizon."""
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T00:{i:02d}:00", "user_id": i,
+         "event_type": "click" if i % 2 == 0 else "view",
+         "value": 1.0, "props": '{"k": %d}' % (i % 3)}
+        for i in range(12)
+    ]
+    with open(src / "a.json", "w") as f:
+        for r in rows + rows[:6]:  # re-send the first 6 (exact repeats)
+            f.write(json.dumps(r) + "\n")
+
+    stream = pipeline.read_event_stream(spark, str(src))
+    deduped = pipeline.dedup_stream(stream)
+    q = pipeline.run_stream_to_memory(deduped, "dedup_sink", mode="append")
+    try:
+        _wait(q)
+        got = spark.sql("select digest from dedup_sink")
+        n_digests = got.distinct().count()
+        # every surviving row is a unique digest
+        assert got.count() == n_digests
+        # distinct (event_type, k) combos = 2*3
+        assert n_digests == 6
+    finally:
+        q.stop()
