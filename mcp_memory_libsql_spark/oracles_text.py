@@ -238,6 +238,38 @@ ORDER BY total_freq DESC, term
 LIMIT 50
 """
 
+ORACLES["text_chunks"] = """
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       CAST(i * 160 AS BIGINT) AS chunk_start,
+       substr(text, CAST(i * 160 + 1 AS INTEGER), 200) AS chunk_text,
+       CAST(length(substr(text, CAST(i * 160 + 1 AS INTEGER), 200)) AS INTEGER)
+         AS chunk_chars
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, (greatest(length(text), 1) - 1) // 160 + 1)) AS i
+  FROM documents
+)
+"""
+
+ORACLES["text_pack_bins"] = """
+SELECT doc_id, lang, (cum - n_chars) // 2000 AS bin_id
+FROM (
+  SELECT doc_id, lang, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+"""
+
+ORACLES["text_length_histogram"] = """
+SELECT CAST(n_chars // 50 AS BIGINT) * 50 AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY 1
+"""
+
 ORACLES["text_corpus_stats"] = """
 SELECT lang, source, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,

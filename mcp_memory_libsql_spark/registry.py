@@ -592,6 +592,24 @@ def q_kg_isolated(spark, sf_dir):
     return kg_traverse.isolated_entities(g["entities"], g["relations"])
 
 
+@query("text_chunks")
+def q_text_chunks(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.chunk_documents(t["documents"], size=200, stride=160)
+
+
+@query("text_pack_bins")
+def q_text_pack_bins(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.pack_bins(t["documents"], target_chars=2000)
+
+
+@query("text_length_histogram")
+def q_text_length_histogram(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.length_histogram(t["documents"], bucket_chars=50)
+
+
 # TF-IDF model: fitted ONCE per (session, sf_dir) — the serve path
 # never refits (an index-build job owns fitting at scale); doc
 # vectors persist for reuse across queries.

@@ -6,6 +6,7 @@ All pure column expressions — single scan, no shuffle, no Python.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from .tokenize import BPE_RE, words
 
@@ -117,4 +118,71 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fp"),
         F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint").alias("fp64"),
+    )
+
+
+def chunk_documents(
+    documents: DataFrame, size: int = 200, stride: int = 160
+) -> DataFrame:
+    """RAG-style fixed-window chunking with overlap: each doc explodes
+    into substr windows of ``size`` chars every ``stride`` chars →
+    (doc_id, chunk_idx, chunk_start, chunk_text, chunk_chars). Pure
+    narrow explode — no shuffle, no Python; at 100 TB this is a map
+    stage whose output feeds the embedding batch job."""
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("text") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    ch = documents.select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_idx", "chunk_start")
+    )
+    chunk = F.expr(f"substring(text, chunk_start + 1, {size})")
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("int").alias("chunk_chars"),
+    )
+
+
+def pack_bins(documents: DataFrame, target_chars: int = 2000) -> DataFrame:
+    """Sequence packing: greedily assign docs (in doc_id order) to
+    fixed-budget bins per language shard → (doc_id, lang, bin_id) —
+    the batch-construction step of a training-data pipeline.
+
+    The running prefix sum is a window per lang shard, so packing
+    parallelizes across shards; a GLOBAL pack would need a two-pass
+    distributed prefix sum (per-partition totals broadcast back), the
+    standard trick when one shard must not straddle workers."""
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_df = documents.select(
+        "doc_id", "lang", "n_chars", F.sum("n_chars").over(w).alias("_cum")
+    )
+    # integer division keeps the bin id exact cross-engine
+    return cum_df.select(
+        "doc_id",
+        "lang",
+        F.expr(f"(_cum - n_chars) div {target_chars}").alias("bin_id"),
+    )
+
+
+def length_histogram(documents: DataFrame, bucket_chars: int = 50) -> DataFrame:
+    """Doc-length distribution in ``bucket_chars`` buckets →
+    (bucket, n_docs, min_chars, max_chars) — the before/after-filter
+    health check. Partial-agg shuffle on a tiny key space."""
+    # integer div keeps the bucket id exact cross-engine
+    bucket = F.expr(f"(n_chars div {bucket_chars}) * {bucket_chars}")
+    return (
+        documents.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
     )
