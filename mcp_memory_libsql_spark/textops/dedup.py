@@ -163,8 +163,14 @@ def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
 
 def minhash_lsh_candidates(documents: DataFrame, n: int = 3) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ≥1 of the signature
-    bands → (doc_a, doc_b). Join key is the band value, so the
-    shuffle is tiny and skew-bounded."""
+    bands → (doc_a, doc_b).
+
+    Plan: bucket-grouped pair generation, NOT a band-key self-join —
+    a self-join evaluates the whole shingle→md5→signature pipeline
+    once per side; grouping per band key computes it ONCE, shuffles
+    once on the band key, and emits intra-bucket pairs from the
+    sorted id array (bucket width = docs agreeing on a band, the same
+    bound the self-join had)."""
     sig = minhash_signatures(documents, n)
     # All band keys in ONE array projection + a single explode — a
     # per-band UNION would re-derive the whole signature pipeline
@@ -181,14 +187,20 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3) -> DataFrame:
         ]
     )
     banded = sig.select("doc_id", F.explode(keys).alias("band_key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
     return (
-        a.join(b, F.col("a.band_key") == F.col("b.band_key"))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        banded.groupBy("band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -246,17 +258,29 @@ def simhash_near_pairs(
     banded = sig.select(
         "doc_id", "simhash", F.explode(keys).alias("chunk_key")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # bucket-grouped pairs (see minhash_lsh_candidates): ONE pipeline
+    # evaluation + one chunk-key shuffle instead of a two-sided
+    # self-join recompute; structs sort by doc_id first, so pair
+    # order inside a bucket is deterministic.
     cand = (
-        a.join(b, F.col("a.chunk_key") == F.col("b.chunk_key"))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+        banded.groupBy("chunk_key")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias(
+                "xs"
+            )
         )
+        .where(F.size("xs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xs, (x, i) -> "
+                    "transform(slice(xs, i + 2, size(xs) - i - 1), "
+                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                    "x.simhash AS sim_a, y.simhash AS sim_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
