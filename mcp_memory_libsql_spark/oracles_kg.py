@@ -277,6 +277,27 @@ WHERE name NOT IN (SELECT source FROM relations)
   AND name NOT IN (SELECT target FROM relations)
 """
 
+# True connected components via recursive reachability: comp(v) = min
+# name reachable over undirected edges. Labels are exact strings, so
+# this oracle-gates the iterative HashMin operator (whose 8 rounds
+# exceed the KG graph's diameter, i.e. it has converged).
+ORACLES["kg_components"] = f"""{KG_CTE},
+edges AS (
+  SELECT source AS a, target AS b FROM relations
+  UNION
+  SELECT target, source FROM relations
+),
+cc AS (
+  WITH RECURSIVE walk(name, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, walk.comp FROM walk JOIN edges e ON walk.name = e.a
+  )
+  SELECT name, MIN(comp) AS component FROM walk GROUP BY name
+)
+SELECT name, component FROM cc
+"""
+
 ORACLES["kg_search_typed"] = f"""{KG_CTE},
 entities_f AS (SELECT * FROM entities WHERE entity_type = 'part')
 SELECT DISTINCT e.name, e.entity_type, e.created_at,

@@ -281,6 +281,29 @@ FROM documents
 GROUP BY lang, source
 """
 
+ORACLES["mm_resize_meta"] = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(64 AS INTEGER) AS width,
+       CAST(48 AS INTEGER) AS height,
+       CAST(n_chars % 10 + 1 AS INTEGER) AS n_frames
+FROM documents
+"""
+
+ORACLES["mm_kind_stats"] = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       COUNT(*) AS n_media,
+       CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+       CAST(MIN(length(text)) AS INTEGER) AS min_bytes,
+       CAST(MAX(length(text)) AS INTEGER) AS max_bytes
+FROM documents
+GROUP BY 1
+"""
+
 # Multimodal feature extraction oracle. The synthesized media payload
 # is the utf-8 document text (all testdata docs are pure ASCII, so
 # byte arithmetic == character arithmetic in SQL): n_bytes = length,

@@ -399,6 +399,35 @@ def q_ann_lsh_cosine(spark, sf_dir):
     return lsh.ann_cosine(t["embeddings"], query_vec_id=0, k=10, dim=64)
 
 
+@query("mm_resize_meta")
+def q_mm_resize_meta(spark, sf_dir):
+    # metadata half of the resize op (pixel transform is the stubbed
+    # codec step) — typed-struct manipulation stays JVM-side
+    t = load_tables(spark, sf_dir)
+    resized = mm.resize_stub(mm.synthesize_media(t["documents"]), 64, 48)
+    return resized.select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+@query("mm_kind_stats")
+def q_mm_kind_stats(spark, sf_dir):
+    # decode → aggregate pipeline shape: Arrow-batched feature map,
+    # then a JVM-side rollup per media kind
+    t = load_tables(spark, sf_dir)
+    feats = mm.extract_features(mm.synthesize_media(t["documents"]))
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.min("n_bytes").cast("int").alias("min_bytes"),
+        F.max("n_bytes").cast("int").alias("max_bytes"),
+    )
+
+
 @query("mm_features")
 def q_mm_features(spark, sf_dir):
     t = load_tables(spark, sf_dir)
@@ -503,7 +532,9 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 @query("kg_components")
 def q_kg_components(spark, sf_dir):
-    # iterative — rows-only gate; invariants in tests/test_kg2.py
+    # iterative HashMin, oracle-gated against a recursive-CTE ground
+    # truth (labels are exact strings; 8 rounds > graph diameter, so
+    # the propagation has converged); invariants in tests/test_kg2.py
     g, _ = _kg(spark, sf_dir)
     return kg_traverse.connected_components(g["relations"])
 
