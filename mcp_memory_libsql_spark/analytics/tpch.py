@@ -346,3 +346,383 @@ def q4_priority_late(t, days: int = 100) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_late_orders"))
     )
+
+
+def q2_min_cost_supplier(
+    t, size: int = 15, region: str = "EUROPE"
+) -> DataFrame:
+    """TPC-H Q2 (adapted: no partsupp, so supplier/part availability
+    comes from observed lineitem shipments and the "minimum cost"
+    criterion becomes the max-acctbal supplier — same correlated
+    per-part extremum shape). Distinct pairs shuffle once on the pair
+    key; part/supplier/nation dims broadcast; the per-part max joins
+    back as a broadcast (tiny after the part filter). No arithmetic on
+    the extremum column, so the equality join is exact."""
+    pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    part = t["part"].where(F.col("p_size") == size).select("p_partkey")
+    reg = t["region"].where(F.col("r_name") == region)
+    nat = t["nation"].join(
+        broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = t["supplier"].join(
+        broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    cand = (
+        pairs.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.max("s_acctbal").alias("_best_bal")
+    )
+    return (
+        cand.join(
+            broadcast(best),
+            (F.col("p_partkey") == F.col("_pk"))
+            & (F.col("s_acctbal") == F.col("_best_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def q8_market_share(
+    t,
+    region: str = "ASIA",
+    ptype: str = "STANDARD",
+    share_region: str = "EUROPE",
+) -> DataFrame:
+    """TPC-H Q8 (adapted: the market-share group is a supplying
+    REGION rather than one nation — the synthetic supplier table is
+    too thin at small SFs for single-nation shares to be non-trivial).
+    Revenue sums are exact decimals; the share is one IEEE division
+    of two exactly-derived doubles (same contract as q14). All dims
+    broadcast — the only big shuffle is lineitem⋈orders on
+    orderkey."""
+    reg = t["region"].where(F.col("r_name") == region)
+    nat_r = t["nation"].join(
+        broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("_cn_key"))
+    cust = t["customer"].join(
+        broadcast(nat_r), F.col("c_nationkey") == F.col("_cn_key")
+    ).select("c_custkey")
+    part = t["part"].where(F.col("p_type") == ptype).select("p_partkey")
+    supp_nat = t["nation"].join(
+        broadcast(
+            t["region"].select(
+                F.col("r_regionkey").alias("_srk"),
+                F.col("r_name").alias("supp_region"),
+            )
+        ),
+        F.col("n_regionkey") == F.col("_srk"),
+    ).select(F.col("n_nationkey").alias("_sn_key"), "supp_region")
+    supp = t["supplier"].join(
+        broadcast(supp_nat), F.col("s_nationkey") == F.col("_sn_key")
+    ).select("s_suppkey", "supp_region")
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    li = t["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    share = f"CASE WHEN supp_region = '{share_region}' THEN {_REV} END"
+    return (
+        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            _money_sum(share, "share_volume"),
+            _money_sum(_REV, "total_volume"),
+            F.expr(
+                f"CAST(COALESCE(SUM({share}), 0) AS DOUBLE)"
+                f" / CAST(SUM({_REV}) AS DOUBLE)"
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def q9_product_profit(t, name_like: str = "%widget%") -> DataFrame:
+    """TPC-H Q9 (adapted: no partsupp.ps_supplycost — unit cost is
+    modeled as 60% of p_retailprice, keeping the profit expression
+    rev − cost·qty in exact decimal). Groups by supplier nation ×
+    ship year; part/supplier/nation broadcast, one orderless scan of
+    lineitem (no orders join needed: year comes from l_shipdate)."""
+    part = t["part"].where(F.col("p_name").like(name_like)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nat = t["nation"].select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("nation")
+    )
+    supp = t["supplier"].join(
+        broadcast(supp_nat), F.col("s_nationkey") == F.col("_sn_key")
+    ).select("s_suppkey", "nation")
+    cost = (
+        "CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(2,1))"
+        " * CAST(l_quantity AS DECIMAL(12,2))"
+    )
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+                "l_extendedprice", "l_discount")
+        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(_money_sum(f"{_REV} - {cost}", "sum_profit"))
+    )
+
+
+def q11_important_parts(
+    t, region: str = "EUROPE", fraction: str = "0.001"
+) -> DataFrame:
+    """TPC-H Q11 (adapted: part "stock value" = revenue shipped by
+    one REGION's suppliers, from lineitem instead of partsupp; a
+    single nation has too few synthetic suppliers at small SFs). The
+    per-part rollup is one partkey shuffle; the grand total is a
+    1-row broadcast; the threshold comparison stays in exact decimal
+    so the cut is identical cross-engine."""
+    reg = t["region"].where(F.col("r_name") == region)
+    nat = t["nation"].join(
+        broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    supp = t["supplier"].join(
+        broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    value = (
+        t["lineitem"]
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.expr(f"SUM({_REV})").alias("_value"))
+    )
+    total = value.agg(F.expr("SUM(_value)").alias("_total"))
+    return (
+        value.join(broadcast(total))
+        .where(
+            F.expr(f"_value > CAST({fraction} AS DECIMAL(6,4)) * _total")
+        )
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.expr("CAST(ROUND(_value, 2) AS DOUBLE)").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+def q12_shipmode_priority(
+    t, date_from: str = "1996-01-01", date_to: str = "1997-01-01"
+) -> DataFrame:
+    """TPC-H Q12 (adapted: no l_shipmode/commitdate/receiptdate —
+    lineitems bucket by ship delay vs the order date instead, keeping
+    the shape: join + conditional priority counts per bucket). One
+    orderkey shuffle; the priority CASE stays in codegen."""
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    orders = t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.expr(
+                "CASE WHEN datediff(l_shipdate, o_orderdate) >= 90 THEN 'SLOW'"
+                " WHEN datediff(l_shipdate, o_orderdate) >= 30 THEN 'MEDIUM'"
+                " ELSE 'FAST' END"
+            ).alias("ship_bucket"),
+            "o_orderpriority",
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                " THEN 1 ELSE 0 END)"
+            ).alias("high_line_count"),
+            F.expr(
+                "SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')"
+                " THEN 1 ELSE 0 END)"
+            ).alias("low_line_count"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(t, brand: str = "Brand#3") -> DataFrame:
+    """TPC-H Q17: revenue from small-quantity orders of one brand's
+    parts. The per-part quantity average is re-expressed as the exact
+    integer cross-multiplication 5·qty·cnt < sum_qty (inputs are
+    2-decimal, so scaled sums are exact) — no float average, no
+    cross-engine rounding. Per-part stats join back as a broadcast
+    (one brand ≈ 1/25 of parts)."""
+    part = t["part"].where(F.col("p_brand") == brand).select("p_partkey")
+    li = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
+    branded = li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    # scale through DECIMAL, not double*100 (double CAST truncates in
+    # Spark but rounds in DuckDB — DECIMAL makes the scaling exact)
+    qty100 = "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    stats = branded.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.expr(f"SUM({qty100})").alias("_sum_qty100"),
+        F.count("*").alias("_cnt"),
+    )
+    return (
+        branded.join(broadcast(stats), F.col("p_partkey") == F.col("_pk"))
+        .where(F.expr(f"5 * {qty100} * _cnt < _sum_qty100"))
+        .agg(
+            _money_sum(_PRICE, "total_price"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q19_discounted_revenue(t) -> DataFrame:
+    """TPC-H Q19: disjunctive brand/size/quantity predicates — the
+    OR-of-ANDs stays a single codegen'd filter over one broadcast
+    part join; no plan branching."""
+    li = t["lineitem"].select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = t["part"].select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(_money_sum(_REV, "revenue"))
+    )
+
+
+def q20_excess_shippers(
+    t,
+    region: str = "EUROPE",
+    name_like: str = "small%",
+    min_qty: int = 30,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q20 (adapted: no partsupp.availqty — a supplier
+    qualifies by shipping more than ``min_qty`` units of any matching
+    part in the window; same nested semi-join shape). The (supp,
+    part) rollup shuffles once; the qualifying supplier set is a
+    broadcast semi-join into the supplier dim."""
+    part = t["part"].where(F.col("p_name").like(name_like)).select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.expr("SUM(CAST(l_quantity AS DECIMAL(12,2)))").alias("_qty"))
+        .where(F.col("_qty") > min_qty)
+        .select("l_suppkey")
+        .distinct()
+    )
+    reg = t["region"].where(F.col("r_name") == region)
+    nat = t["nation"].join(
+        broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    return (
+        t["supplier"]
+        .join(broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(shipped), F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_waiting_suppliers(
+    t, region: str = "EUROPE", late_days: int = 60, k: int = 20
+) -> DataFrame:
+    """TPC-H Q21 (adapted: "late" = shipped > ``late_days`` after the
+    order date, replacing receipt/commit dates). A supplier waits an
+    order if it was the ONLY late supplier in a multi-supplier 'F'
+    order — the exists/not-exists pair becomes one per-(order,supp)
+    rollup plus one per-order rollup joined back: two shuffles total,
+    both on orderkey."""
+    orders = t["orders"].where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_os = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+                ).cast("int")
+            ).alias("_late")
+        )
+    )
+    per_o = per_os.groupBy(F.col("o_orderkey").alias("_ok")).agg(
+        F.count("*").alias("_n_supp"), F.sum("_late").alias("_n_late")
+    )
+    waiting = (
+        per_os.join(per_o, F.col("o_orderkey") == F.col("_ok"))
+        .where(
+            (F.col("_late") == 1) & (F.col("_n_supp") > 1) & (F.col("_n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    reg = t["region"].where(F.col("r_name") == region)
+    nat = t["nation"].join(
+        broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    supp = t["supplier"].join(
+        broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        waiting.join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(k)
+    )
+
+
+def q22_global_sales_opportunity(t, cutoff: str = "2000-01-01") -> DataFrame:
+    """TPC-H Q22 (adapted: the phone country code becomes
+    c_nationkey, and "never ordered" becomes "no orders since
+    ``cutoff``" — every synthetic customer has at least one lifetime
+    order). Same positive-balance-above-average + anti-join shape.
+    The average threshold is an exact cross-multiplication
+    (bal·cnt > sum), the stats row broadcasts, and the anti-join on
+    custkey is the only shuffle."""
+    cust = t["customer"].select(
+        "c_custkey", "c_nationkey",
+        F.expr("CAST(c_acctbal AS DECIMAL(12,2))").alias("_bal"),
+    )
+    stats = cust.where(F.col("_bal") > 0).agg(
+        F.expr("SUM(_bal)").alias("_sum_bal"), F.count("*").alias("_cnt")
+    )
+    recent = t["orders"].where(
+        F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(broadcast(stats))
+        .where(F.expr("_bal * _cnt > _sum_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.expr("CAST(ROUND(SUM(_bal), 2) AS DOUBLE)").alias("totacctbal"),
+        )
+    )

@@ -283,3 +283,193 @@ FROM orders
 WHERE o_orderkey IN (SELECT o_orderkey FROM late)
 GROUP BY o_orderpriority
 """
+
+ORACLES["tpch_q2"] = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+cand AS (
+  SELECT p.p_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM pairs
+  JOIN part p ON l_partkey = p.p_partkey
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey
+FROM cand c
+WHERE s_acctbal = (SELECT MAX(s_acctbal) FROM cand c2
+                   WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+ORACLES["tpch_q8"] = f"""
+WITH flat AS (
+  SELECT YEAR(o_orderdate) AS o_year,
+         {_REV} AS volume,
+         r2.r_name AS supp_region
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+  WHERE r1.r_name = 'ASIA' AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+  CAST(ROUND(SUM(CASE WHEN supp_region = 'EUROPE' THEN volume END), 2)
+       AS DOUBLE) AS share_volume,
+  CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_volume,
+  CAST(COALESCE(SUM(CASE WHEN supp_region = 'EUROPE' THEN volume END), 0)
+       AS DOUBLE) / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM flat
+GROUP BY o_year
+"""
+
+ORACLES["tpch_q9"] = f"""
+SELECT n_name AS nation, YEAR(l_shipdate) AS o_year,
+  {_money_sum(
+      f"{_REV} - CAST(p_retailprice AS DECIMAL(12,2))"
+      " * CAST(0.6 AS DECIMAL(2,1)) * CAST(l_quantity AS DECIMAL(12,2))"
+  )} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, YEAR(l_shipdate)
+"""
+
+ORACLES["tpch_q11"] = f"""
+WITH value AS (
+  SELECT l_partkey, SUM({_REV}) AS _value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS ps_partkey,
+       CAST(ROUND(_value, 2) AS DOUBLE) AS value
+FROM value
+WHERE _value > CAST(0.001 AS DECIMAL(6,4)) * (SELECT SUM(_value) FROM value)
+ORDER BY value DESC, ps_partkey
+"""
+
+ORACLES["tpch_q12"] = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) >= 90 THEN 'SLOW'
+            WHEN datediff('day', o_orderdate, l_shipdate) >= 30 THEN 'MEDIUM'
+            ELSE 'FAST' END AS ship_bucket,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0
+      END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+ORACLES["tpch_q17"] = f"""
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qty100
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+),
+stats AS (
+  SELECT l_partkey AS _pk, SUM(qty100) AS _sum_qty100, COUNT(*) AS _cnt
+  FROM branded GROUP BY l_partkey
+)
+SELECT {_money_sum(_PRICE)} AS total_price, COUNT(*) AS n_items
+FROM branded JOIN stats ON l_partkey = _pk
+WHERE 5 * qty100 * _cnt < _sum_qty100
+"""
+
+ORACLES["tpch_q19"] = f"""
+SELECT {_money_sum(_REV)} AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLES["tpch_q20"] = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 30
+  )
+ORDER BY s_suppkey
+"""
+
+ORACLES["tpch_q21"] = """
+WITH per_os AS (
+  SELECT o_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             THEN 1 ELSE 0 END) AS _late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY o_orderkey, l_suppkey
+),
+per_o AS (
+  SELECT o_orderkey AS _ok, COUNT(*) AS _n_supp, SUM(_late) AS _n_late
+  FROM per_os GROUP BY o_orderkey
+),
+waiting AS (
+  SELECT l_suppkey, COUNT(*) AS numwait
+  FROM per_os JOIN per_o ON o_orderkey = _ok
+  WHERE _late = 1 AND _n_supp > 1 AND _n_late = 1
+  GROUP BY l_suppkey
+)
+SELECT s_name, numwait
+FROM waiting
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+ORACLES["tpch_q22"] = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS _bal
+  FROM customer
+),
+stats AS (
+  SELECT SUM(_bal) AS _sum_bal, COUNT(*) AS _cnt FROM cust WHERE _bal > 0
+)
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       CAST(ROUND(SUM(_bal), 2) AS DOUBLE) AS totacctbal
+FROM cust, stats
+WHERE _bal * _cnt > _sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""

@@ -675,3 +675,56 @@ def q_text_semantic_search(spark, sf_dir):
         pipeline=pipeline,
         doc_vecs=doc_vecs,
     )
+
+
+# ------------------------------------------------- TPC-H completion
+
+
+@query("tpch_q2")
+def q_tpch_q2(spark, sf_dir):
+    return tpch.q2_min_cost_supplier(load_tables(spark, sf_dir))
+
+
+@query("tpch_q8")
+def q_tpch_q8(spark, sf_dir):
+    return tpch.q8_market_share(load_tables(spark, sf_dir))
+
+
+@query("tpch_q9")
+def q_tpch_q9(spark, sf_dir):
+    return tpch.q9_product_profit(load_tables(spark, sf_dir))
+
+
+@query("tpch_q11")
+def q_tpch_q11(spark, sf_dir):
+    return tpch.q11_important_parts(load_tables(spark, sf_dir))
+
+
+@query("tpch_q12")
+def q_tpch_q12(spark, sf_dir):
+    return tpch.q12_shipmode_priority(load_tables(spark, sf_dir))
+
+
+@query("tpch_q17")
+def q_tpch_q17(spark, sf_dir):
+    return tpch.q17_small_quantity_revenue(load_tables(spark, sf_dir))
+
+
+@query("tpch_q19")
+def q_tpch_q19(spark, sf_dir):
+    return tpch.q19_discounted_revenue(load_tables(spark, sf_dir))
+
+
+@query("tpch_q20")
+def q_tpch_q20(spark, sf_dir):
+    return tpch.q20_excess_shippers(load_tables(spark, sf_dir))
+
+
+@query("tpch_q21")
+def q_tpch_q21(spark, sf_dir):
+    return tpch.q21_waiting_suppliers(load_tables(spark, sf_dir))
+
+
+@query("tpch_q22")
+def q_tpch_q22(spark, sf_dir):
+    return tpch.q22_global_sales_opportunity(load_tables(spark, sf_dir))
