@@ -363,3 +363,89 @@ JOIN sig sa ON doc_a = sa.doc_id
 JOIN sig sb ON doc_b = sb.doc_id
 """
 )
+
+# Cluster-level dedup: recursive-CTE components over the same banded
+# MinHash-LSH candidate pairs the dedup_minhash_lsh oracle derives —
+# cluster = min doc_id reachable in the undirected pair graph.
+_LSH_PAIRS_CTE = f""",
+banded AS (
+{_BAND_SELECTS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  WITH RECURSIVE walk(node, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, walk.comp FROM walk JOIN edges e ON walk.node = e.a
+  )
+  SELECT node, MIN(comp) AS cluster_id FROM walk GROUP BY node
+)
+"""
+
+ORACLES["dedup_clusters"] = (
+    MINHASH_CTE + _LSH_PAIRS_CTE + "SELECT node AS doc_id, cluster_id FROM cc"
+)
+
+ORACLES["dedup_cluster_keep"] = (
+    MINHASH_CTE
+    + _LSH_PAIRS_CTE
+    + """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+"""
+)
+
+ORACLES["data_split_assign"] = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))
+           ::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+ORACLES["text_stratified_sample"] = """
+WITH b AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4))
+           ::BIGINT % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, source, bucket FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 500
+                         WHEN 'es' THEN 500 WHEN 'fr' THEN 700
+                         WHEN 'zh' THEN 700 ELSE 0 END
+"""
+
+ORACLES["text_pii_scrub"] = r"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com, call +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ', see https://example.com/u/' || CAST(doc_id AS VARCHAR)
+              || ' now.' AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}', '<PHONE>', 'g') AS scrubbed
+FROM pii
+"""

@@ -78,3 +78,24 @@ SELECT * FROM (
 )
 WHERE cosine_sim >= 0.4
 """
+
+# Symmetric int8 quantization audit — all arithmetic forced to DOUBLE
+# and half-up via floor(x+0.5), mirroring vector/quant.py exactly.
+ORACLES["vec_quantize_int8"] = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE))), 'max')
+           AS maxabs
+  FROM embeddings
+)
+SELECT vec_id,
+  CAST(ROUND(CASE WHEN maxabs = 0 THEN 0 ELSE maxabs / 127 END, 6)
+       AS DOUBLE) AS scale,
+  CAST(ROUND(CASE WHEN maxabs = 0 THEN 0 ELSE
+    list_aggregate(list_transform(embedding,
+      x -> abs(floor(CAST(x AS DOUBLE) * 127 / maxabs + 0.5) * maxabs / 127
+               - CAST(x AS DOUBLE))), 'max')
+    END, 6) AS DOUBLE) AS max_err
+FROM m
+"""

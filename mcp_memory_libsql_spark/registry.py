@@ -728,3 +728,54 @@ def q_tpch_q21(spark, sf_dir):
 @query("tpch_q22")
 def q_tpch_q22(spark, sf_dir):
     return tpch.q22_global_sales_opportunity(load_tables(spark, sf_dir))
+
+
+# ------------------------------------- training-data pipeline ops
+
+
+@query("dedup_clusters")
+def q_dedup_clusters(spark, sf_dir):
+    # transitive near-dup clusters over the LSH pair graph (HashMin
+    # components; 8 rounds exceed any near-dup cluster's diameter)
+    t = load_tables(spark, sf_dir)
+    return dd.dedup_clusters(t["documents"])
+
+
+@query("dedup_cluster_keep")
+def q_dedup_cluster_keep(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.cluster_canonical_docs(t["documents"])
+
+
+@query("data_split_assign")
+def q_data_split_assign(spark, sf_dir):
+    from .textops import sampling
+
+    t = load_tables(spark, sf_dir)
+    return sampling.split_assign(t["documents"])
+
+
+@query("text_stratified_sample")
+def q_text_stratified_sample(spark, sf_dir):
+    from .textops import sampling
+
+    t = load_tables(spark, sf_dir)
+    return sampling.stratified_sample(t["documents"])
+
+
+@query("text_pii_scrub")
+def q_text_pii_scrub(spark, sf_dir):
+    # synthetic-PII injection + redaction (see sampling module docs:
+    # the corpus has no organic PII, so the gate injects its own)
+    from .textops import sampling
+
+    t = load_tables(spark, sf_dir)
+    return sampling.pii_scrub(sampling.inject_pii(t["documents"]))
+
+
+@query("vec_quantize_int8")
+def q_vec_quantize_int8(spark, sf_dir):
+    from .vector import quant
+
+    t = load_tables(spark, sf_dir)
+    return quant.quantize_stats_int8(t["embeddings"])

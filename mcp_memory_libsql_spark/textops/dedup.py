@@ -332,3 +332,38 @@ def minhash_jaccard_estimates(documents: DataFrame, n: int = 3) -> DataFrame:
             F.round(agree / F.lit(MINHASH_K), 6).alias("est_jaccard"),
         )
     )
+
+
+def dedup_clusters(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Cluster-level near-dup assignment: connected components over
+    the MinHash-LSH candidate pair graph → (doc_id, cluster_id) for
+    every doc in at least one pair, cluster_id = min reachable
+    doc_id. Pair-level dedup misses transitivity (A~B, B~C keeps both
+    A and C); clustering is the shape a 100 TB dedup actually ships.
+    Reuses the KG HashMin propagation (per-round: one shuffle,
+    lineage cut) over the bounded LSH candidate graph — never N²."""
+    from ..kg.traverse import connected_components
+
+    pairs = minhash_lsh_candidates(documents, n).select(
+        F.col("doc_a").alias("source"), F.col("doc_b").alias("target")
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("name").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def cluster_canonical_docs(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Corpus after cluster dedup: drop every non-canonical cluster
+    member (doc_id ≠ its cluster's min id); singletons pass through.
+    The drop set is tiny (near-dup members only) → broadcast
+    anti-join, no full-corpus shuffle."""
+    from pyspark.sql.functions import broadcast
+
+    members = dedup_clusters(documents, n)
+    drops = members.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return documents.join(broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

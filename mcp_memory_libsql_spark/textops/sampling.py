@@ -1,0 +1,120 @@
+"""Deterministic corpus partitioning and scrubbing for training-data
+pipelines: hash-based train/val/test splits, per-language stratified
+sampling, and PII redaction.
+
+Everything is a pure column expression (zero shuffle, full codegen)
+and every random-looking choice is an md5-derived hash of the row key
+— reproducible across runs, engines, and cluster sizes, which is the
+property a 100 TB ingest actually needs (resuming a failed run must
+not re-roll the dice). The md5-hex → BIGINT bucket trick is the same
+portable-hash contract the dedup family uses (xxhash64 differs across
+engines; md5 doesn't).
+
+The synthetic corpus contains no PII, so the gated scrub query
+INJECTS deterministic synthetic PII (email/phone/URL derived from
+doc_id) before redacting — the oracle performs the identical
+injection, so the gate exercises the redaction regexes on every row
+rather than vacuously hashing unchanged text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Redaction patterns — kept to the regex subset with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): character
+# classes, bounded repeats, alternation; no backrefs, no lookaround.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+
+
+def _bucket(col, salt: str, mod: int):
+    """Deterministic [0, mod) bucket from the first 4 md5 hex chars
+    of salt||key — portable across Spark and DuckDB."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        % mod
+    )
+
+
+def split_assign(
+    documents: DataFrame, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """(doc_id, bucket, split) — hash-partition the corpus into
+    train/val/test by md5(doc_id) bucket. Narrow projection; the
+    assignment is stable under any repartitioning or resume."""
+    b = _bucket(F.col("doc_id"), "split:", 100)
+    return documents.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# per-language keep rates (per-mille) for the gated stratified sample
+SAMPLE_RATES = {"en": 300, "de": 500, "es": 500, "fr": 700, "zh": 700}
+
+
+def stratified_sample(
+    documents: DataFrame, rates: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic per-language downsample: keep a doc iff its
+    md5 bucket (per-mille) falls under its language's rate. The
+    CASE-on-lang threshold stays in codegen; no shuffle, no RNG
+    state — the 100 TB-safe way to rebalance a multilingual corpus."""
+    rates = SAMPLE_RATES if rates is None else rates
+    b = _bucket(F.col("doc_id"), "sample:", 1000)
+    threshold = F.lit(0)
+    for lang, rate in sorted(rates.items()):
+        threshold = F.when(F.col("lang") == lang, rate).otherwise(threshold)
+    return (
+        documents.select(
+            "doc_id", "lang", "source", b.alias("bucket"), threshold.alias("_t")
+        )
+        .where(F.col("bucket") < F.col("_t"))
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+def inject_pii(documents: DataFrame) -> DataFrame:
+    """Append deterministic synthetic PII (email, E.164-ish phone,
+    URL — all derived from doc_id) to every document. Test-harness
+    semantics for the scrub gate; documented as such."""
+    return documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com, call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(", see https://example.com/u/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" now."),
+        ).alias("text"),
+    )
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """(doc_id, scrubbed) — redact URLs, then emails, then phone
+    numbers to typed placeholder tokens. Order matters: URLs first so
+    the email pass can't partially match a URL userinfo section.
+    Pure regexp_replace chain — one projection, zero shuffle."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), URL_RE, "<URL>"),
+            EMAIL_RE,
+            "<EMAIL>",
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return documents.select("doc_id", scrubbed.alias("scrubbed"))
