@@ -1,0 +1,145 @@
+"""Invariant tests for the relational-analytics and pipeline-op
+families — semantic properties the DuckDB hash-parity gate can't
+express (bounds, group extremum membership, convergence,
+determinism)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_memory_libsql_spark.analytics import tpch
+from mcp_memory_libsql_spark.io.tables import load_tables
+from mcp_memory_libsql_spark.textops import dedup as dd
+from mcp_memory_libsql_spark.textops import sampling
+from mcp_memory_libsql_spark.vector import quant
+
+
+def _t(spark, sf_dir):
+    return load_tables(spark, sf_dir)
+
+
+def test_q1_discount_bounds(spark, sf_dir):
+    rows = tpch.q1_pricing_summary(_t(spark, sf_dir)).collect()
+    assert rows
+    for r in rows:
+        assert r.sum_disc_price <= r.sum_base_price
+        assert 0.0 <= r.avg_disc <= 0.10
+
+
+def test_q2_is_per_part_max(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    rows = tpch.q2_min_cost_supplier(t).collect()
+    assert rows
+    # one winning balance per part; every reported row carries it
+    best = {}
+    for r in rows:
+        best.setdefault(r.p_partkey, r.s_acctbal)
+        assert r.s_acctbal == best[r.p_partkey]
+
+
+def test_q8_share_is_a_ratio(spark, sf_dir):
+    rows = tpch.q8_market_share(_t(spark, sf_dir)).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert (r.share_volume or 0.0) <= r.total_volume
+
+
+def test_q12_counts_partition_the_join(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    rows = tpch.q12_shipmode_priority(t).collect()
+    total = sum(r.high_line_count + r.low_line_count for r in rows)
+    expected = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert total == expected
+
+
+def test_q21_waiting_suppliers_bounds(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    rows = tpch.q21_waiting_suppliers(t).collect()
+    europe = {
+        r.s_suppkey
+        for r in t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey")
+        .collect()
+    }
+    names = {
+        r.s_name
+        for r in t["supplier"].where(F.col("s_suppkey").isin(list(europe))).collect()
+    }
+    for r in rows:
+        assert r.numwait > 0
+        assert r.s_name in names
+
+
+def test_q22_dormant_customers_positive(spark, sf_dir):
+    rows = tpch.q22_global_sales_opportunity(_t(spark, sf_dir)).collect()
+    assert rows
+    for r in rows:
+        assert r.numcust >= 1
+        assert r.totacctbal > 0
+
+
+def test_split_assign_partitions_and_is_deterministic(spark, sf_dir):
+    docs = _t(spark, sf_dir)["documents"]
+    a = sampling.split_assign(docs)
+    counts = dict(a.groupBy("split").count().collect())
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    b = sampling.split_assign(docs)
+    assert a.exceptAll(b).count() == 0  # re-run → identical assignment
+
+
+def test_stratified_sample_respects_thresholds(spark, sf_dir):
+    docs = _t(spark, sf_dir)["documents"]
+    out = sampling.stratified_sample(docs).collect()
+    assert out
+    for r in out:
+        assert r.bucket < sampling.SAMPLE_RATES[r.lang]
+
+
+def test_pii_scrub_removes_injected_pii(spark, sf_dir):
+    docs = _t(spark, sf_dir)["documents"]
+    out = sampling.pii_scrub(sampling.inject_pii(docs)).collect()
+    assert out
+    for r in out:
+        assert "<EMAIL>" in r.scrubbed
+        assert "<PHONE>" in r.scrubbed
+        assert "<URL>" in r.scrubbed
+        assert "@" not in r.scrubbed
+        assert "example.com" not in r.scrubbed
+
+
+def test_quantize_error_bounded_by_half_step(spark, sf_dir):
+    emb = _t(spark, sf_dir)["embeddings"]
+    rows = quant.quantize_stats_int8(emb).collect()
+    assert rows
+    for r in rows:
+        # nearest-int quantization error can't exceed half a step
+        # (rounding slack from the ROUND(…, 6) rendering)
+        assert r.max_err <= r.scale / 2 + 1e-6
+
+
+def test_dedup_clusters_converged(spark, sf_dir):
+    docs = _t(spark, sf_dir)["documents"]
+    members = {
+        r.doc_id: r.cluster_id for r in dd.dedup_clusters(docs).collect()
+    }
+    pairs = dd.minhash_lsh_candidates(docs).collect()
+    assert pairs
+    for p in pairs:
+        # min-label propagation converged: both endpoints of every
+        # candidate edge share a cluster, and labels are min-ids
+        assert members[p.doc_a] == members[p.doc_b]
+        assert members[p.doc_a] <= p.doc_a
