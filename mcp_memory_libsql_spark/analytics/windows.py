@@ -1,0 +1,128 @@
+"""Window-function analytics: rolling aggregates, running totals,
+per-key ranking and gap analysis — the per-entity sequential
+statistics an event pipeline computes without ever collecting a
+user's history to one machine.
+
+All four ops share one physical shape: a single shuffle on the
+partition key (user_id / partkey) followed by an in-partition sort —
+the plan a 1000-executor cluster wants, since each key's history is
+processed where it lands. Per-user event counts are bounded (≤ a few
+thousand), so no partition outgrows memory; a pathological hot key
+would be handled by AQE skew splitting on the preceding exchange.
+
+Cross-engine determinism contract (same rules as analytics/tpch.py):
+- money sums go through DECIMAL(12,2) (events.value is 2-decimal);
+- ROWS frames always order by a UNIQUE key tuple (epoch, event_id) —
+  a RANGE/peer frame or a tied ROWS order would make the result
+  depend on engine-internal tie order;
+- the trailing-hour frame is a RANGE frame, which is tie-safe by
+  construction (peers contribute as a set, order-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_VAL = "CAST(value AS DECIMAL(12,2))"
+
+
+def _ev(t) -> DataFrame:
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").alias("epoch"),
+    )
+
+
+def rolling_hour(t) -> DataFrame:
+    """Per event: count and value-sum of the SAME USER's events in
+    the trailing hour (inclusive range frame on epoch seconds)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch")
+        .rangeBetween(-3600, 0)
+    )
+    return _ev(t).select(
+        "event_id",
+        "user_id",
+        "epoch",
+        F.count("*").over(w).alias("roll_cnt"),
+        F.expr(
+            f"CAST(ROUND(SUM({_VAL}) OVER (PARTITION BY user_id ORDER BY epoch"
+            f" RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)"
+        ).alias("roll_sum"),
+    )
+
+
+def cumulative_value(t) -> DataFrame:
+    """Per-user running value total and event ordinal, ordered by the
+    unique (epoch, event_id) tuple with an explicit ROWS frame."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _ev(t).select(
+        "event_id",
+        "user_id",
+        "epoch",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("epoch", "event_id"))
+        .alias("ordinal"),
+        F.expr(
+            f"CAST(ROUND(SUM({_VAL}) OVER (PARTITION BY user_id"
+            f" ORDER BY epoch, event_id"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)"
+            f" AS DOUBLE)"
+        ).alias("running_value"),
+    )
+
+
+def event_gaps(t) -> DataFrame:
+    """Seconds since the same user's previous event (NULL-free: first
+    events are dropped so the gate schema stays bigint)."""
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    return (
+        _ev(t)
+        .select(
+            "event_id",
+            "user_id",
+            "epoch",
+            F.lag("epoch").over(w).alias("_prev"),
+        )
+        .where(F.col("_prev").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "epoch",
+            (F.col("epoch") - F.col("_prev")).alias("gap_s"),
+        )
+    )
+
+
+def top_suppliers_per_part(t, k: int = 3) -> DataFrame:
+    """Top-k suppliers per part by shipped revenue — the grouped
+    top-N reporting shape. One (part,supp) rollup shuffle (exact
+    decimal revenue), then rank within part; revenue ties break on
+    suppkey so top-k is deterministic."""
+    from .tpch import _REV
+
+    rev = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.expr(f"SUM({_REV})").alias("_rev"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("_rev").desc(), F.col("l_suppkey")
+    )
+    return (
+        rev.select(
+            "l_partkey",
+            "l_suppkey",
+            F.row_number().over(w).alias("rnk"),
+            F.expr("CAST(ROUND(_rev, 2) AS DOUBLE)").alias("revenue"),
+        )
+        .where(F.col("rnk") <= k)
+    )

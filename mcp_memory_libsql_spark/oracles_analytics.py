@@ -473,3 +473,67 @@ WHERE _bal * _cnt > _sum_bal
                   AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_nationkey
 """
+
+# Window-function family: ROWS frames always ordered by the unique
+# (epoch, event_id) tuple; the trailing-hour frame is RANGE
+# (tie-safe); money sums in DECIMAL — see analytics/windows.py.
+_EV_CTE = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch,
+         CAST(value AS DECIMAL(12,2)) AS val
+  FROM events
+)
+"""
+
+ORACLES["events_rolling_hour"] = (
+    _EV_CTE
+    + """
+SELECT event_id, user_id, epoch,
+  COUNT(*) OVER w AS roll_cnt,
+  CAST(ROUND(SUM(val) OVER w, 2) AS DOUBLE) AS roll_sum
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+)
+
+ORACLES["events_cumsum"] = (
+    _EV_CTE
+    + """
+SELECT event_id, user_id, epoch,
+  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch, event_id)
+    AS ordinal,
+  CAST(ROUND(SUM(val) OVER (PARTITION BY user_id ORDER BY epoch, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS DOUBLE) AS running_value
+FROM ev
+"""
+)
+
+ORACLES["events_gaps"] = (
+    _EV_CTE
+    + """
+SELECT event_id, user_id, epoch, gap_s FROM (
+  SELECT event_id, user_id, epoch,
+         epoch - LAG(epoch) OVER (PARTITION BY user_id
+                                  ORDER BY epoch, event_id) AS gap_s
+  FROM ev
+)
+WHERE gap_s IS NOT NULL
+"""
+)
+
+ORACLES["part_top_suppliers"] = f"""
+WITH rev AS (
+  SELECT l_partkey, l_suppkey, SUM({_REV}) AS _rev
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT l_partkey, l_suppkey, rnk, revenue FROM (
+  SELECT l_partkey, l_suppkey,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY _rev DESC, l_suppkey) AS rnk,
+         CAST(ROUND(_rev, 2) AS DOUBLE) AS revenue
+  FROM rev
+)
+WHERE rnk <= 3
+"""

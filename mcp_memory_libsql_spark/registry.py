@@ -779,3 +779,34 @@ def q_vec_quantize_int8(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return quant.quantize_stats_int8(t["embeddings"])
+
+
+# ------------------------------------------- window-function family
+
+
+@query("events_rolling_hour")
+def q_events_rolling_hour(spark, sf_dir):
+    from .analytics import windows
+
+    return windows.rolling_hour(load_tables(spark, sf_dir))
+
+
+@query("events_cumsum")
+def q_events_cumsum(spark, sf_dir):
+    from .analytics import windows
+
+    return windows.cumulative_value(load_tables(spark, sf_dir))
+
+
+@query("events_gaps")
+def q_events_gaps(spark, sf_dir):
+    from .analytics import windows
+
+    return windows.event_gaps(load_tables(spark, sf_dir))
+
+
+@query("part_top_suppliers")
+def q_part_top_suppliers(spark, sf_dir):
+    from .analytics import windows
+
+    return windows.top_suppliers_per_part(load_tables(spark, sf_dir), k=3)
