@@ -126,3 +126,42 @@ def top_suppliers_per_part(t, k: int = 3) -> DataFrame:
         )
         .where(F.col("rnk") <= k)
     )
+
+
+def rollup_day_type(t) -> DataFrame:
+    """GROUP BY ROLLUP(day, event_type) — per-(day,type) cells plus
+    day subtotals plus a grand total in ONE aggregation pass
+    (Catalyst expands the grouping sets map-side; still a single
+    shuffle). Money sums exact-decimal as everywhere."""
+    ev = t["events"].select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+    )
+    return ev.rollup("day", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.expr(f"CAST(ROUND(SUM({_VAL}), 2) AS DOUBLE)").alias("sum_value"),
+    )
+
+
+def value_percentiles(t) -> DataFrame:
+    """Exact interpolated p50/p90 of value per event type. Exact
+    percentile needs the group's values together — one shuffle on
+    event_type (5 groups; at 100 TB you'd reach for approx_percentile
+    and accept the sketch error; this is the exact twin). Results
+    round to 4: interpolation fractions here are ≤1-decimal and
+    values 2-decimal, so true quantiles are ≤3-decimal — no rounding
+    boundary exists for either engine to straddle."""
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("CAST(ROUND(percentile(value, 0.5), 4) AS DOUBLE)").alias(
+                "p50"
+            ),
+            F.expr("CAST(ROUND(percentile(value, 0.9), 4) AS DOUBLE)").alias(
+                "p90"
+            ),
+        )
+    )

@@ -182,3 +182,35 @@ def isolated_entities(entities: DataFrame, relations: DataFrame) -> DataFrame:
         .distinct()
     )
     return entities.join(endpoints, "name", "left_anti")
+
+
+def bfs_depths(
+    relations: DataFrame, seed: str, max_hops: int = 3
+) -> DataFrame:
+    """Undirected BFS from ``seed`` → (name, depth) with depth = min
+    hops ≤ ``max_hops``. Frontier expansion: each round broadcasts
+    the (small) new frontier into the edge table, so the edge side
+    never shuffles; visited-set dedup is a broadcast anti-join. The
+    classic iterative-BFS-on-Spark shape (GraphX Pregel without the
+    framework)."""
+    spark = relations.sparkSession
+    fwd = relations.select(F.col("source").alias("a"), F.col("target").alias("b"))
+    bwd = relations.select(F.col("target").alias("a"), F.col("source").alias("b"))
+    edges = fwd.unionByName(bwd).distinct()
+    depths = spark.createDataFrame([(seed, 0)], "name string, depth int")
+    frontier = depths.select("name")
+    for hop in range(1, max_hops + 1):
+        neighbors = (
+            edges.join(broadcast(frontier), edges["a"] == frontier["name"])
+            .select(F.col("b").alias("name"))
+            .distinct()
+        )
+        fresh = neighbors.join(
+            broadcast(depths.select("name")), "name", "left_anti"
+        ).select("name", F.lit(hop).cast("int").alias("depth"))
+        fresh = fresh.localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            break
+        depths = depths.unionByName(fresh)
+        frontier = fresh.select("name")
+    return depths

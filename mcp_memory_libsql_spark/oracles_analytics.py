@@ -537,3 +537,20 @@ SELECT l_partkey, l_suppkey, rnk, revenue FROM (
 )
 WHERE rnk <= 3
 """
+
+ORACLES["events_rollup"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS sum_value
+FROM events
+GROUP BY ROLLUP(day, event_type)
+"""
+
+ORACLES["events_percentiles"] = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(ROUND(quantile_cont(value, 0.5), 4) AS DOUBLE) AS p50,
+       CAST(ROUND(quantile_cont(value, 0.9), 4) AS DOUBLE) AS p90
+FROM events
+GROUP BY event_type
+"""

@@ -312,3 +312,23 @@ WHERE e.name ILIKE '%economy%'
 ORDER BY relevance_score DESC, e.created_at DESC, e.name
 LIMIT 20
 """
+
+# BFS min-depth from a seed entity over the undirected relation
+# graph, capped at 3 hops — ground truth for the iterative
+# frontier-expansion operator (kg/traverse.py bfs_depths).
+ORACLES["kg_bfs_depth"] = f"""{KG_CTE},
+edges AS (
+  SELECT source AS a, target AS b FROM relations
+  UNION
+  SELECT target, source FROM relations
+),
+walk AS (
+  WITH RECURSIVE w(name, d) AS (
+    SELECT 'Customer#000000042', 0
+    UNION
+    SELECT e.b, w.d + 1 FROM w JOIN edges e ON w.name = e.a WHERE w.d < 3
+  )
+  SELECT name, d FROM w
+)
+SELECT name, CAST(MIN(d) AS INTEGER) AS depth FROM walk GROUP BY name
+"""

@@ -810,3 +810,25 @@ def q_part_top_suppliers(spark, sf_dir):
     from .analytics import windows
 
     return windows.top_suppliers_per_part(load_tables(spark, sf_dir), k=3)
+
+
+@query("events_rollup")
+def q_events_rollup(spark, sf_dir):
+    from .analytics import windows
+
+    return windows.rollup_day_type(load_tables(spark, sf_dir))
+
+
+@query("events_percentiles")
+def q_events_percentiles(spark, sf_dir):
+    from .analytics import windows
+
+    return windows.value_percentiles(load_tables(spark, sf_dir))
+
+
+@query("kg_bfs_depth")
+def q_kg_bfs_depth(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.bfs_depths(
+        g["relations"], seed="Customer#000000042", max_hops=3
+    )
