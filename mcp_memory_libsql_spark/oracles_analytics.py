@@ -554,3 +554,12 @@ SELECT event_type, COUNT(*) AS n,
 FROM events
 GROUP BY event_type
 """
+
+# Stream-static enrichment twin: the same function runs on the batch
+# frame (gated here) and on a streaming frame (tests/test_streaming).
+ORACLES["events_enriched"] = """
+SELECT event_id, user_id, event_type, value, c_name, c_mktsegment, n_name
+FROM events
+JOIN customer ON user_id + 1 = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+"""

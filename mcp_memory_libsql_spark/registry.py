@@ -832,3 +832,13 @@ def q_kg_bfs_depth(spark, sf_dir):
     return kg_traverse.bfs_depths(
         g["relations"], seed="Customer#000000042", max_hops=3
     )
+
+
+@query("events_enriched")
+def q_events_enriched(spark, sf_dir):
+    from .streaming import pipeline as stream_pipeline
+
+    t = load_tables(spark, sf_dir)
+    return stream_pipeline.enrich_events(
+        t["events"], t["customer"], t["nation"]
+    )

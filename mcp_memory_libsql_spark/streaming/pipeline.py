@@ -141,3 +141,29 @@ def entity_upsert_stream(
         )
 
     return stream.writeStream.foreachBatch(apply_batch).outputMode("update").start()
+
+
+def enrich_events(events: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Attach customer identity + nation to events (user_id maps to
+    c_custkey = user_id + 1 in the synthetic data). Works identically
+    on a batch frame and a streaming frame: a stream-static broadcast
+    join needs no state store and no watermark — the dim is
+    re-broadcast per micro-batch, which is exactly how a cluster
+    enriches a Kafka stream against a slowly-changing dimension."""
+    from pyspark.sql.functions import broadcast
+
+    dim = customer.join(
+        broadcast(nation.select("n_nationkey", "n_name")),
+        customer["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_mktsegment", "n_name")
+    return events.join(
+        broadcast(dim), events["user_id"] + 1 == dim["c_custkey"]
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "c_name",
+        "c_mktsegment",
+        "n_name",
+    )

@@ -192,3 +192,43 @@ def test_dedup_stream_drops_repeats(spark, tmp_path):
         assert n_digests == 6
     finally:
         q.stop()
+
+
+def test_enrich_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join: streaming enrichment over 2
+    micro-batches equals the batch join on the same rows."""
+    t = load_tables(spark, sf_dir)
+    events = t["events"]
+    pdf = events.toPandas()
+    src = tmp_path / "enrich_src"
+    src.mkdir()
+    n = len(pdf)
+    for i in range(2):
+        chunk = pdf.iloc[i * n // 2 : (i + 1) * n // 2]
+        with open(src / f"part{i}.json", "w") as f:
+            for _, row in chunk.iterrows():
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": int(row.event_id),
+                            "ts": row.ts.isoformat(),
+                            "user_id": int(row.user_id),
+                            "event_type": row.event_type,
+                            "value": float(row.value),
+                            "props": row.props,
+                        }
+                    )
+                    + "\n"
+                )
+    stream = pipeline.read_event_stream(spark, str(src))
+    enriched = pipeline.enrich_events(stream, t["customer"], t["nation"])
+    q = pipeline.run_stream_to_memory(enriched, "enriched_mem", mode="append")
+    try:
+        _wait(q)
+        got = spark.sql("select * from enriched_mem")
+        expect = pipeline.enrich_events(events, t["customer"], t["nation"])
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+    finally:
+        q.stop()
