@@ -654,8 +654,11 @@ def q21_waiting_suppliers(
     order date, replacing receipt/commit dates). A supplier waits an
     order if it was the ONLY late supplier in a multi-supplier 'F'
     order — the exists/not-exists pair becomes one per-(order,supp)
-    rollup plus one per-order rollup joined back: two shuffles total,
-    both on orderkey."""
+    rollup plus per-order totals as a WINDOW over orderkey (an
+    order's supplier list is tiny, so the window sort is cheap and
+    replaces the groupBy+join-back's extra shuffle + join of the big
+    side)."""
+    from pyspark.sql.window import Window
     orders = t["orders"].where(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
@@ -672,11 +675,15 @@ def q21_waiting_suppliers(
             ).alias("_late")
         )
     )
-    per_o = per_os.groupBy(F.col("o_orderkey").alias("_ok")).agg(
-        F.count("*").alias("_n_supp"), F.sum("_late").alias("_n_late")
-    )
+    w = Window.partitionBy("o_orderkey")
     waiting = (
-        per_os.join(per_o, F.col("o_orderkey") == F.col("_ok"))
+        per_os.select(
+            "o_orderkey",
+            "l_suppkey",
+            "_late",
+            F.count("*").over(w).alias("_n_supp"),
+            F.sum("_late").over(w).alias("_n_late"),
+        )
         .where(
             (F.col("_late") == 1) & (F.col("_n_supp") > 1) & (F.col("_n_late") == 1)
         )
