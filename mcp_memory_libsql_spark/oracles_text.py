@@ -449,3 +449,39 @@ SELECT doc_id,
     '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}', '<PHONE>', 'g') AS scrubbed
 FROM pii
 """
+
+
+# The composed curation pipeline: quality filter -> cluster dedup
+# keep -> stratified sample -> split assign, assembled from the same
+# fragments the individual oracles use.
+ORACLES["corpus_curate"] = (
+    MINHASH_CTE
+    + _LSH_PAIRS_CTE
+    + f""",
+quality AS (
+  SELECT doc_id FROM ({ORACLES["text_quality"]})
+  WHERE n_tokens >= 30 AND stopword_ratio <= 0.2
+),
+kept AS (
+  SELECT d.doc_id, d.lang, d.source
+  FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+  WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+),
+sampled AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4))
+           ::BIGINT % 1000 AS sample_bucket
+  FROM kept
+)
+SELECT doc_id, lang, source, sample_bucket,
+  CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))
+            ::BIGINT % 100 < 80 THEN 'train'
+       WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))
+            ::BIGINT % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM sampled
+WHERE sample_bucket < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 500
+                                WHEN 'es' THEN 500 WHEN 'fr' THEN 700
+                                WHEN 'zh' THEN 700 ELSE 0 END
+"""
+)

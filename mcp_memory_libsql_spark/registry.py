@@ -842,3 +842,12 @@ def q_events_enriched(spark, sf_dir):
     return stream_pipeline.enrich_events(
         t["events"], t["customer"], t["nation"]
     )
+
+
+@query("corpus_curate")
+def q_corpus_curate(spark, sf_dir):
+    # the composed flagship: quality -> cluster dedup -> sample -> split
+    from .textops import sampling
+
+    t = load_tables(spark, sf_dir)
+    return sampling.curate(t["documents"])

@@ -118,3 +118,59 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
         "<PHONE>",
     )
     return documents.select("doc_id", scrubbed.alias("scrubbed"))
+
+
+def curate(documents: DataFrame) -> DataFrame:
+    """The composed curation pipeline a training-data job actually
+    runs: quality filter → cluster-level near-dup removal →
+    per-language stratified sample → split assignment, in one lazy
+    plan → (doc_id, lang, source, sample_bucket, split).
+
+    Plan shape: quality signals are a narrow projection fused into
+    the scan; the near-dup drop set (tiny) broadcasts into an
+    anti-join; sampling/split are hash projections — so the whole
+    curation adds ONE doc_id-keyed shuffle (joining the quality ids
+    back to their rows) on top of the dedup clustering job."""
+    from pyspark.sql.functions import broadcast
+
+    from . import dedup as dd
+    from .quality import quality
+
+    qual_ids = (
+        quality(documents)
+        .where((F.col("n_tokens") >= 30) & (F.col("stopword_ratio") <= 0.2))
+        .select("doc_id")
+    )
+    drops = (
+        dd.dedup_clusters(documents)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    kept = (
+        documents.select("doc_id", "lang", "source")
+        .join(qual_ids, "doc_id")
+        .join(broadcast(drops), "doc_id", "left_anti")
+    )
+    sb = _bucket(F.col("doc_id"), "sample:", 1000)
+    threshold = F.lit(0)
+    for lang, rate in sorted(SAMPLE_RATES.items()):
+        threshold = F.when(F.col("lang") == lang, rate).otherwise(threshold)
+    sampled = (
+        kept.select(
+            "doc_id", "lang", "source", sb.alias("sample_bucket"),
+            threshold.alias("_t"),
+        )
+        .where(F.col("sample_bucket") < F.col("_t"))
+        .drop("_t")
+    )
+    spb = _bucket(F.col("doc_id"), "split:", 100)
+    return sampled.select(
+        "doc_id",
+        "lang",
+        "source",
+        "sample_bucket",
+        F.when(spb < 80, "train")
+        .when(spb < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
