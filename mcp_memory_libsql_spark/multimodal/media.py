@@ -129,3 +129,49 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.n_frames").alias("n_frames"),
         ),
     )
+
+
+FRAME_SCHEMA = (
+    "media_id bigint, frame_idx int, frame_bytes int, frame_md5 string"
+)
+
+
+def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling: keep every ``stride``-th frame of each media
+    blob (frame = even byte-range split by meta.n_frames, same
+    geometry as ``extract_features``) → one row per kept frame.
+
+    Arrow-batched mapInPandas with a per-row explode in pandas —
+    still a narrow map (no shuffle); output rows ≈ input rows ×
+    n_frames/stride. At 100 TB this is the decode→sample step before
+    a vision encoder; the codec is the same disclosed stub."""
+
+    def batches(it):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                blob = bytes(r.payload)
+                n_frames = max(int(r.meta["n_frames"]), 1)
+                step = max(len(blob) // n_frames, 1)
+                for i in range(0, n_frames, stride):
+                    fr = blob[i * step : (i + 1) * step]
+                    if not fr:
+                        continue
+                    out.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": i,
+                            "frame_bytes": len(fr),
+                            "frame_md5": _hl.md5(fr).hexdigest(),
+                        }
+                    )
+            yield _pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "frame_bytes", "frame_md5"],
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

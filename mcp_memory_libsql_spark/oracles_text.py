@@ -485,3 +485,28 @@ WHERE sample_bucket < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 500
                                 WHEN 'zh' THEN 700 ELSE 0 END
 """
 )
+
+# Frame sampling over the synthesized (ASCII) payloads: frame i is
+# the byte range [i*step, (i+1)*step), step = len // n_frames, kept
+# when i % 2 = 0 — byte arithmetic == char arithmetic because the
+# corpus is pure ASCII, so md5-of-substring is the frame hash.
+ORACLES["mm_frame_sample"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         CAST(n_chars % 10 + 1 AS INTEGER) AS n_frames,
+         GREATEST(length(text) // (n_chars % 10 + 1), 1) AS step
+  FROM documents
+),
+frames AS (
+  SELECT media_id, CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx,
+         text, step
+  FROM m
+)
+SELECT media_id, frame_idx,
+       CAST(length(substr(text, frame_idx * step + 1, step)) AS INTEGER)
+         AS frame_bytes,
+       md5(substr(text, frame_idx * step + 1, step)) AS frame_md5
+FROM frames
+WHERE frame_idx % 2 = 0
+  AND length(substr(text, frame_idx * step + 1, step)) > 0
+"""

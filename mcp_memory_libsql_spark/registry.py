@@ -851,3 +851,9 @@ def q_corpus_curate(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return sampling.curate(t["documents"])
+
+
+@query("mm_frame_sample")
+def q_mm_frame_sample(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return mm.sample_frames(mm.synthesize_media(t["documents"]), stride=2)
