@@ -165,3 +165,21 @@ def value_percentiles(t) -> DataFrame:
             ),
         )
     )
+
+
+def approx_user_counts(t, rsd: float = 0.02) -> DataFrame:
+    """Per-type distinct users: HyperLogLog++ estimate next to the
+    exact count. At 100 TB the exact count_distinct is a full shuffle
+    of every (type, user) pair; the HLL sketch is a fixed-size
+    mergeable state per partition — THE approximate op a large
+    pipeline actually runs. Rows-only gate (sketch estimates are
+    engine-specific); tests/test_analytics.py bounds the relative
+    error at 3·rsd."""
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("n_users_approx"),
+            F.count_distinct("user_id").alias("n_users_exact"),
+        )
+    )

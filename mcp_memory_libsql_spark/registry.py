@@ -857,3 +857,12 @@ def q_corpus_curate(spark, sf_dir):
 def q_mm_frame_sample(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return mm.sample_frames(mm.synthesize_media(t["documents"]), stride=2)
+
+
+@query("events_approx_users")
+def q_events_approx_users(spark, sf_dir):
+    # rows-only: HLL estimates are engine-specific by nature; the
+    # error bound is pytest-gated (test_analytics.py)
+    from .analytics import windows
+
+    return windows.approx_user_counts(load_tables(spark, sf_dir))

@@ -143,3 +143,14 @@ def test_dedup_clusters_converged(spark, sf_dir):
         # candidate edge share a cluster, and labels are min-ids
         assert members[p.doc_a] == members[p.doc_b]
         assert members[p.doc_a] <= p.doc_a
+
+
+def test_approx_users_error_bounded(spark, sf_dir):
+    from mcp_memory_libsql_spark.analytics import windows
+
+    rows = windows.approx_user_counts(_t(spark, sf_dir), rsd=0.02).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.n_users_approx - r.n_users_exact) <= max(
+            0.06 * r.n_users_exact, 2
+        )
