@@ -249,3 +249,36 @@ class GraphStore:
             f.write(str(v))
         os.replace(tmp, self._version_file())
         return v
+
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Snapshot GC: delete all but the newest ``keep_last``
+        snapshot versions (never the current pointer's target).
+        Returns the versions removed. The MVCC contract survives: any
+        reader that resolved ``_CURRENT`` before the vacuum reads a
+        retained version, because retention is newest-first and the
+        pointer always names the newest."""
+        import shutil
+
+        versions = self.list_versions()
+        keep = set(versions[-max(keep_last, 1):]) | {self.current_version()}
+        removed = []
+        for v in versions:
+            if v not in keep:
+                shutil.rmtree(os.path.join(self.path, f"v{v}"))
+                removed.append(v)
+        return removed
+
+    def compact(self, target_partitions: int = 4) -> int:
+        """Rewrite the current snapshot with each table coalesced to
+        ``target_partitions`` files — the small-file compaction an
+        upsert-heavy store needs (every foreachBatch micro-batch
+        writes a fresh snapshot whose file count tracks the shuffle
+        width, not the data size). Produces a NEW snapshot version
+        (readers of old versions are untouched); on a cluster this is
+        the OPTIMIZE job an ACID table format schedules."""
+        tables = {
+            tbl: df.coalesce(target_partitions)
+            for tbl, df in self.read().items()
+        }
+        return self.write(tables)

@@ -99,3 +99,45 @@ def test_connected_components_disjoint(spark):
         for r in kg_traverse.connected_components(rel, max_iter=4).collect()
     }
     assert cc == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_graphstore_vacuum_and_compact(spark, tmp_path):
+    import os
+
+    from mcp_memory_libsql_spark.kg.store import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "store"))
+    store.init_empty()
+    ents = spark.createDataFrame(
+        [("A", "t", 1), ("B", "t", 2)],
+        "name string, entity_type string, created_at bigint",
+    )
+    for _ in range(3):  # v1..v3
+        store.write(
+            {
+                "entities": ents,
+                "observations": store.read()["observations"],
+                "relations": store.read()["relations"],
+            }
+        )
+    assert store.list_versions() == [0, 1, 2, 3]
+    before = {r.name for r in store.read()["entities"].collect()}
+
+    removed = store.vacuum(keep_last=2)
+    assert removed == [0, 1]
+    assert store.list_versions() == [2, 3]
+    # current snapshot unchanged by GC
+    assert {r.name for r in store.read()["entities"].collect()} == before
+
+    v = store.compact(target_partitions=1)
+    assert v == 4
+    # compaction preserved data and shrank the file count
+    assert {r.name for r in store.read()["entities"].collect()} == before
+    files = [
+        f
+        for f in os.listdir(str(tmp_path / "store" / "v4" / "entities"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
+    # old (pre-compaction) snapshot still time-travels
+    assert {r.name for r in store.read(version=3)["entities"].collect()} == before
