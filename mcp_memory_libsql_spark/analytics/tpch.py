@@ -733,3 +733,34 @@ def q22_global_sales_opportunity(t, cutoff: str = "2000-01-01") -> DataFrame:
             F.expr("CAST(ROUND(SUM(_bal), 2) AS DOUBLE)").alias("totacctbal"),
         )
     )
+
+
+def supplier_cooccurrence(t, max_suppliers_per_part: int = 50) -> DataFrame:
+    """Supplier co-occurrence: pairs of suppliers shipping ≥1 common
+    part, with the shared-part count — the item-item co-occurrence
+    shape (recommendations, substitution analysis). The pair
+    explosion is bounded the same way the n-gram postings join is:
+    parts with more than ``max_suppliers_per_part`` distinct
+    suppliers are dropped (a part shipped by everyone carries no
+    signal and would emit k² pairs), so per-part work is ≤ cap²."""
+    pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    width = pairs.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.count("*").alias("_w")
+    ).where(F.col("_w") <= max_suppliers_per_part)
+    bounded = pairs.join(
+        broadcast(width), F.col("l_partkey") == F.col("_pk")
+    ).select("l_partkey", "l_suppkey")
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("supp_a"),
+            F.col("b.l_suppkey").alias("supp_b"),
+        )
+        .agg(F.count("*").alias("shared_parts"))
+    )

@@ -183,3 +183,38 @@ def approx_user_counts(t, rsd: float = 0.02) -> DataFrame:
             F.count_distinct("user_id").alias("n_users_exact"),
         )
     )
+
+
+def value_outliers(t, z_threshold: float = 3.0) -> DataFrame:
+    """Events whose value is a |z| > threshold outlier within its
+    event type. The moments come from exact DECIMAL sums (sum, sum of
+    squares, count), so mean and variance are exact rationals; the
+    only floating steps are one sqrt and one division — both IEEE
+    correctly-rounded, hence identical cross-engine. Two passes over
+    one shuffle: per-type moments (tiny) broadcast back into the
+    scan."""
+    from pyspark.sql.functions import broadcast
+
+    ev = t["events"].select(
+        "event_id", "event_type", F.expr(f"{_VAL}").alias("val")
+    )
+    stats = ev.groupBy(F.col("event_type").alias("_et")).agg(
+        F.expr("SUM(val)").alias("_s"),
+        F.expr("SUM(val * val)").alias("_s2"),
+        F.count("*").alias("_n"),
+    )
+    # var = (n*s2 - s^2) / n^2, exact decimal until the final divide
+    z = (
+        "(CAST(val AS DOUBLE) - CAST(_s AS DOUBLE) / _n)"
+        " / sqrt((CAST(_s2 AS DOUBLE) * _n - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE)) / (CAST(_n AS DOUBLE) * _n))"
+    )
+    return (
+        ev.join(broadcast(stats), F.col("event_type") == F.col("_et"))
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("CAST(val AS DOUBLE)").alias("value"),
+            F.expr(f"CAST(ROUND({z}, 4) AS DOUBLE)").alias("z"),
+        )
+        .where(F.expr(f"abs(z) > {z_threshold}"))
+    )

@@ -563,3 +563,39 @@ FROM events
 JOIN customer ON user_id + 1 = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 """
+
+ORACLES["events_zscores"] = """
+WITH ev AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS val
+  FROM events
+),
+stats AS (
+  SELECT event_type AS _et, SUM(val) AS _s, SUM(val * val) AS _s2,
+         COUNT(*) AS _n
+  FROM ev GROUP BY 1
+)
+SELECT event_id, event_type, value, z FROM (
+  SELECT event_id, event_type, CAST(val AS DOUBLE) AS value,
+    CAST(ROUND(
+      (CAST(val AS DOUBLE) - CAST(_s AS DOUBLE) / _n)
+      / sqrt((CAST(_s2 AS DOUBLE) * _n - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE))
+             / (CAST(_n AS DOUBLE) * _n)), 4) AS DOUBLE) AS z
+  FROM ev JOIN stats ON event_type = _et
+)
+WHERE abs(z) > 3.0
+"""
+
+ORACLES["supplier_cooccurrence"] = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+width AS (
+  SELECT l_partkey AS _pk FROM pairs GROUP BY 1 HAVING COUNT(*) <= 50
+),
+bounded AS (
+  SELECT p.l_partkey, p.l_suppkey FROM pairs p JOIN width ON l_partkey = _pk
+)
+SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+       COUNT(*) AS shared_parts
+FROM bounded a
+JOIN bounded b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+GROUP BY 1, 2
+"""

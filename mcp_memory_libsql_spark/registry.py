@@ -866,3 +866,15 @@ def q_events_approx_users(spark, sf_dir):
     from .analytics import windows
 
     return windows.approx_user_counts(load_tables(spark, sf_dir))
+
+
+@query("events_zscores")
+def q_events_zscores(spark, sf_dir):
+    from .analytics import windows
+
+    return windows.value_outliers(load_tables(spark, sf_dir))
+
+
+@query("supplier_cooccurrence")
+def q_supplier_cooccurrence(spark, sf_dir):
+    return tpch.supplier_cooccurrence(load_tables(spark, sf_dir))
