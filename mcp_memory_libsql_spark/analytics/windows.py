@@ -218,3 +218,26 @@ def value_outliers(t, z_threshold: float = 3.0) -> DataFrame:
         )
         .where(F.expr(f"abs(z) > {z_threshold}"))
     )
+
+
+def approx_value_percentiles(t, accuracy: int = 10000) -> DataFrame:
+    """Sketch twin of ``value_percentiles``: approx_percentile's
+    mergeable KLL-style digest replaces the exact per-group sort —
+    fixed memory per partition, one partial-agg shuffle, the shape
+    that survives a 100 TB group. Rows-only gate (sketch outputs are
+    engine-specific); tests bound the error against the exact op."""
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                f"CAST(ROUND(approx_percentile(value, 0.5, {accuracy}), 4)"
+                " AS DOUBLE)"
+            ).alias("p50_approx"),
+            F.expr(
+                f"CAST(ROUND(approx_percentile(value, 0.9, {accuracy}), 4)"
+                " AS DOUBLE)"
+            ).alias("p90_approx"),
+        )
+    )

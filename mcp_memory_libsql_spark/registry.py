@@ -878,3 +878,12 @@ def q_events_zscores(spark, sf_dir):
 @query("supplier_cooccurrence")
 def q_supplier_cooccurrence(spark, sf_dir):
     return tpch.supplier_cooccurrence(load_tables(spark, sf_dir))
+
+
+@query("events_approx_percentiles")
+def q_events_approx_percentiles(spark, sf_dir):
+    # rows-only: digest estimates are engine-specific; error bound
+    # vs the exact percentiles is pytest-gated (test_analytics.py)
+    from .analytics import windows
+
+    return windows.approx_value_percentiles(load_tables(spark, sf_dir))

@@ -154,3 +154,20 @@ def test_approx_users_error_bounded(spark, sf_dir):
         assert abs(r.n_users_approx - r.n_users_exact) <= max(
             0.06 * r.n_users_exact, 2
         )
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    from mcp_memory_libsql_spark.analytics import windows
+
+    t = _t(spark, sf_dir)
+    exact = {r.event_type: r for r in windows.value_percentiles(t).collect()}
+    approx = {
+        r.event_type: r for r in windows.approx_value_percentiles(t).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for et, e in exact.items():
+        a = approx[et]
+        # KLL-style digest at accuracy=10000 on ≤100k-row groups:
+        # rank error ≤ 1/accuracy → value error within a few units
+        assert abs(a.p50_approx - e.p50) <= max(0.05 * e.p50, 2.0)
+        assert abs(a.p90_approx - e.p90) <= max(0.05 * e.p90, 2.0)

@@ -83,3 +83,31 @@ def test_salted_join_is_deterministic(spark, sf_dir):
     a = salted_join(big, small, "k", n_salts=4, distribute_on="l_orderkey")
     b = salted_join(big, small, "k", n_salts=4, distribute_on="l_orderkey")
     assert a.exceptAll(b).count() == 0
+
+
+def test_q6_predicates_reach_the_scan(spark, sf_dir):
+    """The pushdown showcase stays pushed down: every q6 predicate
+    must appear in the parquet scan's PushedFilters, and the scan
+    must not read money columns the query never touches."""
+    from mcp_memory_libsql_spark.analytics.tpch import q6_forecast_revenue
+
+    df = q6_forecast_revenue(load_tables(spark, sf_dir))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters:")[1][:400]
+    assert "l_tax" not in plan.split("ReadSchema:")[1][:400]
+
+
+def test_dedup_exact_column_pruning(spark, sf_dir):
+    """Exact dedup reads only (doc_id, text) — a scan that drags the
+    full documents schema through md5 hashing is wrong at 100 TB."""
+    from mcp_memory_libsql_spark.textops.dedup import exact_groups
+    from mcp_memory_libsql_spark.io.tables import load_tables as _lt
+
+    df = exact_groups(_lt(spark, sf_dir)["documents"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1][:400]
+    assert "text" in read_schema
+    assert "lang" not in read_schema
+    assert "source" not in read_schema

@@ -232,3 +232,43 @@ def test_enrich_stream_matches_batch(spark, sf_dir, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_stateless_curation_ops_run_on_streams(spark, sf_dir, tmp_path):
+    """split_assign / stratified_sample / pii_scrub are pure column
+    expressions, so the SAME functions run unchanged on a streaming
+    frame — stream output equals the batch output on the same rows."""
+    from mcp_memory_libsql_spark.textops import sampling
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    pdf = docs.toPandas()
+    with open(src / "docs.json", "w") as f:
+        for _, row in pdf.iterrows():
+            f.write(
+                json.dumps(
+                    {
+                        "doc_id": int(row.doc_id),
+                        "text": row.text,
+                        "lang": row.lang,
+                        "source": row.source,
+                        "n_chars": int(row.n_chars),
+                    }
+                )
+                + "\n"
+            )
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = sampling.stratified_sample(stream)
+    q = pipeline.run_stream_to_memory(out, "curate_mem", mode="append")
+    try:
+        _wait(q)
+        got = spark.sql("select * from curate_mem")
+        expect = sampling.stratified_sample(docs)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+    finally:
+        q.stop()
