@@ -887,3 +887,13 @@ def q_events_approx_percentiles(spark, sf_dir):
     from .analytics import windows
 
     return windows.approx_value_percentiles(load_tables(spark, sf_dir))
+
+
+@query("vec_pq_ann")
+def q_vec_pq_ann(spark, sf_dir):
+    # rows-only: PQ codebooks are learned — recall bounded in
+    # tests/test_vector.py (overlap vs exact L2 top-k)
+    from .vector import pq
+
+    t = load_tables(spark, sf_dir)
+    return pq.ann_pq(t["embeddings"], query_vec_id=0, k=10, dim=64)

@@ -1,0 +1,150 @@
+"""Product-quantization ANN: split each vector into M subspaces,
+learn a tiny codebook per subspace, store each vector as M byte-sized
+codes, and serve queries with asymmetric distance (exact query
+subvector vs quantized database vector).
+
+Why this is the third scale path (after LSH buckets and IVF cells):
+PQ attacks STORAGE and SCAN bandwidth, not candidate count — a
+64-dim float vector (256 B) becomes M=8 codes (8 B), a 32× shrink,
+so the whole "index" fits in memory at sizes where raw vectors
+don't. At 100 TB you compose them: IVF cells prune the scan, PQ
+codes make each cell cheap to score, exact rescore on the short
+list. Everything here is DataFrame algebra: codebooks are
+label-seeded + Lloyd-refined per subspace (same recipe as ivf.py),
+assignment is a broadcast ``min_by``, and the query-time scorer is
+one broadcast LUT join + an M-term sum — no Python in the loop.
+
+Rows-only gate (learned codebooks are engine-specific);
+``tests/test_vector.py`` bounds recall against exact kNN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+M_SUB = 8  # subspaces per vector
+K_CODES = 16  # codewords per subspace codebook
+
+
+def _sq_dist(a, b):
+    d = F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def subvectors(embeddings: DataFrame, dim: int, m: int = M_SUB) -> DataFrame:
+    """(vec_id, label, sub, subvec array<double>) — one row per
+    subspace. A single slice-projection + posexplode (narrow)."""
+    width = dim // m
+    slices = F.array(
+        *[
+            F.transform(
+                F.slice("embedding", i * width + 1, width),
+                lambda x: x.cast("double"),
+            )
+            for i in range(m)
+        ]
+    )
+    return embeddings.select(
+        "vec_id", "label", F.posexplode(slices).alias("sub", "subvec")
+    )
+
+
+def train_codebooks(
+    embeddings: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
+    steps: int = 2,
+) -> DataFrame:
+    """(sub, code, centroid array<double>) — per-subspace codebooks.
+    Seeds: means over label%k groups (deterministic, no RNG); then
+    ``steps`` Lloyd iterations. All shuffles are on (sub, code) —
+    M·K groups, tiny at any SF."""
+    width = dim // m
+    sv = subvectors(embeddings, dim, m).withColumn(
+        "code", (F.col("label") % k).cast("int")
+    )
+
+    def _means(assigned: DataFrame) -> DataFrame:
+        aggs = [
+            F.avg(F.col("subvec")[i]).alias(f"c{i}") for i in range(width)
+        ]
+        per = assigned.groupBy("sub", "code").agg(*aggs)
+        return per.select(
+            "sub",
+            "code",
+            F.array(*[F.col(f"c{i}") for i in range(width)]).alias("centroid"),
+        )
+
+    books = _means(sv)
+    for _ in range(steps):
+        assigned = _assign(sv.select("vec_id", "sub", "subvec"), books)
+        books = _means(assigned)
+    return books
+
+
+def _assign(sv: DataFrame, books: DataFrame) -> DataFrame:
+    """Nearest codeword per (vec_id, sub) via broadcast + min_by."""
+    scored = sv.join(broadcast(books), "sub").select(
+        "vec_id",
+        "sub",
+        "subvec",
+        "code",
+        _sq_dist(F.col("subvec"), F.col("centroid")).alias("dist"),
+    )
+    return (
+        scored.groupBy("vec_id", "sub")
+        .agg(
+            F.min_by(
+                F.struct("subvec", "code"), F.struct("dist", "code")
+            ).alias("_best")
+        )
+        .select("vec_id", "sub", "_best.subvec", "_best.code")
+    )
+
+
+def encode(embeddings: DataFrame, books: DataFrame, dim: int, m: int = M_SUB) -> DataFrame:
+    """(vec_id, codes array<int>) — the 32×-compressed index."""
+    assigned = _assign(
+        subvectors(embeddings, dim, m).select("vec_id", "sub", "subvec"), books
+    )
+    return (
+        assigned.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("_sc"))
+        .select("vec_id", F.expr("transform(_sc, x -> x.code)").alias("codes"))
+    )
+
+
+def ann_pq(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    dim: int = 64,
+    m: int = M_SUB,
+    books: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k by asymmetric PQ distance → (vec_id, adc_dist). The
+    query's per-(sub, code) distance LUT (M·K rows) broadcasts into
+    the codes table; scoring is an M-term lookup sum — the codes
+    table is the ONLY big operand, and it's 32× smaller than the
+    vectors. Ties break on vec_id for a deterministic top-k."""
+    if books is None:
+        books = train_codebooks(embeddings, dim, m)
+    if codes is None:
+        codes = encode(embeddings, books, dim, m)
+    q = subvectors(
+        embeddings.where(F.col("vec_id") == query_vec_id), dim, m
+    ).select("sub", F.col("subvec").alias("q_sub"))
+    lut = (
+        books.join(broadcast(q), "sub")
+        .select(
+            "sub", "code", _sq_dist(F.col("q_sub"), F.col("centroid")).alias("d")
+        )
+    )
+    scored = (
+        codes.where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", F.posexplode("codes").alias("sub", "code"))
+        .join(broadcast(lut), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    return scored.orderBy("adc_dist", "vec_id").limit(k)

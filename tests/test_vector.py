@@ -123,3 +123,39 @@ def test_tfidf_embeddings_shape(spark, sf_dir):
     assert vecs.count() == docs.count()
     row = vecs.limit(1).collect()[0]
     assert len(row.embedding) == embed.NUM_FEATURES
+
+
+def test_pq_ann_recall_vs_brute_l2(emb, emb_np):
+    """PQ ADC top-10 must substantially overlap the exact L2 top-20
+    (asymmetric distance is an estimate — overlap, not identity)."""
+    from mcp_memory_libsql_spark.vector import pq
+
+    ids, mat = emb_np
+    q = mat[ids == 0][0]
+    d2 = ((mat - q) ** 2).sum(axis=1)
+    exact20 = {
+        i
+        for _, i in sorted(
+            [(d, i) for d, i in zip(d2, ids) if i != 0], key=lambda t: (t[0], t[1])
+        )[:20]
+    }
+    got = {r.vec_id for r in pq.ann_pq(emb, 0, k=10, dim=64).collect()}
+    assert len(got) == 10
+    assert len(got & exact20) >= 4
+
+
+def test_pq_codes_shape_and_determinism(emb):
+    from mcp_memory_libsql_spark.vector import pq
+
+    books = pq.train_codebooks(emb, dim=64)
+    codes = pq.encode(emb, books, dim=64)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:20]:
+        assert len(r.codes) == pq.M_SUB
+        assert all(0 <= c < pq.K_CODES for c in r.codes)
+    again = {
+        r.vec_id: tuple(r.codes)
+        for r in pq.encode(emb, books, dim=64).collect()
+    }
+    assert all(tuple(r.codes) == again[r.vec_id] for r in rows)
