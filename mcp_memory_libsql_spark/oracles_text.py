@@ -510,3 +510,25 @@ FROM frames
 WHERE frame_idx % 2 = 0
   AND length(substr(text, frame_idx * step + 1, step)) > 0
 """
+
+# Non-distinct bigram frequency table (repeats matter for LM data):
+# mirror of textops.quality.ngram_counts at n=2, k=100.
+ORACLES["text_ngram_counts"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2
+                     THEN list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i+1])
+                     ELSE []::VARCHAR[] END) AS ngram
+  FROM toks
+)
+SELECT ngram, COUNT(*) AS total_freq, COUNT(DISTINCT doc_id) AS doc_freq
+FROM grams
+GROUP BY ngram
+ORDER BY total_freq DESC, ngram
+LIMIT 100
+"""

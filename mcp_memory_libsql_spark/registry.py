@@ -897,3 +897,9 @@ def q_vec_pq_ann(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return pq.ann_pq(t["embeddings"], query_vec_id=0, k=10, dim=64)
+
+
+@query("text_ngram_counts")
+def q_text_ngram_counts(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.ngram_counts(t["documents"], n=2, k=100)

@@ -186,3 +186,34 @@ def length_histogram(documents: DataFrame, bucket_chars: int = 50) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+def ngram_counts(documents: DataFrame, n: int = 2, k: int = 100) -> DataFrame:
+    """Corpus top-k word n-grams by OCCURRENCE count (not distinct
+    per doc — this is the LM-data frequency table, where repeats
+    matter) → (ngram, total_freq, doc_freq). Non-distinct n-gram
+    explode, one partial-agg shuffle on the n-gram, deterministic
+    top-k tiebreak."""
+    toks = words(F.col("text"))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = documents.select("doc_id", F.col("text")).select(
+        "doc_id", F.explode(grams).alias("ngram")
+    )
+    return (
+        exploded.groupBy("ngram")
+        .agg(
+            F.count("*").alias("total_freq"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("total_freq").desc(), F.col("ngram"))
+        .limit(k)
+    )
