@@ -186,13 +186,33 @@ def delete_relations(relations: DataFrame, batch: DataFrame) -> DataFrame:
 class GraphStore:
     """Parquet-backed persistent snapshot store for the three KG tables.
 
-    ``path/{entities,observations,relations}`` each hold a parquet
+    ``path/v{N}/{entities,observations,relations}`` each hold a parquet
     table. Writes produce a new snapshot directory version and swap a
     ``_CURRENT`` pointer file — coarse-grained MVCC that maps onto an
     ACID table format on a real cluster.
+
+    **Delta log** (incremental writes): a version can also be a
+    *delta* — just the write batch plus a ``_TYPE`` marker naming the
+    merge op (``delta:upsert``, ``delta:delete_entities``,
+    ``delta:create_relations``, ``delta:delete_relations``). Reads
+    reconstruct state lazily: load the newest full snapshot at-or-below
+    the requested version, then fold each later delta through the same
+    pure merge functions used for eager writes. This is the LSM /
+    lakehouse MERGE pattern: a write costs O(batch) — at 100 TB the
+    base is never rewritten per batch — while batches stay
+    broadcast-sized, so merge-on-read composes broadcast joins and the
+    base table still never shuffles. ``checkpoint()`` materializes the
+    merged state as a new full snapshot, bounding read-path plan depth
+    (call it every O(10) deltas, like compaction in any LSM).
     """
 
     TABLES = ("entities", "observations", "relations")
+    DELTA_OPS = (
+        "upsert",
+        "delete_entities",
+        "create_relations",
+        "delete_relations",
+    )
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -229,26 +249,161 @@ class GraphStore:
         except FileNotFoundError:
             return []
 
+    def _type_file(self, version: int) -> str:
+        return os.path.join(self.path, f"v{version}", "_TYPE")
+
+    def version_type(self, version: int) -> str:
+        """``"snapshot"`` or ``"delta:<op>"``. Versions written before
+        the delta log existed carry no marker and are snapshots."""
+        try:
+            with open(self._type_file(version)) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return "snapshot"
+
+    def _anchor_snapshot(self, version: int) -> int:
+        """Newest full-snapshot version at or below ``version``."""
+        for v in reversed([x for x in self.list_versions() if x <= version]):
+            if self.version_type(v) == "snapshot":
+                return v
+        raise FileNotFoundError(
+            f"no anchor snapshot at or below v{version} at {self.path}"
+        )
+
     def read(self, version: int | None = None) -> dict[str, DataFrame]:
-        """Read the current snapshot, or time-travel to ``version``."""
+        """Read the current state, or time-travel to ``version``.
+
+        Merge-on-read: loads the anchor snapshot, then folds every
+        delta in ``(anchor, version]`` through the batch merge
+        functions. The result is a lazy plan; no data moves until an
+        action runs."""
         v = self.current_version() if version is None else version
         if v < 0 or (version is not None and v not in self.list_versions()):
             raise FileNotFoundError(f"no snapshot v{v} at {self.path}")
-        return {
-            tbl: self.spark.read.parquet(self._table_dir(tbl, v))
+        anchor = self._anchor_snapshot(v)
+        tables = {
+            tbl: self.spark.read.parquet(self._table_dir(tbl, anchor))
             for tbl in self.TABLES
         }
+        for dv in [x for x in self.list_versions() if anchor < x <= v]:
+            tables = self._apply_delta(tables, dv)
+        return tables
 
-    def write(self, tables: dict[str, DataFrame]) -> int:
-        v = self.current_version() + 1
-        for tbl in self.TABLES:
-            tables[tbl].write.mode("overwrite").parquet(self._table_dir(tbl, v))
+    def _delta_payload(self, version: int, name: str) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.path, f"v{version}", name)
+        )
+
+    def _apply_delta(
+        self, tables: dict[str, DataFrame], version: int
+    ) -> dict[str, DataFrame]:
+        t = self.version_type(version)
+        if t == "delta:upsert":
+            ents, obs = upsert_entities(
+                tables["entities"],
+                tables["observations"],
+                self._delta_payload(version, "batch_entities"),
+                self._delta_payload(version, "batch_observations"),
+            )
+            return {**tables, "entities": ents, "observations": obs}
+        if t == "delta:delete_entities":
+            ents, obs, rels = delete_entities(
+                tables["entities"],
+                tables["observations"],
+                tables["relations"],
+                self._delta_payload(version, "names"),
+            )
+            return {"entities": ents, "observations": obs, "relations": rels}
+        if t == "delta:create_relations":
+            rels = create_relations(
+                tables["relations"],
+                self._delta_payload(version, "batch_relations"),
+            )
+            return {**tables, "relations": rels}
+        if t == "delta:delete_relations":
+            rels = delete_relations(
+                tables["relations"],
+                self._delta_payload(version, "batch_relations"),
+            )
+            return {**tables, "relations": rels}
+        raise ValueError(f"v{version} is not a delta (type={t!r})")
+
+    def _commit_version(self, v: int) -> None:
         os.makedirs(self.path, exist_ok=True)
         tmp = self._version_file() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._version_file())
+
+    def write(self, tables: dict[str, DataFrame]) -> int:
+        """Write a FULL snapshot (cost O(store) — use the ``apply_*``
+        delta writers for incremental batches)."""
+        v = self.current_version() + 1
+        for tbl in self.TABLES:
+            tables[tbl].write.mode("overwrite").parquet(self._table_dir(tbl, v))
+        with open(self._type_file(v), "w") as f:
+            f.write("snapshot")
+        self._commit_version(v)
         return v
+
+    def write_delta(self, op: str, payload: dict[str, DataFrame]) -> int:
+        """Append a delta version holding only the write batch.
+
+        Cost is O(batch) regardless of store size — the incremental
+        write path. Requires an existing anchor snapshot."""
+        if op not in self.DELTA_OPS:
+            raise ValueError(f"unknown delta op {op!r}")
+        if self.current_version() < 0:
+            raise FileNotFoundError(
+                "delta write needs an anchor snapshot; call init_empty()/write() first"
+            )
+        v = self.current_version() + 1
+        for name, df in payload.items():
+            df.write.mode("overwrite").parquet(
+                os.path.join(self.path, f"v{v}", name)
+            )
+        with open(self._type_file(v), "w") as f:
+            f.write(f"delta:{op}")
+        self._commit_version(v)
+        return v
+
+    def apply_upsert(
+        self, batch_entities: DataFrame, batch_observations: DataFrame
+    ) -> int:
+        """create_entities as an O(batch) delta write."""
+        return self.write_delta(
+            "upsert",
+            {
+                "batch_entities": batch_entities,
+                "batch_observations": batch_observations,
+            },
+        )
+
+    def apply_delete_entities(self, names: DataFrame) -> int:
+        return self.write_delta("delete_entities", {"names": names})
+
+    def apply_create_relations(self, batch_relations: DataFrame) -> int:
+        return self.write_delta(
+            "create_relations", {"batch_relations": batch_relations}
+        )
+
+    def apply_delete_relations(self, batch_relations: DataFrame) -> int:
+        return self.write_delta(
+            "delete_relations", {"batch_relations": batch_relations}
+        )
+
+    def delta_chain_length(self, version: int | None = None) -> int:
+        """Number of deltas folded into a read at ``version`` — the
+        read-path plan-depth metric that tells you when to checkpoint."""
+        v = self.current_version() if version is None else version
+        return len(
+            [x for x in self.list_versions() if self._anchor_snapshot(v) < x <= v]
+        )
+
+    def checkpoint(self) -> int:
+        """Materialize merge-on-read state into a new full snapshot,
+        resetting delta-chain depth to zero (LSM compaction)."""
+        return self.write(self.read())
 
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
@@ -262,6 +417,11 @@ class GraphStore:
 
         versions = self.list_versions()
         keep = set(versions[-max(keep_last, 1):]) | {self.current_version()}
+        # A retained delta needs its anchor snapshot and every delta in
+        # between — extend retention down to the oldest such anchor so
+        # merge-on-read never dangles.
+        anchor = self._anchor_snapshot(min(keep))
+        keep |= {v for v in versions if v >= anchor}
         removed = []
         for v in versions:
             if v not in keep:

@@ -141,3 +141,110 @@ def test_graphstore_vacuum_and_compact(spark, tmp_path):
     assert len(files) == 1
     # old (pre-compaction) snapshot still time-travels
     assert {r.name for r in store.read(version=3)["entities"].collect()} == before
+
+
+def _mk_store(spark, tmp_path):
+    from mcp_memory_libsql_spark.kg.store import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "dstore"))
+    store.init_empty()  # v0 snapshot
+    ents = spark.createDataFrame(
+        [("A", "person", 10), ("B", "place", 20)],
+        "name string, entity_type string, created_at bigint",
+    )
+    obs = spark.createDataFrame(
+        [("A", "likes tea", 10), ("B", "is cold", 20)],
+        "entity_name string, content string, created_at bigint",
+    )
+    rels = spark.createDataFrame(
+        [("A", "B", "visited")],
+        "source string, target string, relation_type string",
+    )
+    store.write({"entities": ents, "observations": obs, "relations": rels})
+    return store
+
+
+def test_graphstore_delta_upsert_matches_eager(spark, tmp_path):
+    from mcp_memory_libsql_spark.kg.store import upsert_entities
+
+    store = _mk_store(spark, tmp_path)
+    b_ent = spark.createDataFrame(
+        [("A", "human", 99), ("C", "thing", 30)],
+        "name string, entity_type string, created_at bigint",
+    )
+    b_obs = spark.createDataFrame(
+        [("A", "likes coffee", 99), ("C", "is new", 30)],
+        "entity_name string, content string, created_at bigint",
+    )
+    base = store.read()
+    want_e, want_o = upsert_entities(
+        base["entities"], base["observations"], b_ent, b_obs
+    )
+    want = (
+        {tuple(r) for r in want_e.collect()},
+        {tuple(r) for r in want_o.collect()},
+    )
+
+    v = store.apply_upsert(b_ent, b_obs)
+    assert store.version_type(v) == "delta:upsert"
+    assert store.delta_chain_length() == 1
+    got = store.read()
+    assert {tuple(r) for r in got["entities"].collect()} == want[0]
+    assert {tuple(r) for r in got["observations"].collect()} == want[1]
+    # upserted A keeps stored created_at (reference UPDATE semantics)
+    a = {r.name: r.created_at for r in got["entities"].collect()}
+    assert a["A"] == 10 and a["C"] == 30
+
+
+def test_graphstore_delta_chain_and_checkpoint(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    store.apply_create_relations(
+        spark.createDataFrame(
+            [("B", "A", "hosted")],
+            "source string, target string, relation_type string",
+        )
+    )
+    store.apply_delete_relations(
+        spark.createDataFrame(
+            [("A", "B", "visited")],
+            "source string, target string, relation_type string",
+        )
+    )
+    store.apply_delete_entities(
+        spark.createDataFrame([("B",)], "name string")
+    )
+    assert store.delta_chain_length() == 3
+    # B gone everywhere; hosted relation (B->A) cascaded away too
+    state = store.read()
+    assert {r.name for r in state["entities"].collect()} == {"A"}
+    assert state["relations"].count() == 0
+    assert {r.entity_name for r in state["observations"].collect()} == {"A"}
+
+    # time-travel to mid-chain delta: B deleted only at the last step
+    mid = store.read(version=store.current_version() - 1)
+    assert {r.name for r in mid["entities"].collect()} == {"A", "B"}
+    assert {tuple(r) for r in mid["relations"].collect()} == {
+        ("B", "A", "hosted")
+    }
+
+    before = {tuple(r) for r in state["entities"].collect()}
+    cv = store.checkpoint()
+    assert store.version_type(cv) == "snapshot"
+    assert store.delta_chain_length() == 0
+    assert {tuple(r) for r in store.read()["entities"].collect()} == before
+
+
+def test_graphstore_vacuum_keeps_delta_anchor(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)  # v0 empty snap, v1 data snap
+    for i in range(3):  # v2..v4 deltas anchored on v1
+        store.apply_create_relations(
+            spark.createDataFrame(
+                [(f"A", "B", f"r{i}")],
+                "source string, target string, relation_type string",
+            )
+        )
+    removed = store.vacuum(keep_last=2)
+    # v0 removable; v1 is the anchor of retained deltas — must survive
+    assert removed == [0]
+    assert store.list_versions() == [1, 2, 3, 4]
+    assert store.read()["relations"].count() == 4
