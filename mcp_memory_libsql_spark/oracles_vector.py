@@ -99,3 +99,65 @@ SELECT vec_id,
     END, 6) AS DOUBLE) AS max_err
 FROM m
 """
+
+# Doc↔embedding bridge rollups (analytics/bridge.py): 1:1 join on
+# doc_id = vec_id, then per-lang / per-label audits.
+ORACLES["bridge_lang_stats"] = """
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT e.label) AS n_labels,
+       ROUND(AVG(d.n_chars), 6) AS avg_chars,
+       ROUND(AVG(sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[]))), 6)
+         AS avg_norm
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+GROUP BY d.lang
+"""
+
+ORACLES["bridge_label_purity"] = """
+WITH by_ll AS (
+  SELECT e.label, d.lang, COUNT(*) AS n
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  GROUP BY e.label, d.lang
+),
+ranked AS (
+  SELECT label, lang, n,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY n DESC, lang) AS rn
+  FROM by_ll
+)
+SELECT label,
+       SUM(n) AS n_docs,
+       COUNT(*) AS n_langs,
+       MAX(CASE WHEN rn = 1 THEN lang END) AS dominant_lang,
+       ROUND(MAX(CASE WHEN rn = 1 THEN n END) / SUM(n), 6)
+         AS dominant_share
+FROM ranked
+GROUP BY label
+"""
+
+ORACLES["bridge_centroid_outliers"] = """
+WITH pairs AS (
+  SELECT d.doc_id, d.lang, e.embedding::DOUBLE[] AS emb
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+expl AS (
+  SELECT lang, unnest(emb) AS val, generate_subscripts(emb, 1) AS pos
+  FROM pairs
+),
+cent AS (
+  SELECT lang, pos, ROUND(AVG(val), 6) AS c
+  FROM expl GROUP BY lang, pos
+),
+cvecs AS (
+  SELECT lang, list(c ORDER BY pos) AS cvec FROM cent GROUP BY lang
+)
+SELECT p.doc_id, p.lang,
+       ROUND(list_dot_product(p.emb, v.cvec)
+             / (sqrt(list_dot_product(p.emb, p.emb))
+                * sqrt(list_dot_product(v.cvec, v.cvec))), 6)
+         AS centroid_cosine
+FROM pairs p JOIN cvecs v USING (lang)
+ORDER BY centroid_cosine, p.doc_id
+LIMIT 20
+"""

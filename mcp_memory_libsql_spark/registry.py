@@ -903,3 +903,29 @@ def q_vec_pq_ann(spark, sf_dir):
 def q_text_ngram_counts(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return tq.ngram_counts(t["documents"], n=2, k=100)
+
+
+# --- doc↔embedding bridge rollups (analytics/bridge.py) ---
+
+@query("bridge_lang_stats")
+def q_bridge_lang_stats(spark, sf_dir):
+    from .analytics import bridge
+
+    t = load_tables(spark, sf_dir)
+    return bridge.lang_embedding_stats(t["documents"], t["embeddings"])
+
+
+@query("bridge_label_purity")
+def q_bridge_label_purity(spark, sf_dir):
+    from .analytics import bridge
+
+    t = load_tables(spark, sf_dir)
+    return bridge.label_purity(t["documents"], t["embeddings"])
+
+
+@query("bridge_centroid_outliers")
+def q_bridge_centroid_outliers(spark, sf_dir):
+    from .analytics import bridge
+
+    t = load_tables(spark, sf_dir)
+    return bridge.lang_centroid_outliers(t["documents"], t["embeddings"], k=20)
