@@ -104,15 +104,20 @@ def entity_upsert_stream(
     spark: SparkSession,
     dir_path: str,
     store,
+    checkpoint_every: int = 8,
 ):
     """Micro-batch entity upserts: each arriving JSON file carries
     create_entities batches (name, entity_type, created_at, plus
     observation content rows) applied to a ``GraphStore`` through the
     same merge as the batch path — streaming and batch share one
     mutation semantics (no divergent code paths to keep correct).
-    """
-    from ..kg.store import upsert_entities
 
+    Each micro-batch is an O(batch) **delta write** (the base tables
+    are never rewritten per batch — at 100 TB a full-snapshot rewrite
+    per micro-batch would be the whole job's cost); after
+    ``checkpoint_every`` deltas the store checkpoints, bounding the
+    merge-on-read chain the way an LSM compacts.
+    """
     batch_schema = StructType(
         [
             StructField("name", StringType()),
@@ -128,17 +133,13 @@ def entity_upsert_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        tables = store.read()
         batch_e = batch_df.select("name", "entity_type", "created_at").distinct()
         batch_o = batch_df.where(F.col("content").isNotNull()).select(
             F.col("name").alias("entity_name"), "content", "created_at"
         )
-        e2, o2 = upsert_entities(
-            tables["entities"], tables["observations"], batch_e, batch_o
-        )
-        store.write(
-            {"entities": e2, "observations": o2, "relations": tables["relations"]}
-        )
+        store.apply_upsert(batch_e, batch_o)
+        if checkpoint_every and store.delta_chain_length() >= checkpoint_every:
+            store.checkpoint()
 
     return stream.writeStream.foreachBatch(apply_batch).outputMode("update").start()
 

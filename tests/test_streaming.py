@@ -100,6 +100,10 @@ def test_entity_upsert_stream(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
+    # each micro-batch landed as an O(batch) delta, not a snapshot rewrite
+    assert [
+        store.version_type(v) for v in store.list_versions()
+    ] == ["snapshot", "delta:upsert", "delta:upsert"]
     t = store.read()
     ents = {r.name: r.entity_type for r in t["entities"].collect()}
     assert ents == {"E1": "t2", "E2": "t1"}
@@ -263,12 +267,22 @@ def test_stateless_curation_ops_run_on_streams(spark, sf_dir, tmp_path):
     stream = spark.readStream.schema(schema).json(str(src))
     out = sampling.stratified_sample(stream)
     q = pipeline.run_stream_to_memory(out, "curate_mem", mode="append")
+    q2 = pipeline.run_stream_to_memory(
+        sampling.split_assign(stream), "split_mem", mode="append"
+    )
     try:
         _wait(q)
+        _wait(q2)
         got = spark.sql("select * from curate_mem")
         expect = sampling.stratified_sample(docs)
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, expect.collect())
         )
+        got_split = spark.sql("select * from split_mem")
+        expect_split = sampling.split_assign(docs)
+        assert sorted(map(tuple, got_split.collect())) == sorted(
+            map(tuple, expect_split.collect())
+        )
     finally:
         q.stop()
+        q2.stop()
