@@ -213,6 +213,14 @@ class GraphStore:
         "create_relations",
         "delete_relations",
     )
+    # Natural join keys: bucketing each table on its key makes
+    # entities⋈observations (name = entity_name) and
+    # entities⋈relations (name = source) exchange-free.
+    BUCKET_KEYS = {
+        "entities": "name",
+        "observations": "entity_name",
+        "relations": "source",
+    }
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -264,7 +272,7 @@ class GraphStore:
     def _anchor_snapshot(self, version: int) -> int:
         """Newest full-snapshot version at or below ``version``."""
         for v in reversed([x for x in self.list_versions() if x <= version]):
-            if self.version_type(v) == "snapshot":
+            if self.version_type(v).startswith("snapshot"):
                 return v
         raise FileNotFoundError(
             f"no anchor snapshot at or below v{version} at {self.path}"
@@ -281,10 +289,16 @@ class GraphStore:
         if v < 0 or (version is not None and v not in self.list_versions()):
             raise FileNotFoundError(f"no snapshot v{v} at {self.path}")
         anchor = self._anchor_snapshot(v)
-        tables = {
-            tbl: self.spark.read.parquet(self._table_dir(tbl, anchor))
-            for tbl in self.TABLES
-        }
+        if self.version_type(anchor) == "snapshot:bucketed":
+            tables = {
+                tbl: self.spark.table(self._bucket_table(tbl, anchor))
+                for tbl in self.TABLES
+            }
+        else:
+            tables = {
+                tbl: self.spark.read.parquet(self._table_dir(tbl, anchor))
+                for tbl in self.TABLES
+            }
         for dv in [x for x in self.list_versions() if anchor < x <= v]:
             tables = self._apply_delta(tables, dv)
         return tables
@@ -335,14 +349,47 @@ class GraphStore:
             f.write(str(v))
         os.replace(tmp, self._version_file())
 
-    def write(self, tables: dict[str, DataFrame]) -> int:
+    def _bucket_table(self, table: str, version: int) -> str:
+        import hashlib
+
+        digest = hashlib.md5(self.path.encode()).hexdigest()[:8]
+        return f"gs_{digest}_v{version}_{table}"
+
+    def write(
+        self,
+        tables: dict[str, DataFrame],
+        bucketed: bool = False,
+        n_buckets: int = 32,
+    ) -> int:
         """Write a FULL snapshot (cost O(store) — use the ``apply_*``
-        delta writers for incremental batches)."""
+        delta writers for incremental batches).
+
+        ``bucketed=True`` persists each table as a managed
+        bucketed+sorted table on its natural join key (BUCKET_KEYS),
+        so entity⋈observation / entity⋈relation reads off this
+        snapshot are exchange-free — the ingest-time layout a
+        read-heavy 100 TB KG wants. The version directory still holds
+        the ``_TYPE`` marker; MVCC/time-travel semantics are
+        unchanged."""
         v = self.current_version() + 1
-        for tbl in self.TABLES:
-            tables[tbl].write.mode("overwrite").parquet(self._table_dir(tbl, v))
+        if bucketed:
+            for tbl in self.TABLES:
+                (
+                    tables[tbl]
+                    .write.mode("overwrite")
+                    .bucketBy(n_buckets, self.BUCKET_KEYS[tbl])
+                    .sortBy(self.BUCKET_KEYS[tbl])
+                    .format("parquet")
+                    .saveAsTable(self._bucket_table(tbl, v))
+                )
+            os.makedirs(os.path.join(self.path, f"v{v}"), exist_ok=True)
+        else:
+            for tbl in self.TABLES:
+                tables[tbl].write.mode("overwrite").parquet(
+                    self._table_dir(tbl, v)
+                )
         with open(self._type_file(v), "w") as f:
-            f.write("snapshot")
+            f.write("snapshot:bucketed" if bucketed else "snapshot")
         self._commit_version(v)
         return v
 
@@ -400,10 +447,12 @@ class GraphStore:
             [x for x in self.list_versions() if self._anchor_snapshot(v) < x <= v]
         )
 
-    def checkpoint(self) -> int:
+    def checkpoint(self, bucketed: bool = False, n_buckets: int = 32) -> int:
         """Materialize merge-on-read state into a new full snapshot,
-        resetting delta-chain depth to zero (LSM compaction)."""
-        return self.write(self.read())
+        resetting delta-chain depth to zero (LSM compaction).
+        ``bucketed=True`` re-establishes the join-key bucket layout
+        at the same time — compaction and clustering in one pass."""
+        return self.write(self.read(), bucketed=bucketed, n_buckets=n_buckets)
 
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
@@ -425,6 +474,11 @@ class GraphStore:
         removed = []
         for v in versions:
             if v not in keep:
+                if self.version_type(v) == "snapshot:bucketed":
+                    for tbl in self.TABLES:
+                        self.spark.sql(
+                            f"DROP TABLE IF EXISTS {self._bucket_table(tbl, v)}"
+                        )
                 shutil.rmtree(os.path.join(self.path, f"v{v}"))
                 removed.append(v)
         return removed

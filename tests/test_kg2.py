@@ -248,3 +248,33 @@ def test_graphstore_vacuum_keeps_delta_anchor(spark, tmp_path):
     assert removed == [0]
     assert store.list_versions() == [1, 2, 3, 4]
     assert store.read()["relations"].count() == 4
+
+
+def test_graphstore_bucketed_snapshot_join_no_exchange(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    v = store.write(store.read(), bucketed=True, n_buckets=4)
+    assert store.version_type(v) == "snapshot:bucketed"
+    t = store.read()
+    # data round-trips through the managed bucketed tables
+    assert {r.name for r in t["entities"].collect()} == {"A", "B"}
+
+    joined = t["entities"].join(
+        t["observations"],
+        t["entities"]["name"] == t["observations"]["entity_name"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Exchange" not in plan, plan
+
+    # deltas stack on a bucketed anchor like any other snapshot
+    store.apply_delete_entities(spark.createDataFrame([("B",)], "name string"))
+    assert {r.name for r in store.read()["entities"].collect()} == {"A"}
+
+    # vacuum drops the managed tables of GC'd bucketed versions
+    store.checkpoint()
+    removed = store.vacuum(keep_last=1)
+    assert v in removed
+    assert not spark.catalog.tableExists(store._bucket_table("entities", v))
