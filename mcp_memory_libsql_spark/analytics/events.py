@@ -192,3 +192,38 @@ def weekly_retention(t) -> DataFrame:
         .groupBy("week")
         .agg(F.count("*").alias("n_retained"))
     )
+
+
+def type_transitions(t) -> DataFrame:
+    """Markov transition matrix over per-user event sequences →
+    (prev_type, next_type, n, p) where p is the row-normalized
+    transition probability.
+
+    One shuffle on user_id orders each user's history (unique
+    (epoch, event_id) tuple — ROWS-frame-safe per the repo invariant);
+    the transition rollup then reduces bigram rows, and the
+    per-prev_type normalizer is a tiny broadcast-size aggregate
+    Catalyst folds into a second window-free join.
+    """
+    from pyspark.sql.window import Window
+
+    by_user = Window.partitionBy("user_id").orderBy(
+        F.unix_timestamp("ts"), "event_id"
+    )
+    bigrams = (
+        t.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(by_user))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = bigrams.groupBy("prev_type").agg(F.sum("n").alias("_tot"))
+    return (
+        bigrams.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("p"),
+        )
+    )

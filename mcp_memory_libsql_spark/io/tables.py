@@ -53,8 +53,10 @@ def _events_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(conf_key, "true")
         try:
             raw = spark.read.parquet(table_path(sf_dir, "events"))
+            # integer DIV, not `/ 1000`: float division of epoch-nanos
+            # (~1.7e18 > 2^53) loses microsecond precision
             micros = raw.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
             path = tempfile.mkdtemp(prefix="spark_events_micros_")
             # the write action executes inside the conf scope

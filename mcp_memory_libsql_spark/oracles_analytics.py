@@ -599,3 +599,85 @@ FROM bounded a
 JOIN bounded b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
 GROUP BY 1, 2
 """
+
+# --- temporal operators (analytics/temporal.py) ---
+# As-of join ground truth: rank qualifying clicks per purchase by
+# (click_t DESC, click_id DESC) — same tiebreak as the Spark union +
+# last(ignorenulls) ordering (t, kind, event_id).
+ORACLES["events_asof_attribution"] = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_t
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_t
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.purchase_id, p.user_id, c.click_id,
+         p.purchase_t - c.click_t AS us_since_click,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY c.click_t DESC, c.click_id DESC) AS rn
+  FROM p JOIN c
+    ON p.user_id = c.user_id AND c.click_t <= p.purchase_t
+)
+SELECT purchase_id, user_id, click_id, us_since_click FROM j WHERE rn = 1
+"""
+
+ORACLES["events_range_attribution"] = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS us_between
+FROM events p JOIN events c ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND CAST(21600 AS BIGINT) * 1000000
+"""
+
+# Rollup: minute from raw, hour/day from finer partials; decimal-exact
+# sums make the values engine-independent.
+ORACLES["events_hypertable"] = """
+WITH m AS (
+  SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 60) * 60 AS bucket_start,
+         event_type, COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS _sum
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT (bucket_start // 3600) * 3600 AS bucket_start, event_type,
+         SUM(n_events) AS n_events, SUM(_sum) AS _sum
+  FROM m GROUP BY 1, 2
+),
+d AS (
+  SELECT (bucket_start // 86400) * 86400 AS bucket_start, event_type,
+         SUM(n_events) AS n_events, SUM(_sum) AS _sum
+  FROM h GROUP BY 1, 2
+)
+SELECT 'minute' AS granularity, bucket_start, event_type, n_events,
+       CAST(_sum AS DOUBLE) AS sum_value FROM m
+UNION ALL
+SELECT 'hour', bucket_start, event_type, n_events,
+       CAST(_sum AS DOUBLE) FROM h
+UNION ALL
+SELECT 'day', bucket_start, event_type, n_events,
+       CAST(_sum AS DOUBLE) FROM d
+"""
+
+# Per-user event-type bigram transition counts + row-normalized
+# probability — ground truth for analytics/events.py type_transitions.
+ORACLES["events_transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS next_type
+  FROM events
+),
+bi AS (
+  SELECT event_type AS prev_type, next_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, SUM(n) AS _tot FROM bi GROUP BY 1)
+SELECT b.prev_type, b.next_type, b.n,
+       ROUND(CAST(b.n AS DOUBLE) / t._tot, 6) AS p
+FROM bi b JOIN tot t ON b.prev_type = t.prev_type
+"""

@@ -332,3 +332,33 @@ walk AS (
 )
 SELECT name, CAST(MIN(d) AS INTEGER) AS depth FROM walk GROUP BY name
 """
+
+# Neighbor-overlap Jaccard over the hub-capped inverted neighbor
+# index — ground truth for kg/similarity.py similar_entities
+# (cap=256, threshold=0.1; sizes are post-cap, like the Spark side).
+ORACLES["kg_similar_entities"] = f"""{KG_CTE},
+und AS (
+  SELECT source AS name, target AS nbr FROM relations
+  UNION
+  SELECT target, source FROM relations
+),
+und2 AS (SELECT name, nbr FROM und WHERE name <> nbr),
+kept AS (
+  SELECT nbr FROM und2 GROUP BY nbr HAVING COUNT(*) <= 256
+),
+p AS (SELECT u.name, u.nbr FROM und2 u JOIN kept k USING (nbr)),
+sizes AS (SELECT name, COUNT(*) AS sz FROM p GROUP BY name),
+pairs AS (
+  SELECT x.name AS entity_a, y.name AS entity_b, COUNT(*) AS inter_size
+  FROM p x JOIN p y ON x.nbr = y.nbr AND x.name < y.name
+  GROUP BY 1, 2
+)
+SELECT entity_a, entity_b, inter_size, sa.sz AS size_a, sb.sz AS size_b,
+       ROUND(CAST(inter_size AS DOUBLE)
+             / (sa.sz + sb.sz - inter_size), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.name = entity_a
+JOIN sizes sb ON sb.name = entity_b
+WHERE ROUND(CAST(inter_size AS DOUBLE)
+            / (sa.sz + sb.sz - inter_size), 6) >= 0.1
+"""

@@ -929,3 +929,44 @@ def q_bridge_centroid_outliers(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return bridge.lang_centroid_outliers(t["documents"], t["embeddings"], k=20)
+
+
+# --- temporal operators (analytics/temporal.py): as-of join, range
+#     (interval) join, hypertable continuous-aggregate rollup ---
+
+@query("events_asof_attribution")
+def q_events_asof_attribution(spark, sf_dir):
+    from .analytics import temporal
+
+    t = load_tables(spark, sf_dir)
+    return temporal.asof_attribution(t["events"])
+
+
+@query("events_range_attribution")
+def q_events_range_attribution(spark, sf_dir):
+    from .analytics import temporal
+
+    t = load_tables(spark, sf_dir)
+    return temporal.range_attribution(t["events"], window_secs=21600)
+
+
+@query("events_transitions")
+def q_events_transitions(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.type_transitions(t["events"])
+
+
+@query("kg_similar_entities")
+def q_kg_similar_entities(spark, sf_dir):
+    from .kg import similarity
+
+    g, _ = _kg(spark, sf_dir)
+    return similarity.similar_entities(g["relations"], threshold=0.1)
+
+
+@query("events_hypertable")
+def q_events_hypertable(spark, sf_dir):
+    from .analytics import temporal
+
+    t = load_tables(spark, sf_dir)
+    return temporal.hypertable_rollup(t["events"])

@@ -171,3 +171,53 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         # rank error ≤ 1/accuracy → value error within a few units
         assert abs(a.p50_approx - e.p50) <= max(0.05 * e.p50, 2.0)
         assert abs(a.p90_approx - e.p90) <= max(0.05 * e.p90, 2.0)
+
+
+def test_asof_picks_latest_click_at_or_before(spark, sf_dir):
+    from mcp_memory_libsql_spark.analytics import temporal
+
+    ev = _t(spark, sf_dir)["events"]
+    out = temporal.asof_attribution(ev).collect()
+    assert out
+    clicks = {
+        (r.user_id, r.event_id): r.t
+        for r in ev.where(F.col("event_type") == "click")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("t"))
+        .collect()
+    }
+    for r in out:
+        assert r.us_since_click >= 0
+        t_click = clicks[(r.user_id, r.click_id)]
+        # no other click strictly between the chosen one and the purchase
+        later = [
+            t for (u, _), t in clicks.items()
+            if u == r.user_id and t_click < t <= t_click + r.us_since_click
+        ]
+        assert not later
+
+
+def test_range_join_window_and_no_duplicates(spark, sf_dir):
+    from mcp_memory_libsql_spark.analytics import temporal
+
+    ev = _t(spark, sf_dir)["events"]
+    out = temporal.range_attribution(ev, window_secs=21600)
+    rows = out.collect()
+    assert rows
+    assert all(0 <= r.us_between <= 21600 * 1_000_000 for r in rows)
+    # bucket replication must not double-count any (purchase, click) pair
+    assert out.count() == out.select("purchase_id", "click_id").distinct().count()
+
+
+def test_hypertable_levels_are_consistent(spark, sf_dir):
+    from mcp_memory_libsql_spark.analytics import temporal
+
+    ev = _t(spark, sf_dir)["events"]
+    out = temporal.hypertable_rollup(ev)
+    by_gran = {
+        r.granularity: (r.n, round(r.s, 2))
+        for r in out.groupBy("granularity")
+        .agg(F.sum("n_events").alias("n"), F.sum("sum_value").alias("s"))
+        .collect()
+    }
+    assert by_gran["minute"] == by_gran["hour"] == by_gran["day"]
+    assert by_gran["minute"][0] == ev.count()

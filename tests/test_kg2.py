@@ -278,3 +278,34 @@ def test_graphstore_bucketed_snapshot_join_no_exchange(spark, tmp_path):
     removed = store.vacuum(keep_last=1)
     assert v in removed
     assert not spark.catalog.tableExists(store._bucket_table("entities", v))
+
+
+def test_similar_entities_jaccard_and_symmetry(spark, sf_dir):
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.kg import similarity, views
+
+    rel = views.relations(load_tables(spark, sf_dir))
+    out = similarity.similar_entities(rel, threshold=0.1)
+    rows = out.collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.entity_a < r.entity_b  # canonical orientation, no dupes
+        assert 0 < r.inter_size <= min(r.size_a, r.size_b)
+        union = r.size_a + r.size_b - r.inter_size
+        assert abs(r.jaccard - r.inter_size / union) < 1e-6
+        assert r.jaccard >= 0.1
+
+
+def test_similar_entities_cap_bounds_pairs(spark, sf_dir):
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.kg import similarity, views
+    from pyspark.sql import functions as F
+
+    rel = views.relations(load_tables(spark, sf_dir))
+    # tiny cap: every surviving neighbor contributes <= C(cap,2) pairs
+    out = similarity.similar_entities(rel, threshold=0.0, cap=8)
+    und = similarity.undirected_neighbors(rel)
+    kept = (
+        und.groupBy("nbr").count().where(F.col("count") <= 8).count()
+    )
+    assert out.count() <= kept * 28  # C(8,2)
