@@ -164,6 +164,14 @@ def hypertable_rollup(events: DataFrame) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).alias("_sum"),
         )
     )
+    return rollup_from_minutes(minutes)
+
+
+def rollup_from_minutes(minutes: DataFrame) -> DataFrame:
+    """Derive the hour/day levels and the stacked output from a
+    minute-grain partials frame (bucket_start, event_type, n_events,
+    _sum) — shared by the batch rollup and the streaming
+    continuous-aggregate reader so both serve identical rows."""
 
     def _coarsen(finer: DataFrame, secs: int) -> DataFrame:
         return (

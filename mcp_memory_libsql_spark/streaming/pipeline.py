@@ -168,3 +168,101 @@ def enrich_events(events: DataFrame, customer: DataFrame, nation: DataFrame) -> 
         "c_mktsegment",
         "n_name",
     )
+
+
+def interval_join_stream(
+    events: DataFrame,
+    window_secs: int = 21600,
+    watermark: str = "1 hour",
+    right_type: str = "purchase",
+    left_type: str = "click",
+) -> DataFrame:
+    """Streaming twin of ``analytics.temporal.range_attribution`` —
+    Spark's NATIVE watermarked stream-stream interval join (no custom
+    state code): every purchase joined to all same-user clicks in the
+    preceding ``window_secs``.
+
+    Both sides carry a watermark and the join condition bounds event
+    time on both sides, so the state store evicts rows once
+    ``watermark + window`` has passed — bounded state at any ingest
+    rate, which is why this beats hand-rolled state for the interval
+    join (the batch bucket-replicate trick exists only because batch
+    has no state store).
+    """
+    clicks = (
+        events.where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""p_user_id = c_user_id
+            AND c_ts <= p_ts
+            AND c_ts >= p_ts - INTERVAL {window_secs} SECONDS"""
+        ),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user_id").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("us_between"),
+    )
+
+
+def hypertable_stream(
+    events: DataFrame, sink_dir: str, checkpoint_dir: str
+):
+    """Continuous-aggregate maintenance — streaming twin of
+    ``analytics.temporal.hypertable_rollup``'s minute level: each
+    micro-batch appends its minute-grain PARTIALS (count + exact
+    decimal sum) to a parquet delta log; readers merge partials on
+    read (``read_hypertable``). O(micro-batch) writes, never a
+    rewrite of the aggregate table — the same merge-on-read trade the
+    GraphStore delta log makes, and how TimescaleDB refreshes a
+    continuous aggregate incrementally.
+    """
+    minute_start = (F.unix_timestamp("ts") / 60).cast("bigint") * 60
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partials = batch_df.groupBy(
+            minute_start.alias("bucket_start"), F.col("event_type")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sum"),
+        )
+        partials.write.mode("append").parquet(sink_dir)
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_hypertable(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Merge-on-read over the streamed minute partials, then the same
+    finer→coarser derivation as the batch rollup — so a stream-built
+    hypertable serves the identical (granularity, bucket, type) rows
+    the batch operator computes from raw history."""
+    from ..analytics import temporal
+
+    partials = spark.read.parquet(sink_dir)
+    minutes = partials.groupBy("bucket_start", "event_type").agg(
+        F.sum("n_events").alias("n_events"), F.sum("_sum").alias("_sum")
+    )
+    return temporal.rollup_from_minutes(minutes)

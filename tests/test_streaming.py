@@ -286,3 +286,75 @@ def test_stateless_curation_ops_run_on_streams(spark, sf_dir, tmp_path):
     finally:
         q.stop()
         q2.stop()
+
+
+def _events_as_json_files(spark, sf_dir, tmp_path, n_files=3):
+    events = load_tables(spark, sf_dir)["events"]
+    pdf = events.toPandas()
+    src = tmp_path / "stream_src"
+    src.mkdir(exist_ok=True)
+    n = len(pdf)
+    for i in range(n_files):
+        chunk = pdf.iloc[i * n // n_files : (i + 1) * n // n_files]
+        with open(src / f"part{i}.json", "w") as f:
+            for _, row in chunk.iterrows():
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": int(row.event_id),
+                            "ts": row.ts.isoformat(),
+                            "user_id": int(row.user_id),
+                            "event_type": row.event_type,
+                            "value": float(row.value),
+                            "props": row.props,
+                        }
+                    )
+                    + "\n"
+                )
+    return events, src
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
+    from mcp_memory_libsql_spark.analytics import temporal
+
+    events, src = _events_as_json_files(spark, sf_dir, tmp_path)
+    stream = pipeline.read_event_stream(spark, str(src))
+    joined = pipeline.interval_join_stream(stream, window_secs=21600)
+    q = pipeline.run_stream_to_memory(joined, "ivj", mode="append")
+    _wait(q)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.purchase_id, r.click_id, r.us_between)
+        for r in spark.table("ivj").collect()
+    }
+    want = {
+        (r.purchase_id, r.click_id, r.us_between)
+        for r in temporal.range_attribution(events, window_secs=21600).collect()
+    }
+    # the stream may legitimately drop pairs whose click aged past the
+    # watermark before the purchase arrived; with the whole history in
+    # 3 in-order files and a 1h watermark none should be dropped here
+    assert got == want
+
+
+def test_hypertable_stream_matches_batch(spark, sf_dir, tmp_path):
+    from mcp_memory_libsql_spark.analytics import temporal
+
+    events, src = _events_as_json_files(spark, sf_dir, tmp_path)
+    sink = str(tmp_path / "ht_sink")
+    ckpt = str(tmp_path / "ht_ckpt")
+    stream = pipeline.read_event_stream(spark, str(src))
+    q = pipeline.hypertable_stream(stream, sink, ckpt)
+    _wait(q)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.granularity, r.bucket_start, r.event_type, r.n_events, r.sum_value)
+        for r in pipeline.read_hypertable(spark, sink).collect()
+    }
+    want = {
+        (r.granularity, r.bucket_start, r.event_type, r.n_events, r.sum_value)
+        for r in temporal.hypertable_rollup(events).collect()
+    }
+    assert got == want
