@@ -227,3 +227,39 @@ def type_transitions(t) -> DataFrame:
             F.round(F.col("n") / F.col("_tot"), 6).alias("p"),
         )
     )
+
+
+def mad_outliers(t, k: float = 3.0) -> DataFrame:
+    """Robust per-type outliers by median absolute deviation →
+    (event_id, user_id, event_type, value, med, mad, score) for
+    events with |value − median| > k·MAD. MAD tolerates the heavy
+    tails that wreck z-scores (events_zscores is the moment-based
+    twin).
+
+    Two tiny per-type aggregates (exact interpolated medians — the
+    5-type groupBy collapses to a handful of rows) broadcast back
+    against the big table; the big side is scanned twice but never
+    shuffled on a wide key.
+    """
+    med = t.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    d = t.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = d.groupBy("event_type").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (F.col("absdev") > k * F.col("mad")))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(F.col("absdev") / F.col("mad"), 6).alias("score"),
+        )
+    )

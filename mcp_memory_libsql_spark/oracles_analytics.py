@@ -681,3 +681,26 @@ SELECT b.prev_type, b.next_type, b.n,
        ROUND(CAST(b.n AS DOUBLE) / t._tot, 6) AS p
 FROM bi b JOIN tot t ON b.prev_type = t.prev_type
 """
+
+# MAD outliers — exact interpolated medians (quantile_cont ==
+# Spark percentile on these <=2-decimal inputs), IEEE-identical
+# abs/div on both engines given identical inputs.
+ORACLES["events_mad_outliers"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT e.event_id, e.user_id, e.event_type, e.value, m.med,
+         ABS(e.value - m.med) AS absdev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM d GROUP BY 1
+)
+SELECT d.event_id, d.user_id, d.event_type, d.value,
+       ROUND(d.med, 6) AS med, ROUND(mad.mad, 6) AS mad,
+       ROUND(d.absdev / mad.mad, 6) AS score
+FROM d JOIN mad USING (event_type)
+WHERE mad.mad > 0 AND d.absdev > 3.0 * mad.mad
+"""

@@ -950,6 +950,12 @@ def q_events_range_attribution(spark, sf_dir):
     return temporal.range_attribution(t["events"], window_secs=21600)
 
 
+@query("events_mad_outliers")
+def q_events_mad_outliers(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.mad_outliers(t["events"], k=3.0)
+
+
 @query("events_transitions")
 def q_events_transitions(spark, sf_dir):
     t = load_tables(spark, sf_dir)

@@ -358,3 +358,60 @@ def test_hypertable_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in temporal.hypertable_rollup(events).collect()
     }
     assert got == want
+
+
+def test_hypertable_stream_restart_resumes_from_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """Stop the maintenance job, deliver more data, restart with the
+    SAME checkpoint: the file source must resume past already-ingested
+    files (no double-counted partials) and the merged hypertable must
+    equal the batch rollup over the full history."""
+    from mcp_memory_libsql_spark.analytics import temporal
+
+    events = load_tables(spark, sf_dir)["events"]
+    pdf = events.toPandas()
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    sink = str(tmp_path / "restart_sink")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def write_chunk(i, lo, hi):
+        with open(src / f"part{i}.json", "w") as f:
+            for _, row in pdf.iloc[lo:hi].iterrows():
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": int(row.event_id),
+                            "ts": row.ts.isoformat(),
+                            "user_id": int(row.user_id),
+                            "event_type": row.event_type,
+                            "value": float(row.value),
+                            "props": row.props,
+                        }
+                    )
+                    + "\n"
+                )
+
+    n = len(pdf)
+    write_chunk(0, 0, n // 2)
+    stream = pipeline.read_event_stream(spark, str(src))
+    q = pipeline.hypertable_stream(stream, sink, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    write_chunk(1, n // 2, n)
+    stream2 = pipeline.read_event_stream(spark, str(src))
+    q2 = pipeline.hypertable_stream(stream2, sink, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        (r.granularity, r.bucket_start, r.event_type, r.n_events, r.sum_value)
+        for r in pipeline.read_hypertable(spark, sink).collect()
+    }
+    want = {
+        (r.granularity, r.bucket_start, r.event_type, r.n_events, r.sum_value)
+        for r in temporal.hypertable_rollup(events).collect()
+    }
+    assert got == want
