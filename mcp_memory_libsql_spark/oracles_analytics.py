@@ -704,3 +704,33 @@ SELECT d.event_id, d.user_id, d.event_type, d.value,
 FROM d JOIN mad USING (event_type)
 WHERE mad.mad > 0 AND d.absdev > 3.0 * mad.mad
 """
+
+# Count-min heavy hitters — DuckDB builds the IDENTICAL md5-derived
+# sketch (depth 4, width 1024), so estimates match exactly.
+ORACLES["events_heavy_hitters_cms"] = """
+WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+seeds AS (SELECT unnest(range(0, 4)) AS seed),
+rws AS (
+  SELECT key, seed,
+         ('0x' || substr(md5(seed || ':' || key), 1, 8))::BIGINT % 1024
+           AS bucket
+  FROM keys CROSS JOIN seeds
+),
+sketch AS (SELECT seed, bucket, COUNT(*) AS c FROM rws GROUP BY 1, 2),
+exact AS (SELECT key, COUNT(*) AS exact_count FROM keys GROUP BY 1),
+probes AS (
+  SELECT key, exact_count, seed,
+         ('0x' || substr(md5(seed || ':' || key), 1, 8))::BIGINT % 1024
+           AS bucket
+  FROM exact CROSS JOIN seeds
+),
+est AS (
+  SELECT p.key, p.exact_count, MIN(s.c) AS est_count
+  FROM probes p JOIN sketch s USING (seed, bucket)
+  GROUP BY 1, 2
+)
+SELECT CAST(key AS BIGINT) AS user_id, est_count, exact_count
+FROM est
+ORDER BY est_count DESC, user_id
+LIMIT 20
+"""

@@ -532,3 +532,30 @@ GROUP BY ngram
 ORDER BY total_freq DESC, ngram
 LIMIT 100
 """
+
+# Decontamination containment — note NO doc-frequency cap (unlike
+# SHINGLE_CTE): the check must see common shingles too.
+ORACLES["text_decontaminate"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE []::VARCHAR[] END)) AS shingle
+  FROM toks
+),
+bench AS (SELECT doc_id AS bench_id, shingle FROM sh0 WHERE doc_id % 20 = 0),
+corp AS (SELECT doc_id, shingle FROM sh0 WHERE doc_id % 20 <> 0),
+bs AS (SELECT bench_id, COUNT(*) AS bench_size FROM bench GROUP BY 1),
+inter AS (
+  SELECT c.doc_id, b.bench_id, COUNT(*) AS inter_size
+  FROM corp c JOIN bench b USING (shingle) GROUP BY 1, 2
+)
+SELECT i.doc_id, i.bench_id, i.inter_size, bs.bench_size,
+       ROUND(CAST(i.inter_size AS DOUBLE) / bs.bench_size, 6) AS containment
+FROM inter i JOIN bs USING (bench_id)
+WHERE ROUND(CAST(i.inter_size AS DOUBLE) / bs.bench_size, 6) >= 0.5
+"""

@@ -950,6 +950,20 @@ def q_events_range_attribution(spark, sf_dir):
     return temporal.range_attribution(t["events"], window_secs=21600)
 
 
+@query("events_heavy_hitters_cms")
+def q_events_heavy_hitters_cms(spark, sf_dir):
+    from .analytics import sketches
+
+    t = load_tables(spark, sf_dir)
+    return sketches.heavy_hitters(t["events"], k=20)
+
+
+@query("text_decontaminate")
+def q_text_decontaminate(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.benchmark_contamination(t["documents"], bench_mod=20, n=3, tau=0.5)
+
+
 @query("events_mad_outliers")
 def q_events_mad_outliers(spark, sf_dir):
     t = load_tables(spark, sf_dir)

@@ -367,3 +367,51 @@ def cluster_canonical_docs(documents: DataFrame, n: int = 3) -> DataFrame:
     return documents.join(broadcast(drops), "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+def benchmark_contamination(
+    documents: DataFrame,
+    bench_mod: int = 20,
+    n: int = 3,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Training-data decontamination: corpus docs containing ≥ ``tau``
+    of a benchmark doc's n-gram shingles → (doc_id, bench_id,
+    inter_size, bench_size, containment).
+
+    Containment (|C∩B| / |B|) — not Jaccard — is the right asymmetry:
+    a long training doc that swallows a short benchmark item whole has
+    low Jaccard but containment 1.0 (the GPT-style n-gram-overlap
+    decontamination check). The benchmark here is carved from the
+    corpus deterministically (doc_id % bench_mod == 0) so the gate is
+    self-contained; in production it's any small eval table.
+
+    Scale: the benchmark shingle table is broadcast (eval sets are
+    MBs when the corpus is TBs), so the corpus scan joins map-side
+    with NO shuffle of the big table; the only shuffle is the
+    (doc, bench) pair rollup, whose size is bounded by matches, not
+    by the corpus. No DF cap: decontamination must not ignore
+    common shingles — the benchmark side being small already bounds
+    the explosion.
+    """
+    sh = _exploded_shingles(documents, n)
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench = sh.where(is_bench).withColumnRenamed("doc_id", "bench_id")
+    corpus = sh.where(~is_bench)
+    bench_sizes = bench.groupBy("bench_id").agg(
+        F.count("*").alias("bench_size")
+    )
+    inter = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("inter_size"))
+    )
+    return (
+        inter.join(F.broadcast(bench_sizes), "bench_id")
+        .withColumn(
+            "containment",
+            F.round(F.col("inter_size") / F.col("bench_size"), 6),
+        )
+        .where(F.col("containment") >= tau)
+        .select("doc_id", "bench_id", "inter_size", "bench_size", "containment")
+    )

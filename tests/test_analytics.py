@@ -221,3 +221,25 @@ def test_hypertable_levels_are_consistent(spark, sf_dir):
     }
     assert by_gran["minute"] == by_gran["hour"] == by_gran["day"]
     assert by_gran["minute"][0] == ev.count()
+
+
+def test_cms_never_undercounts_and_merges(spark, sf_dir):
+    from mcp_memory_libsql_spark.analytics import sketches
+
+    ev = _t(spark, sf_dir)["events"]
+    top = sketches.heavy_hitters(ev, k=50).collect()
+    assert top
+    assert all(r.est_count >= r.exact_count for r in top)
+    # mergeable: summing the two half-sketches == whole-table sketch
+    keyed = ev.select(F.col("user_id").cast("string").alias("key"))
+    h1 = keyed.where(F.col("key").cast("bigint") % 2 == 0)
+    h2 = keyed.where(F.col("key").cast("bigint") % 2 == 1)
+    merged = (
+        sketches.cms_counters(h1)
+        .unionByName(sketches.cms_counters(h2))
+        .groupBy("seed", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = sketches.cms_counters(keyed)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
