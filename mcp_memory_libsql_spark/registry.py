@@ -950,6 +950,14 @@ def q_events_range_attribution(spark, sf_dir):
     return temporal.range_attribution(t["events"], window_secs=21600)
 
 
+@query("vec_pca")
+def q_vec_pca(spark, sf_dir):
+    from .vector import pca
+
+    t = load_tables(spark, sf_dir)
+    return pca.pca_projection(t["embeddings"], k=8)
+
+
 @query("events_heavy_hitters_cms")
 def q_events_heavy_hitters_cms(spark, sf_dir):
     from .analytics import sketches

@@ -159,3 +159,52 @@ def test_pq_codes_shape_and_determinism(emb):
         for r in pq.encode(emb, books, dim=64).collect()
     }
     assert all(tuple(r.codes) == again[r.vec_id] for r in rows)
+
+
+def test_pca_components_orthonormal_and_variance_ordered(spark, sf_dir):
+    import numpy as np
+
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.vector import pca
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    comps, mu, ev = pca.fit_pca(emb, k=8)
+    assert comps.shape == (8, 64) and mu.shape == (64,)
+    np.testing.assert_allclose(comps @ comps.T, np.eye(8), atol=1e-8)
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+    assert (ev >= -1e-9).all()
+
+
+def test_pca_projection_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.vector import pca
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    comps, mu, _ = pca.fit_pca(emb, k=4)
+    got = {
+        r.vec_id: np.asarray(r.pc)
+        for r in pca.project(emb, comps, mu).collect()
+    }
+    pdfs = emb.select("vec_id", "embedding").toPandas()
+    x = np.stack(pdfs["embedding"].to_numpy()).astype(np.float64)
+    want = (x - mu) @ comps.T
+    for i, vid in enumerate(pdfs["vec_id"]):
+        np.testing.assert_allclose(got[vid], want[i], atol=1e-9)
+
+
+def test_pca_first_component_maximizes_variance(spark, sf_dir):
+    import numpy as np
+
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.vector import pca
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    comps, mu, ev = pca.fit_pca(emb, k=2)
+    pdfs = emb.select("embedding").toPandas()
+    x = np.stack(pdfs["embedding"].to_numpy()).astype(np.float64) - mu
+    # variance along pc1 >= variance along any coordinate axis
+    v1 = ((x @ comps[0]) ** 2).mean()
+    assert v1 + 1e-9 >= x.var(axis=0).max()
+    np.testing.assert_allclose(v1, ev[0], rtol=1e-8)
