@@ -1,0 +1,74 @@
+"""Market-basket association rules over order baskets —
+support / confidence / lift for part pairs co-purchased in one order
+(the directional-rule extension of the symmetric
+``supplier_cooccurrence`` pair counts).
+
+Scale notes: baskets are naturally bounded (an order has at most a
+handful of lineitems), so the per-basket pair explosion is O(1) per
+order and the whole computation is two shuffles — one to the basket
+key to build the in-row item list, one on the pair key to count.
+The basket count and per-item counts are broadcast back; the big
+table never joins itself. All rule metrics are exact rationals of
+counts (portable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def association_rules(lineitem: DataFrame, min_pair: int = 3) -> DataFrame:
+    """Directional rules a→b with co-occurrence ≥ ``min_pair`` →
+    (antecedent, consequent, pair_n, n_a, n_b, support, confidence,
+    lift)."""
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    item_cnt = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("cnt")
+    )
+    n_baskets = baskets.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    lists = baskets.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ids")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    und = (
+        lists.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("pair_n"))
+        .where(F.col("pair_n") >= min_pair)
+    )
+    directed = und.unionByName(
+        und.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "pair_n"
+        )
+    )
+    ca = item_cnt.select(F.col("item").alias("a"), F.col("cnt").alias("n_a"))
+    cb = item_cnt.select(F.col("item").alias("b"), F.col("cnt").alias("n_b"))
+    return (
+        directed.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            "pair_n",
+            "n_a",
+            "n_b",
+            F.round(F.col("pair_n") / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("pair_n") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("pair_n") * F.col("n_baskets")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

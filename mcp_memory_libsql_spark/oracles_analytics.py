@@ -734,3 +734,33 @@ FROM est
 ORDER BY est_count DESC, user_id
 LIMIT 20
 """
+
+# Market-basket rules — all metrics exact rationals of counts.
+ORACLES["basket_rules"] = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ic AS (SELECT l_partkey AS item, COUNT(*) AS cnt FROM b GROUP BY 1),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM b),
+und AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS bb, COUNT(*) AS pair_n
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+d AS (
+  SELECT a, bb FROM und UNION ALL SELECT bb, a FROM und
+),
+dd AS (
+  SELECT d.a, d.bb, u.pair_n FROM d
+  JOIN und u ON (u.a = LEAST(d.a, d.bb) AND u.bb = GREATEST(d.a, d.bb))
+)
+SELECT dd.a AS antecedent, dd.bb AS consequent, dd.pair_n,
+       ca.cnt AS n_a, cb.cnt AS n_b,
+       ROUND(CAST(dd.pair_n AS DOUBLE) / nb.n_baskets, 6) AS support,
+       ROUND(CAST(dd.pair_n AS DOUBLE) / ca.cnt, 6) AS confidence,
+       ROUND(CAST(dd.pair_n AS DOUBLE) * nb.n_baskets
+             / (ca.cnt * cb.cnt), 6) AS lift
+FROM dd
+JOIN ic ca ON ca.item = dd.a
+JOIN ic cb ON cb.item = dd.bb
+CROSS JOIN nb
+"""

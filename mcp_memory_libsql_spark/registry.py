@@ -950,6 +950,14 @@ def q_events_range_attribution(spark, sf_dir):
     return temporal.range_attribution(t["events"], window_secs=21600)
 
 
+@query("basket_rules")
+def q_basket_rules(spark, sf_dir):
+    from .analytics import basket
+
+    t = load_tables(spark, sf_dir)
+    return basket.association_rules(t["lineitem"], min_pair=2)
+
+
 @query("vec_pca")
 def q_vec_pca(spark, sf_dir):
     from .vector import pca

@@ -415,3 +415,30 @@ def test_hypertable_stream_restart_resumes_from_checkpoint(
         for r in temporal.hypertable_rollup(events).collect()
     }
     assert got == want
+
+
+def test_cms_counters_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The count-min counter matrix is a plain streaming aggregation
+    (explode + groupBy count) — the sketch a streaming job maintains
+    IS the batch sketch once all data has arrived."""
+    from mcp_memory_libsql_spark.analytics import sketches
+
+    events, src = _events_as_json_files(spark, sf_dir, tmp_path)
+    stream = pipeline.read_event_stream(spark, str(src))
+    skt = sketches.cms_counters(
+        stream.select(F.col("user_id").cast("string").alias("key"))
+    )
+    q = pipeline.run_stream_to_memory(skt, "cms_stream", mode="complete")
+    _wait(q)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.seed, r.bucket, r.c) for r in spark.table("cms_stream").collect()
+    }
+    want = {
+        (r.seed, r.bucket, r.c)
+        for r in sketches.cms_counters(
+            events.select(F.col("user_id").cast("string").alias("key"))
+        ).collect()
+    }
+    assert got == want
