@@ -126,3 +126,79 @@ def similar_entities(
             "jaccard",
         )
     )
+
+
+MINHASH_K = 8
+MINHASH_BANDS = 8  # single-hash bands: catch low-jaccard pairs too
+BUCKET_CAP = 256
+
+
+def similar_entities_minhash(
+    relations: DataFrame,
+    min_est: float = 0.25,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """MinHash twin of :func:`similar_entities` → (entity_a,
+    entity_b, est_jaccard) for band-colliding pairs with estimated
+    neighbor-Jaccard ≥ ``min_est``.
+
+    This is the extreme-scale path: signatures are K=8 md5-chunk
+    min-hashes of the neighbor set (the textops.dedup family applied
+    with neighbors as shingles), so each entity is reduced to 64
+    bytes before any pairing happens; candidates come from
+    single-hash band buckets (bucket-grouped pair generation, one
+    shuffle on the band key, bucket width capped), and the estimate
+    is signature agreement — the full neighbor sets are never
+    intersected. Work scales with Σ C(bucket, 2) ≤ cap · #banded
+    rows, independent of neighbor-set width.
+    """
+    und = undirected_neighbors(relations)
+    d = und.select(
+        "name",
+        F.md5(F.col("nbr")).alias("d1"),
+        F.md5(F.concat(F.lit("x:"), F.col("nbr"))).alias("d2"),
+    )
+    aggs = []
+    for i in range(MINHASH_K):
+        src = F.col("d1") if i < 4 else F.col("d2")
+        chunk = F.substring(src, 1 + 8 * (i % 4), 8)
+        aggs.append(F.min(F.conv(chunk, 16, 10).cast("bigint")).alias(f"h{i}"))
+    sig = d.groupBy("name").agg(*aggs).persist()
+
+    keys = F.array(
+        *[
+            F.concat_ws("_", F.lit(str(b)), F.col(f"h{b}").cast("string"))
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    banded = sig.select("name", F.explode(keys).alias("band_key"))
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cand = (
+        banded.groupBy("band_key")
+        .agg(F.sort_array(F.collect_list("name")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap))
+        .select(F.explode(combos).alias("p"))
+        .select(F.col("p.a").alias("entity_a"), F.col("p.b").alias("entity_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("name").alias("entity_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)])
+    sb = sig.select(F.col("name").alias("entity_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)])
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    return (
+        cand.join(sa, "entity_a")
+        .join(sb, "entity_b")
+        .withColumn("est_jaccard", F.round(agree / MINHASH_K, 6))
+        .where(F.col("est_jaccard") >= min_est)
+        .select("entity_a", "entity_b", "est_jaccard")
+    )

@@ -362,3 +362,46 @@ JOIN sizes sb ON sb.name = entity_b
 WHERE ROUND(CAST(inter_size AS DOUBLE)
             / (sa.sz + sb.sz - inter_size), 6) >= 0.1
 """
+
+# MinHash twin of kg_similar_entities: identical md5-chunk signature
+# family as the text minhash oracles, neighbors playing the shingle
+# role; single-hash bands, bucket cap 256, est >= 0.25.
+_KG_MINHASH_HASHES = ", ".join(
+    "MIN(('0x' || substr(md5(" + ("nbr" if i < 4 else "'x:' || nbr")
+    + f"), {1 + 8 * (i % 4)}, 8))::BIGINT) AS h{i}"
+    for i in range(8)
+)
+_KG_MINHASH_BANDS = "\n  UNION ALL\n".join(
+    f"  SELECT name, '{b}_' || CAST(h{b} AS VARCHAR) AS band_key FROM sig"
+    for b in range(8)
+)
+_KG_MINHASH_AGREE = " + ".join(
+    f"CAST(sa.h{i} = sb.h{i} AS INTEGER)" for i in range(8)
+)
+ORACLES["kg_similar_minhash"] = f"""{KG_CTE},
+und AS (
+  SELECT source AS name, target AS nbr FROM relations
+  UNION
+  SELECT target, source FROM relations
+),
+und2 AS (SELECT name, nbr FROM und WHERE name <> nbr),
+sig AS (SELECT name, {_KG_MINHASH_HASHES} FROM und2 GROUP BY name),
+banded AS (
+{_KG_MINHASH_BANDS}
+),
+buckets AS (
+  SELECT band_key FROM banded GROUP BY band_key
+  HAVING COUNT(*) BETWEEN 2 AND 256
+),
+cand AS (
+  SELECT DISTINCT a.name AS entity_a, b.name AS entity_b
+  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.name < b.name
+  WHERE a.band_key IN (SELECT band_key FROM buckets)
+)
+SELECT cand.entity_a, cand.entity_b,
+       ROUND(({_KG_MINHASH_AGREE}) / 8.0, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON cand.entity_a = sa.name
+JOIN sig sb ON cand.entity_b = sb.name
+WHERE ROUND(({_KG_MINHASH_AGREE}) / 8.0, 6) >= 0.25
+"""

@@ -986,6 +986,14 @@ def q_events_mad_outliers(spark, sf_dir):
     return ev_ops.mad_outliers(t["events"], k=3.0)
 
 
+@query("kg_similar_minhash")
+def q_kg_similar_minhash(spark, sf_dir):
+    from .kg import similarity
+
+    g, _ = _kg(spark, sf_dir)
+    return similarity.similar_entities_minhash(g["relations"], min_est=0.25)
+
+
 @query("events_transitions")
 def q_events_transitions(spark, sf_dir):
     t = load_tables(spark, sf_dir)

@@ -309,3 +309,28 @@ def test_similar_entities_cap_bounds_pairs(spark, sf_dir):
         und.groupBy("nbr").count().where(F.col("count") <= 8).count()
     )
     assert out.count() <= kept * 28  # C(8,2)
+
+
+def test_minhash_similarity_finds_top_exact_pair(spark, sf_dir):
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.kg import similarity, views
+    from pyspark.sql import functions as F
+
+    rel = views.relations(load_tables(spark, sf_dir))
+    top = (
+        similarity.similar_entities(rel, threshold=0.5)
+        .orderBy(F.desc("jaccard"), "entity_a")
+        .limit(1)
+        .collect()
+    )
+    assert top, "fixture graph should contain a high-jaccard pair"
+    est = {
+        (r.entity_a, r.entity_b): r.est_jaccard
+        for r in similarity.similar_entities_minhash(rel, min_est=0.25).collect()
+    }
+    key = (top[0].entity_a, top[0].entity_b)
+    # a 0.5+ true-jaccard pair collides on >=1 of 8 single-hash bands
+    # with probability 1-(1-j)^8 > 0.99 and estimates near truth
+    assert key in est
+    assert est[key] >= 0.25
+    assert all(0.25 <= v <= 1.0 for v in est.values())
