@@ -263,3 +263,24 @@ def mad_outliers(t, k: float = 3.0) -> DataFrame:
             F.round(F.col("absdev") / F.col("mad"), 6).alias("score"),
         )
     )
+
+
+def user_activity_ranks(t) -> DataFrame:
+    """Per-user activity rank features → (user_id, n_events,
+    pct_rank, decile): percent_rank and ntile(10) over event count —
+    the stratification key for activity-balanced train/eval splits.
+
+    The window's ORDER BY (n_events, user_id) is a UNIQUE tuple, so
+    ranks and tile boundaries are deterministic (the repo's ROWS-frame
+    invariant); the window runs over the per-user rollup (|users|
+    rows), not the raw table."""
+    from pyspark.sql.window import Window
+
+    counts = t.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    w = Window.orderBy("n_events", "user_id")
+    return counts.select(
+        "user_id",
+        "n_events",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(10).over(w).alias("decile"),
+    )

@@ -764,3 +764,15 @@ JOIN ic ca ON ca.item = dd.a
 JOIN ic cb ON cb.item = dd.bb
 CROSS JOIN nb
 """
+
+# Activity ranks — unique (n_events, user_id) ordering makes
+# percent_rank and ntile deterministic.
+ORACLES["events_activity_ranks"] = """
+WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1)
+SELECT user_id, n_events,
+       ROUND(PERCENT_RANK() OVER (ORDER BY n_events, user_id), 6)
+         AS pct_rank,
+       CAST(NTILE(10) OVER (ORDER BY n_events, user_id) AS INTEGER)
+         AS decile
+FROM c
+"""

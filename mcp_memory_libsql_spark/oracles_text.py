@@ -559,3 +559,20 @@ SELECT i.doc_id, i.bench_id, i.inter_size, bs.bench_size,
 FROM inter i JOIN bs USING (bench_id)
 WHERE ROUND(CAST(i.inter_size AS DOUBLE) / bs.bench_size, 6) >= 0.5
 """
+
+# Lexical rarity — integer-exact df stats per doc.
+ORACLES["text_rarity"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+           regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+  FROM documents
+),
+df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok)
+SELECT t.doc_id,
+       COUNT(*) AS n_unique_tokens,
+       ROUND(CAST(SUM(d.df) AS DOUBLE) / COUNT(*), 6) AS mean_df,
+       ROUND(CAST(SUM(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS rare_frac
+FROM toks t JOIN df d USING (tok)
+GROUP BY t.doc_id
+"""

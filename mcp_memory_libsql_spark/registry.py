@@ -986,6 +986,18 @@ def q_events_mad_outliers(spark, sf_dir):
     return ev_ops.mad_outliers(t["events"], k=3.0)
 
 
+@query("events_activity_ranks")
+def q_events_activity_ranks(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.user_activity_ranks(t["events"])
+
+
+@query("text_rarity")
+def q_text_rarity(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.lexical_rarity(t["documents"], rare_df=2)
+
+
 @query("kg_similar_minhash")
 def q_kg_similar_minhash(spark, sf_dir):
     from .kg import similarity

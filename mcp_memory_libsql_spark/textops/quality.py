@@ -217,3 +217,36 @@ def ngram_counts(documents: DataFrame, n: int = 2, k: int = 100) -> DataFrame:
         .orderBy(F.col("total_freq").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+def lexical_rarity(documents: DataFrame, rare_df: int = 2) -> DataFrame:
+    """Corpus-relative lexical rarity per doc → (doc_id,
+    n_unique_tokens, mean_df, rare_frac): mean document-frequency of
+    the doc's distinct tokens and the fraction with df ≤ ``rare_df``.
+
+    Low mean_df / high rare_frac marks jargon-heavy or noisy docs —
+    a quality-scoring signal next to the stopword/punct ratios, and
+    (unlike a unigram-LM perplexity) built from integer counts only,
+    so it is exactly portable across engines.
+
+    One shuffle builds the df table (distinct (doc, token) → token
+    rollup); the per-doc rollup reuses the same exploded rows. At
+    100 TB the df table is vocabulary-sized — orders smaller than the
+    corpus — and both aggregations are map-side combinable."""
+    toks = documents.select(
+        "doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias("tok")
+    )
+    df = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    return (
+        toks.join(df, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_unique_tokens"),
+            F.round(F.sum("df") / F.count("*"), 6).alias("mean_df"),
+            F.round(
+                F.sum(F.when(F.col("df") <= rare_df, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("rare_frac"),
+        )
+    )
