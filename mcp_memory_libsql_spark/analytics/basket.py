@@ -72,3 +72,46 @@ def association_rules(lineitem: DataFrame, min_pair: int = 3) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation → (o_custkey, recency_days,
+    frequency, monetary, r_score, f_score, m_score, rfm_cell).
+
+    Recency is days from the customer's last order to the corpus max
+    date (1-row broadcast, the q11/q15 scalar pattern); monetary is
+    decimal-exact; the three ntile(5) windows run over the per-customer
+    rollup with UNIQUE (metric, custkey) orderings so scores are
+    deterministic. Higher score = better (more recent / more
+    frequent / higher spend)."""
+    from pyspark.sql.window import Window
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+        ).cast("double").alias("monetary"),
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    scored = per_cust.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days",
+        F.datediff(F.col("ref_date"), F.col("last_order")).cast("bigint"),
+    )
+    w_r = Window.orderBy(F.desc("recency_days"), "o_custkey")
+    w_f = Window.orderBy("frequency", "o_custkey")
+    w_m = Window.orderBy("monetary", "o_custkey")
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    ).withColumn(
+        "rfm_cell",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("integer"),
+    )

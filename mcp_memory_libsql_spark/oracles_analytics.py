@@ -776,3 +776,33 @@ SELECT user_id, n_events,
          AS decile
 FROM c
 """
+
+# RFM segmentation — decimal-exact monetary, unique-ordered ntiles.
+ORACLES["orders_rfm"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY 1
+),
+ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+scored AS (
+  SELECT p.*, CAST(date_diff('day', last_order, ref_date) AS BIGINT)
+           AS recency_days
+  FROM per_cust p CROSS JOIN ref
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+            AS INTEGER) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey)
+            AS INTEGER) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey)
+            AS INTEGER) AS m_score,
+       CAST(NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) * 100
+          + NTILE(5) OVER (ORDER BY frequency, o_custkey) * 10
+          + NTILE(5) OVER (ORDER BY monetary, o_custkey)
+            AS INTEGER) AS rfm_cell
+FROM scored
+"""

@@ -986,6 +986,14 @@ def q_events_mad_outliers(spark, sf_dir):
     return ev_ops.mad_outliers(t["events"], k=3.0)
 
 
+@query("orders_rfm")
+def q_orders_rfm(spark, sf_dir):
+    from .analytics import basket
+
+    t = load_tables(spark, sf_dir)
+    return basket.rfm_segments(t["orders"])
+
+
 @query("events_activity_ranks")
 def q_events_activity_ranks(spark, sf_dir):
     t = load_tables(spark, sf_dir)
