@@ -284,3 +284,25 @@ def user_activity_ranks(t) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+def seasonality_profile(t) -> DataFrame:
+    """Hour-of-day × day-of-week activity profile → (dow, hour,
+    n_events, sum_value, n_users). Calendar math is integer epoch
+    arithmetic ((epoch//86400 + 4) % 7, Thursday anchor) rather than
+    engine date functions, whose week-start conventions differ —
+    portable by construction. Single scan, one rollup."""
+    epoch = F.unix_timestamp("ts")
+    return (
+        t.groupBy(
+            ((F.floor(epoch / 86400) + 4) % 7).cast("integer").alias("dow"),
+            ((epoch % 86400) / 3600).cast("integer").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

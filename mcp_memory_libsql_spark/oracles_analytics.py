@@ -806,3 +806,18 @@ SELECT o_custkey, recency_days, frequency, monetary,
             AS INTEGER) AS rfm_cell
 FROM scored
 """
+
+# Seasonality — integer epoch calendar math (portable week-start).
+ORACLES["events_seasonality"] = """
+WITH e AS (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch, user_id, value
+  FROM events
+)
+SELECT CAST((epoch // 86400 + 4) % 7 AS INTEGER) AS dow,
+       CAST((epoch % 86400) // 3600 AS INTEGER) AS hour,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e GROUP BY 1, 2
+"""

@@ -986,6 +986,12 @@ def q_events_mad_outliers(spark, sf_dir):
     return ev_ops.mad_outliers(t["events"], k=3.0)
 
 
+@query("events_seasonality")
+def q_events_seasonality(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.seasonality_profile(t["events"])
+
+
 @query("orders_rfm")
 def q_orders_rfm(spark, sf_dir):
     from .analytics import basket
