@@ -266,3 +266,25 @@ def read_hypertable(spark: SparkSession, sink_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"), F.sum("_sum").alias("_sum")
     )
     return temporal.rollup_from_minutes(minutes)
+
+
+def neardup_stream(
+    docs: DataFrame, ts_col: str = "ts", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: drop arriving docs whose
+    per-row SimHash (``textops.dedup.simhash_sql`` — the stateless
+    twin of the batch bit-majority signature) was already seen within
+    the watermark horizon.
+
+    Exact-identity dedup (``dedup_stream``) misses boilerplate
+    variants; keying the state on the SimHash value collapses
+    highly-similar docs to one representative. State is one row per
+    distinct simhash inside the horizon — the same bounded-TTL trade
+    as the exact stream, with the same single stateful operator (the
+    signature itself adds NO state: it's a column expression)."""
+    from ..textops.dedup import simhash_sql
+
+    keyed = docs.withColumn("simhash", simhash_sql("text"))
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["simhash"]
+    )

@@ -24,7 +24,7 @@ All hashes are md5-derived so the DuckDB oracle matches bit-for-bit
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..vector.similarity import cosine
@@ -415,3 +415,44 @@ def benchmark_contamination(
         .where(F.col("containment") >= tau)
         .select("doc_id", "bench_id", "inter_size", "bench_size", "containment")
     )
+
+
+def simhash_sql(text_col: str, n: int = 3) -> Column:
+    """Per-ROW SimHash of a named text column — the same
+    bit-majority over 60-bit shingle hashes as
+    :func:`simhash_signatures`, but as ONE pure column expression
+    (a single ``aggregate`` pass carrying a 60-element vote
+    accumulator, folded to the bit-packed BIGINT).
+
+    Stateless, so it runs where the groupBy formulation can't: inside
+    a streaming ``select`` (``streaming.pipeline.neardup_stream``) or
+    any per-row context, with zero shuffles. Differences from the
+    batch operator, by design: no corpus DF cap (a row can't see
+    corpus frequencies), and shingle-less docs get simhash 0 instead
+    of no row. Built via ``F.expr`` because SQL ``shiftright``
+    accepts a column shift amount (the Python builtin takes only a
+    literal)."""
+    w = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    shingles = (
+        f"CASE WHEN size({w}) >= {n} THEN array_distinct("
+        f"transform(sequence(1, size({w}) - {n - 1}), i -> "
+        + " || ' ' || ".join(f"element_at({w}, i + {j})" for j in range(n))
+        + ")) ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    hashes = (
+        f"transform({shingles}, s -> "
+        f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"
+    )
+    votes = (
+        f"aggregate({hashes}, "
+        f"array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(a, j) -> a + (shiftright(h, CAST(j AS INT)) & CAST(1 AS BIGINT))"
+        f" * 2 - 1))"
+    )
+    packed = (
+        f"aggregate(zip_with({votes}, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(v, j) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)), "
+        f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    return F.expr(packed)

@@ -442,3 +442,76 @@ def test_cms_counters_stream_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_neardup_stream_keeps_one_per_simhash(spark, sf_dir, tmp_path):
+    from mcp_memory_libsql_spark.textops import dedup as dd
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pdf = docs.toPandas()
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    base = 1_700_000_000
+    with open(src / "docs.json", "w") as f:
+        for _, row in pdf.iterrows():
+            f.write(
+                json.dumps(
+                    {
+                        "doc_id": int(row.doc_id),
+                        "ts": base + int(row.doc_id),
+                        "text": row.text,
+                    }
+                )
+                + "\n"
+            )
+        # verbatim re-arrivals (crawler re-fetches): same text, later ts
+        for _, row in pdf.head(20).iterrows():
+            f.write(
+                json.dumps(
+                    {
+                        "doc_id": int(row.doc_id) + 10_000,
+                        "ts": base + 5_000 + int(row.doc_id),
+                        "text": row.text,
+                    }
+                )
+                + "\n"
+            )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_seconds("ts"))
+    )
+    out = pipeline.neardup_stream(stream)
+    q = pipeline.run_stream_to_memory(out, "neardup", mode="append")
+    _wait(q)
+    q.processAllAvailable()
+    q.stop()
+    kept = spark.table("neardup").select("doc_id", "simhash").collect()
+    batch = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", dd.simhash_sql("text").alias("sh")
+        ).collect()
+    }
+    # exactly one survivor per distinct signature; all 20 re-arrivals
+    # (doc_id >= 10000) suppressed in favor of the first arrival
+    assert len(kept) == len(set(batch.values()))
+    assert len({r.simhash for r in kept}) == len(kept)
+    assert all(r.doc_id < 10_000 for r in kept)
+    for r in kept:
+        assert batch[r.doc_id] == r.simhash

@@ -89,3 +89,47 @@ def test_embedding_near_pairs_threshold(spark, sf_dir):
     for r in pairs.collect():
         assert r.cosine_sim >= 0.99
         assert r.vec_a < r.vec_b
+
+
+def test_simhash_sql_matches_uncapped_aggregation(spark, sf_dir):
+    """The per-row simhash expression must equal the posexplode/
+    groupBy bit-majority computed WITHOUT the corpus DF cap (the only
+    intended semantic difference from simhash_signatures)."""
+    from pyspark.sql import functions as F
+
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.textops import dedup as dd
+    from mcp_memory_libsql_spark.textops.tokenize import md5_hash60
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    perrow = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", dd.simhash_sql("text").alias("sh")).collect()
+    }
+    sh = dd._exploded_shingles(docs, 3).select(
+        "doc_id", md5_hash60(F.col("shingle")).alias("h")
+    )
+    bits = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 59), j -> shiftright(h, j)"
+                " & CAST(1 AS BIGINT))"
+            )
+        ).alias("j", "bit"),
+    )
+    votes = bits.groupBy("doc_id", "j").agg(F.sum(F.col("bit") * 2 - 1).alias("v"))
+    agg = {
+        r.doc_id: r.sh
+        for r in votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("sh")
+        )
+        .collect()
+    }
+    assert agg and all(perrow[k] == v for k, v in agg.items())
