@@ -288,3 +288,39 @@ def neardup_stream(
     return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["simhash"]
     )
+
+
+def relation_upsert_stream(
+    spark: SparkSession,
+    dir_path: str,
+    store,
+    checkpoint_every: int = 8,
+):
+    """Micro-batch relation creation — the streaming twin of the
+    reference's ``create_relations`` tool (src/index.ts:207,
+    src/db/client.ts:298-338), completing the live write surface next
+    to ``entity_upsert_stream``: arriving JSON files carry (source,
+    target, relation_type) rows applied as O(batch) GraphStore deltas
+    through the SAME merge as the batch path, with periodic
+    checkpoints bounding the merge-on-read chain."""
+    rel_schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("target", StringType()),
+            StructField("relation_type", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(rel_schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(dir_path)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        store.apply_create_relations(
+            batch_df.select("source", "target", "relation_type")
+        )
+        if checkpoint_every and store.delta_chain_length() >= checkpoint_every:
+            store.checkpoint()
+
+    return stream.writeStream.foreachBatch(apply_batch).outputMode("update").start()

@@ -515,3 +515,38 @@ def test_neardup_stream_keeps_one_per_simhash(spark, sf_dir, tmp_path):
     assert all(r.doc_id < 10_000 for r in kept)
     for r in kept:
         assert batch[r.doc_id] == r.simhash
+
+
+def test_relation_upsert_stream(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "rel_store"))
+    store.init_empty()
+    # relations require existing endpoints
+    store.apply_upsert(
+        spark.createDataFrame(
+            [("A", "t", 1), ("B", "t", 1), ("C", "t", 1)],
+            "name string, entity_type string, created_at bigint",
+        ),
+        spark.createDataFrame(
+            [], "entity_name string, content string, created_at bigint"
+        ),
+    )
+    src = tmp_path / "rel_src"
+    src.mkdir()
+    with open(src / "r1.json", "w") as f:
+        f.write(json.dumps({"source": "A", "target": "B", "relation_type": "knows"}) + "\n")
+    q = pipeline.relation_upsert_stream(spark, str(src), store)
+    try:
+        q.processAllAvailable()
+        with open(src / "r2.json", "w") as f:
+            f.write(json.dumps({"source": "A", "target": "B", "relation_type": "knows"}) + "\n")  # dup
+            f.write(json.dumps({"source": "B", "target": "C", "relation_type": "likes"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kinds = [store.version_type(v) for v in store.list_versions()]
+    assert kinds[-2:] == ["delta:create_relations", "delta:create_relations"]
+    rels = {
+        (r.source, r.target, r.relation_type)
+        for r in store.read()["relations"].collect()
+    }
+    assert rels == {("A", "B", "knows"), ("B", "C", "likes")}
