@@ -306,3 +306,46 @@ def seasonality_profile(t) -> DataFrame:
             F.count_distinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+def ab_value_test(t) -> DataFrame:
+    """Hash-split A/B readout on the value metric → one row (n_a,
+    n_b, mean_a, mean_b, diff, t_stat): Welch two-sample t statistic
+    between md5-parity user cohorts.
+
+    The variant is the md5 parity of user_id (the portable
+    hash-split the train/val splitter uses — deterministic, no
+    assignment table). Moments are EXACT decimals (value is
+    2-decimal, value² 4-decimal), so the double formula downstream is
+    bit-identical across engines; group sizes are event counts and
+    never degenerate."""
+    from ..textops.tokenize import md5_hash32
+
+    v = F.col("value").cast("decimal(18,2)")
+    keyed = t.select(
+        (md5_hash32(F.col("user_id").cast("string")) % 2).alias("variant"),
+        v.alias("v"),
+        (v * v).alias("v2"),
+    )
+    agg = keyed.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("v"))).alias("sa"),
+        F.sum(F.when(F.col("variant") == 1, F.col("v"))).alias("sb"),
+        F.sum(F.when(F.col("variant") == 0, F.col("v2"))).alias("sa2"),
+        F.sum(F.when(F.col("variant") == 1, F.col("v2"))).alias("sb2"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    sa2, sb2 = F.col("sa2").cast("double"), F.col("sb2").cast("double")
+    ma, mb = sa / na, sb / nb
+    va = (sa2 - sa * sa / na) / (na - 1)
+    vb = (sb2 - sb * sb / nb) / (nb - 1)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(mb - ma, 6).alias("diff"),
+        F.round((mb - ma) / F.sqrt(va / na + vb / nb), 6).alias("t_stat"),
+    )

@@ -821,3 +821,31 @@ SELECT CAST((epoch // 86400 + 4) % 7 AS INTEGER) AS dow,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM e GROUP BY 1, 2
 """
+
+# A/B value test — md5-parity split, Welch t from exact decimal moments.
+ORACLES["events_ab_test"] = """
+WITH k AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+           AS variant,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS v2
+  FROM events
+),
+agg AS (
+  SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+         CAST(SUM(CASE WHEN variant = 0 THEN v END) AS DOUBLE) AS sa,
+         CAST(SUM(CASE WHEN variant = 1 THEN v END) AS DOUBLE) AS sb,
+         CAST(SUM(CASE WHEN variant = 0 THEN v2 END) AS DOUBLE) AS sa2,
+         CAST(SUM(CASE WHEN variant = 1 THEN v2 END) AS DOUBLE) AS sb2
+  FROM k
+)
+SELECT n_a, n_b,
+       ROUND(sa / n_a, 6) AS mean_a,
+       ROUND(sb / n_b, 6) AS mean_b,
+       ROUND(sb / n_b - sa / n_a, 6) AS diff,
+       ROUND((sb / n_b - sa / n_a)
+           / sqrt(((sa2 - sa * sa / n_a) / (n_a - 1)) / n_a
+                + ((sb2 - sb * sb / n_b) / (n_b - 1)) / n_b), 6) AS t_stat
+FROM agg
+"""

@@ -576,3 +576,25 @@ SELECT t.doc_id,
 FROM toks t JOIN df d USING (tok)
 GROUP BY t.doc_id
 """
+
+# Per-lang Pearson corr from exact integer moments.
+ORACLES["text_len_token_corr"] = """
+WITH m AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(CAST(length(text) AS BIGINT)) AS sx,
+         SUM(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             AS BIGINT)) AS sy,
+         SUM(CAST(length(text) AS BIGINT) * length(text)) AS sxx,
+         SUM(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             AS BIGINT)
+           * len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS syy,
+         SUM(CAST(length(text) AS BIGINT)
+           * len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS sxy
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs,
+       ROUND(CAST(n_docs * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                  * CAST(n_docs * syy - sy * sy AS DOUBLE)), 6) AS corr
+FROM m
+"""

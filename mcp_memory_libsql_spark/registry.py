@@ -986,6 +986,18 @@ def q_events_mad_outliers(spark, sf_dir):
     return ev_ops.mad_outliers(t["events"], k=3.0)
 
 
+@query("text_len_token_corr")
+def q_text_len_token_corr(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.length_token_corr(t["documents"])
+
+
+@query("events_ab_test")
+def q_events_ab_test(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.ab_value_test(t["events"])
+
+
 @query("events_seasonality")
 def q_events_seasonality(spark, sf_dir):
     t = load_tables(spark, sf_dir)

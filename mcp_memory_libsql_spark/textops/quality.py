@@ -250,3 +250,34 @@ def lexical_rarity(documents: DataFrame, rare_df: int = 2) -> DataFrame:
             ).alias("rare_frac"),
         )
     )
+
+
+def length_token_corr(documents: DataFrame) -> DataFrame:
+    """Per-language Pearson correlation of char length vs token count
+    → (lang, n_docs, corr).
+
+    Built from EXACT integer moments (Σx, Σy, Σx², Σy², Σxy in
+    BIGINT — never a streaming co-moment like ``F.corr``, whose
+    result depends on aggregation order), then one double formula:
+    products stay < 2^53 for corpora up to ~10⁹ docs × 10⁴ chars, so
+    the double math is identical across engines. One scan, one tiny
+    rollup."""
+    x = F.length("text").cast("bigint")
+    y = F.size(words(F.col("text"))).cast("bigint")
+    m = documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n_docs")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "lang",
+        "n_docs",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
+    )
