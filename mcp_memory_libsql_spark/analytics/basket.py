@@ -115,3 +115,49 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("integer"),
     )
+
+
+def revenue_pareto(lineitem: DataFrame) -> DataFrame:
+    """Revenue concentration (the 80/20 readout) → (l_partkey,
+    revenue, share, cum_share, revenue_rank) over exact-decimal
+    per-part revenue.
+
+    The window runs over the per-part rollup (|parts| rows, not the
+    fact table) with a UNIQUE (revenue DESC, partkey) ordering; the
+    cumulative sum stays DECIMAL until the final share division, so
+    cum_share is exact-input double math on both engines. The grand
+    total is a 1-row broadcast."""
+    from pyspark.sql.window import Window
+
+    rev = F.sum(
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (
+                F.lit(1).cast("decimal(3,2)")
+                - F.col("l_discount").cast("decimal(4,2)")
+            )
+        )
+    ).alias("_rev")
+    per_part = lineitem.groupBy("l_partkey").agg(rev)
+    total = per_part.agg(F.sum("_rev").alias("_total"))
+    w = (
+        Window.orderBy(F.desc("_rev"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.orderBy(F.desc("_rev"), "l_partkey")
+    return (
+        per_part.withColumn("_cum", F.sum("_rev").over(w))
+        .withColumn("revenue_rank", F.row_number().over(wr))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            F.round("_rev", 2).cast("double").alias("revenue"),
+            F.round(
+                F.col("_rev").cast("double") / F.col("_total").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.col("_cum").cast("double") / F.col("_total").cast("double"), 6
+            ).alias("cum_share"),
+            "revenue_rank",
+        )
+    )

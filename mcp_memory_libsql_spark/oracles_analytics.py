@@ -849,3 +849,21 @@ SELECT n_a, n_b,
                 + ((sb2 - sb * sb / n_b) / (n_b - 1)) / n_b), 6) AS t_stat
 FROM agg
 """
+
+# Pareto — decimal-exact cumsum, unique (rev DESC, partkey) ordering.
+ORACLES["parts_pareto"] = f"""
+WITH per_part AS (
+  SELECT l_partkey, SUM({_REV}) AS _rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(_rev) AS _total FROM per_part)
+SELECT l_partkey,
+       CAST(ROUND(_rev, 2) AS DOUBLE) AS revenue,
+       ROUND(CAST(_rev AS DOUBLE) / CAST(_total AS DOUBLE), 6) AS share,
+       ROUND(CAST(SUM(_rev) OVER (ORDER BY _rev DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / CAST(_total AS DOUBLE), 6) AS cum_share,
+       CAST(ROW_NUMBER() OVER (ORDER BY _rev DESC, l_partkey) AS INTEGER)
+         AS revenue_rank
+FROM per_part CROSS JOIN tot
+"""

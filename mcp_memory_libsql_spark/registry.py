@@ -986,6 +986,14 @@ def q_events_mad_outliers(spark, sf_dir):
     return ev_ops.mad_outliers(t["events"], k=3.0)
 
 
+@query("parts_pareto")
+def q_parts_pareto(spark, sf_dir):
+    from .analytics import basket
+
+    t = load_tables(spark, sf_dir)
+    return basket.revenue_pareto(t["lineitem"])
+
+
 @query("text_len_token_corr")
 def q_text_len_token_corr(spark, sf_dir):
     t = load_tables(spark, sf_dir)
