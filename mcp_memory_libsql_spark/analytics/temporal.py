@@ -200,3 +200,39 @@ def rollup_from_minutes(minutes: DataFrame) -> DataFrame:
         )
         out = lvl if out is None else out.unionByName(lvl)
     return out
+
+
+def seasonal_naive_eval(events: DataFrame, period_secs: int = 604800) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (ŷ(t) = y(t − period),
+    weekly by default) over the hourly series → (event_type, n_hours,
+    mae, mean_error).
+
+    The hourly rollup is computed once (decimal-exact sums); the
+    forecast is an equi-join of that small aggregate to itself shifted
+    by one period — robust to missing hours, no window gymnastics —
+    and both error metrics are exact-decimal sums divided once at the
+    end. The raw table is scanned exactly once."""
+    hour_start = (F.unix_timestamp("ts") / 3600).cast("bigint") * 3600
+    hourly = events.groupBy(
+        hour_start.alias("bucket"), F.col("event_type")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("y"))
+    actual = hourly.select("bucket", "event_type", "y")
+    prior = hourly.select(
+        (F.col("bucket") + period_secs).alias("bucket"),
+        "event_type",
+        F.col("y").alias("y_hat"),
+    )
+    err = F.col("y") - F.col("y_hat")
+    return (
+        actual.join(prior, ["bucket", "event_type"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.round(
+                F.sum(F.abs(err)).cast("double") / F.count("*"), 6
+            ).alias("mae"),
+            F.round(F.sum(err).cast("double") / F.count("*"), 6).alias(
+                "mean_error"
+            ),
+        )
+    )

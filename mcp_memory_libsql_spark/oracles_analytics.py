@@ -867,3 +867,21 @@ SELECT l_partkey,
          AS revenue_rank
 FROM per_part CROSS JOIN tot
 """
+
+# Seasonal-naive backtest — exact decimal errors, one division at end.
+ORACLES["events_forecast_eval"] = """
+WITH hourly AS (
+  SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket,
+         event_type,
+         SUM(CAST(value AS DECIMAL(18,2))) AS y
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type,
+       COUNT(*) AS n_hours,
+       ROUND(CAST(SUM(ABS(a.y - p.y)) AS DOUBLE) / COUNT(*), 6) AS mae,
+       ROUND(CAST(SUM(a.y - p.y) AS DOUBLE) / COUNT(*), 6) AS mean_error
+FROM hourly a
+JOIN hourly p
+  ON a.bucket = p.bucket + 604800 AND a.event_type = p.event_type
+GROUP BY a.event_type
+"""

@@ -986,6 +986,14 @@ def q_events_mad_outliers(spark, sf_dir):
     return ev_ops.mad_outliers(t["events"], k=3.0)
 
 
+@query("events_forecast_eval")
+def q_events_forecast_eval(spark, sf_dir):
+    from .analytics import temporal
+
+    t = load_tables(spark, sf_dir)
+    return temporal.seasonal_naive_eval(t["events"])
+
+
 @query("parts_pareto")
 def q_parts_pareto(spark, sf_dir):
     from .analytics import basket
