@@ -349,3 +349,47 @@ def ab_value_test(t) -> DataFrame:
         F.round(mb - ma, 6).alias("diff"),
         F.round((mb - ma) / F.sqrt(va / na + vb / nb), 6).alias("t_stat"),
     )
+
+
+def funnel_steps(t, steps=("signup", "click", "purchase"), within_secs: int = 604800) -> DataFrame:
+    """K-step ordered funnel → (step, step_idx, n_users): users whose
+    first qualifying event of each step falls at-or-after the previous
+    step's and within ``within_secs`` of it.
+
+    Each step is a per-user conditional-min rollup joined to the
+    previous step's survivors — per-user tables only (the raw scan
+    happens once per step type, pruned to that type at the parquet
+    scan); user counts shrink monotonically down the funnel."""
+    epochs = t.select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("epoch")
+    )
+    prev = (
+        epochs.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t0"))
+    )
+    out = prev.agg(
+        F.lit(steps[0]).alias("step"),
+        F.lit(1).alias("step_idx"),
+        F.count("*").cast("bigint").alias("n_users"),
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        ev = epochs.where(F.col("event_type") == s)
+        nxt = (
+            ev.join(prev, "user_id")
+            .where(
+                (F.col("epoch") >= F.col("t0"))
+                & (F.col("epoch") <= F.col("t0") + within_secs)
+            )
+            .groupBy("user_id")
+            .agg(F.min("epoch").alias("t0"))
+        )
+        out = out.unionByName(
+            nxt.agg(
+                F.lit(s).alias("step"),
+                F.lit(i).alias("step_idx"),
+                F.count("*").cast("bigint").alias("n_users"),
+            )
+        )
+        prev = nxt
+    return out

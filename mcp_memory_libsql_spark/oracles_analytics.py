@@ -885,3 +885,26 @@ JOIN hourly p
   ON a.bucket = p.bucket + 604800 AND a.event_type = p.event_type
 GROUP BY a.event_type
 """
+
+# K-step ordered funnel — chained conditional-min rollups.
+ORACLES["events_funnel_steps"] = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch
+  FROM events
+),
+s1 AS (SELECT user_id, MIN(epoch) AS t0 FROM e
+       WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.epoch) AS t0 FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click'
+         AND e.epoch >= s1.t0 AND e.epoch <= s1.t0 + 604800
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.epoch) AS t0 FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase'
+         AND e.epoch >= s2.t0 AND e.epoch <= s2.t0 + 604800
+       GROUP BY e.user_id)
+SELECT 'signup' AS step, 1 AS step_idx, COUNT(*) AS n_users FROM s1
+UNION ALL
+SELECT 'click', 2, COUNT(*) FROM s2
+UNION ALL
+SELECT 'purchase', 3, COUNT(*) FROM s3
+"""

@@ -986,6 +986,12 @@ def q_events_mad_outliers(spark, sf_dir):
     return ev_ops.mad_outliers(t["events"], k=3.0)
 
 
+@query("events_funnel_steps")
+def q_events_funnel_steps(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.funnel_steps(t["events"])
+
+
 @query("events_forecast_eval")
 def q_events_forecast_eval(spark, sf_dir):
     from .analytics import temporal
