@@ -393,3 +393,24 @@ def funnel_steps(t, steps=("signup", "click", "purchase"), within_secs: int = 60
         )
         prev = nxt
     return out
+
+
+def value_equidepth_histogram(t, buckets: int = 10) -> DataFrame:
+    """Equi-depth (equal-count) histogram of the value metric →
+    (bucket, n, lo, hi): ntile over a UNIQUE (value, event_id)
+    ordering, so bucket boundaries are deterministic even across tied
+    values. The equi-depth shape is what a query optimizer or a
+    drift monitor wants (equal-width histograms starve the tails)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("value", "event_id")
+    return (
+        t.select("event_id", "value")
+        .withColumn("bucket", F.ntile(buckets).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

@@ -908,3 +908,15 @@ SELECT 'click', 2, COUNT(*) FROM s2
 UNION ALL
 SELECT 'purchase', 3, COUNT(*) FROM s3
 """
+
+# Equi-depth histogram — deterministic ntile boundaries.
+ORACLES["events_value_histogram_ed"] = """
+WITH b AS (
+  SELECT value,
+         NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM b GROUP BY 1
+"""

@@ -598,3 +598,25 @@ SELECT lang, n_docs,
                   * CAST(n_docs * syy - sy * sy AS DOUBLE)), 6) AS corr
 FROM m
 """
+
+# Distinctive keywords — rational tf/df score (no log), deterministic
+# (score DESC, token) tiebreak.
+ORACLES["doc_keywords"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+r AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.token) AS rnk
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, tf, df,
+       ROUND(CAST(tf AS DOUBLE) / df, 6) AS score
+FROM r WHERE rnk <= 3
+"""

@@ -986,6 +986,18 @@ def q_events_mad_outliers(spark, sf_dir):
     return ev_ops.mad_outliers(t["events"], k=3.0)
 
 
+@query("events_value_histogram_ed")
+def q_events_value_histogram_ed(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.value_equidepth_histogram(t["events"], buckets=10)
+
+
+@query("doc_keywords")
+def q_doc_keywords(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.keywords(t["documents"], k=3)
+
+
 @query("events_funnel_steps")
 def q_events_funnel_steps(spark, sf_dir):
     t = load_tables(spark, sf_dir)

@@ -281,3 +281,37 @@ def length_token_corr(documents: DataFrame) -> DataFrame:
         "n_docs",
         F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
     )
+
+
+def keywords(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` distinctive terms per doc → (doc_id, token, tf, df,
+    score): term frequency over corpus document frequency — the
+    TF-IDF ranking with a RATIONAL score (tf/df) instead of a log
+    idf, so the ranking is exactly portable across engines (ln
+    differs in ulps between libm and the JVM).
+
+    One shuffle builds the df table from distinct (doc, token); the
+    rank window runs per doc with a deterministic (score DESC, token)
+    tiebreak."""
+    from pyspark.sql.window import Window
+
+    toks = documents.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("tf") / F.col("df")), "token"
+    )
+    return (
+        tf.join(df, "token")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(F.col("tf") / F.col("df"), 6).alias("score"),
+        )
+    )
