@@ -41,6 +41,24 @@ HEADLINE = [
     "events_sessionize",
 ]
 
+# Round-2 operators, timed single-run and reported under "extended" —
+# NOT part of the headline total, so the headline stays comparable
+# round-over-round. Set SPARK_GRAFT_BENCH_EXTENDED=0 to skip.
+EXTENDED = [
+    "events_asof_attribution",
+    "events_range_attribution",
+    "events_hypertable",
+    "events_mad_outliers",
+    "kg_similar_minhash",
+    "text_decontaminate",
+    "events_heavy_hitters_cms",
+    "basket_rules",
+    "orders_rfm",
+    "vec_pca",
+    "doc_keywords",
+    "events_funnel_steps",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,17 +83,23 @@ def main() -> None:
         timings[key] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline-suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0":
+        ext: dict[str, float] = {}
+        for key in EXTENDED:
+            t0 = time.perf_counter()
+            QUERIES[key](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ext[key] = round(time.perf_counter() - t0, 3)
+        out["extended"] = ext
+    print(json.dumps(out))
     spark.stop()
 
 
