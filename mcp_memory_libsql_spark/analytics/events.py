@@ -414,3 +414,85 @@ def value_equidepth_histogram(t, buckets: int = 10) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+def user_lifetime(t) -> DataFrame:
+    """Per-user lifetime profile: first/last activity, span, volume.
+    The feature a retention model or a data-retention audit starts
+    from. One partial-agg shuffle on user_id; every column folds
+    map-side, so shuffle volume is O(distinct users) regardless of
+    event volume — unchanged at 100 TB."""
+    ev = t["events"]
+    ep = F.unix_timestamp("ts")
+    day = (ep / 86400).cast("bigint")
+    return (
+        ev.select("user_id", "event_type", "value", ep.alias("ep"), day.alias("day"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ep").cast("bigint").alias("first_epoch"),
+            F.max("ep").cast("bigint").alias("last_epoch"),
+            (F.max("ep") - F.min("ep")).cast("bigint").alias("lifespan_secs"),
+            F.count("*").alias("n_events"),
+            F.count_distinct("day").alias("n_active_days"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def dau_wau(t) -> DataFrame:
+    """Daily active users + trailing-7-day active users per day.
+
+    Exact rolling distinct: dedupe to (day, user) pairs first (the
+    big shrink — events → at most users×days rows), then each pair is
+    replicated to the 7 target days it supports (bounded 7× explode,
+    one shuffle on target day), counted distinct per day, and
+    restricted to days that actually occur. No window over the
+    corpus, no repeated scans; the classic scalable WAU plan."""
+    ev = t["events"]
+    day = ((F.unix_timestamp("ts") / 86400).cast("bigint") * 86400)
+    du = ev.select(day.alias("day_epoch"), "user_id").distinct()
+    dau = du.groupBy("day_epoch").agg(F.count("*").alias("dau"))
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day_epoch"),
+                F.col("day_epoch") + 6 * 86400,
+                F.lit(86400),
+            )
+        ).alias("day_epoch"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day_epoch").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "day_epoch").select("day_epoch", "dau", "wau")
+
+
+def sliding_windows(t, window_secs: int = 1800, slide_secs: int = 900) -> DataFrame:
+    """Sliding-window counts (window = 2× slide): each event lands in
+    exactly window/slide consecutive windows via a bounded explode —
+    the batch twin of Spark's streaming `window(ts, w, s)` Expand
+    plan, written with portable epoch arithmetic so the DuckDB oracle
+    is bit-identical. One shuffle on (window_start, event_type) with
+    map-side partials; replication factor is the constant w/s."""
+    ev = t["events"]
+    k = window_secs // slide_secs
+    s0 = (F.unix_timestamp("ts") / slide_secs).cast("bigint") * slide_secs
+    starts = F.sequence(
+        s0 - (k - 1) * slide_secs, s0, F.lit(slide_secs)
+    )
+    return (
+        ev.select(
+            F.explode(starts).alias("window_start_epoch"),
+            "event_type",
+            "user_id",
+            "value",
+        )
+        .groupBy("window_start_epoch", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

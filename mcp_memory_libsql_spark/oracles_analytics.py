@@ -920,3 +920,49 @@ SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n,
        MIN(value) AS lo, MAX(value) AS hi
 FROM b GROUP BY 1
 """
+
+ORACLES["events_user_lifetime"] = """
+SELECT user_id,
+       MIN(FLOOR(epoch(ts)))::BIGINT AS first_epoch,
+       MAX(FLOOR(epoch(ts)))::BIGINT AS last_epoch,
+       (MAX(FLOOR(epoch(ts))) - MIN(FLOOR(epoch(ts))))::BIGINT
+         AS lifespan_secs,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT FLOOR(FLOOR(epoch(ts)) / 86400)) AS n_active_days,
+       COUNT(DISTINCT event_type) AS n_types,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1
+"""
+
+ORACLES["events_dau_wau"] = """
+WITH du AS (
+  SELECT DISTINCT
+    CAST(FLOOR(FLOOR(epoch(ts)) / 86400) * 86400 AS BIGINT) AS day_epoch,
+    user_id
+  FROM events
+),
+dau AS (SELECT day_epoch, COUNT(*) AS dau FROM du GROUP BY 1),
+contrib AS (
+  SELECT day_epoch + 86400 * unnest(range(0, 7)) AS day_epoch, user_id
+  FROM du
+),
+wau AS (SELECT day_epoch, COUNT(DISTINCT user_id) AS wau
+        FROM contrib GROUP BY 1)
+SELECT d.day_epoch, d.dau, w.wau
+FROM dau d JOIN wau w USING (day_epoch)
+"""
+
+ORACLES["events_sliding"] = """
+WITH ex AS (
+  SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 900) * 900
+              - 900 * (1 - unnest(range(0, 2))) AS BIGINT)
+           AS window_start_epoch,
+         event_type, user_id, value
+  FROM events
+)
+SELECT window_start_epoch, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS sum_value
+FROM ex GROUP BY 1, 2
+"""

@@ -620,3 +620,60 @@ SELECT doc_id, token, tf, df,
        ROUND(CAST(tf AS DOUBLE) / df, 6) AS score
 FROM r WHERE rnk <= 3
 """
+
+# Gopher-style repetition profile — integer counts + integer
+# cross-multiplied flag; deterministic argmax via max over
+# (count, term) structs (Spark max(struct) == row_number tiebreak).
+ORACLES["text_repetition"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents
+),
+wx AS (SELECT doc_id, unnest(w) AS term FROM toks),
+wc AS (SELECT doc_id, term, COUNT(*) AS n FROM wx GROUP BY 1, 2),
+wr AS (
+  SELECT doc_id, term, n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n DESC, term DESC) AS rn
+  FROM wc
+),
+wagg AS (
+  SELECT wc.doc_id,
+         SUM(wc.n)::BIGINT AS n_words,
+         COUNT(*)::BIGINT AS n_distinct
+  FROM wc GROUP BY 1
+),
+wtop AS (SELECT doc_id, term AS top_word, n::BIGINT AS top_word_n
+         FROM wr WHERE rn = 1),
+bg0 AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i+1])
+              ELSE []::VARCHAR[] END AS bgs
+  FROM toks
+),
+bx AS (SELECT doc_id, unnest(bgs) AS term FROM bg0),
+bc AS (SELECT doc_id, term, COUNT(*) AS n FROM bx GROUP BY 1, 2),
+br AS (
+  SELECT doc_id, term, n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n DESC, term DESC) AS rn
+  FROM bc
+),
+bagg AS (SELECT doc_id, SUM(n)::BIGINT AS n_bigrams FROM bc GROUP BY 1),
+btop AS (SELECT doc_id, term AS top_bigram, n::BIGINT AS top_bigram_n
+         FROM br WHERE rn = 1)
+SELECT w.doc_id, w.n_words, w.n_distinct,
+       t.top_word, t.top_word_n,
+       COALESCE(b.n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(bt.top_bigram, '') AS top_bigram,
+       COALESCE(bt.top_bigram_n, 0)::BIGINT AS top_bigram_n,
+       (t.top_word_n * 5 > w.n_words * 1
+        OR COALESCE(bt.top_bigram_n, 0) * 10
+           > COALESCE(b.n_bigrams, 0) * 1) AS is_repetitive
+FROM wagg w
+JOIN wtop t USING (doc_id)
+LEFT JOIN bagg b USING (doc_id)
+LEFT JOIN btop bt USING (doc_id)
+"""

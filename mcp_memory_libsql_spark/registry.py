@@ -1086,3 +1086,29 @@ def q_events_hypertable(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return temporal.hypertable_rollup(t["events"])
+
+
+@query("text_repetition")
+def q_text_repetition(spark, sf_dir):
+    from .textops import repetition as rep
+
+    t = load_tables(spark, sf_dir)
+    return rep.repetition(t["documents"])
+
+
+@query("events_user_lifetime")
+def q_events_user_lifetime(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.user_lifetime(t)
+
+
+@query("events_dau_wau")
+def q_events_dau_wau(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.dau_wau(t)
+
+
+@query("events_sliding")
+def q_events_sliding(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.sliding_windows(t)
