@@ -214,3 +214,41 @@ def bfs_depths(
         depths = depths.unionByName(fresh)
         frontier = fresh.select("name")
     return depths
+
+
+def schema_profile(entities: DataFrame, relations: DataFrame) -> DataFrame:
+    """Typed adjacency summary: (source_type, relation_type,
+    target_type, n_edges, n_sources, n_targets) — the graph-schema
+    profile an ingest audit runs to see which entity classes connect
+    how. Two broadcast joins against the (tiny relative to edges)
+    entities dim, then one partial-agg shuffle on a key space bounded
+    by |types|² × |relation types| — constant-size output at any edge
+    count."""
+    src_t = entities.select(
+        F.col("name").alias("source"), F.col("entity_type").alias("source_type")
+    )
+    tgt_t = entities.select(
+        F.col("name").alias("target"), F.col("entity_type").alias("target_type")
+    )
+    return (
+        relations.join(broadcast(src_t), "source")
+        .join(broadcast(tgt_t), "target")
+        .groupBy("source_type", "relation_type", "target_type")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.count_distinct("source").alias("n_sources"),
+            F.count_distinct("target").alias("n_targets"),
+        )
+    )
+
+
+def degree_histogram(relations: DataFrame) -> DataFrame:
+    """(degree, n_entities) — the degree distribution over the
+    undirected degree of every entity incident to an edge. Two
+    partial-agg shuffles (entity, then degree), both fully map-side
+    combined; the second key space is O(max degree)."""
+    return (
+        degree(relations)
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_entities"))
+    )

@@ -405,3 +405,25 @@ JOIN sig sa ON cand.entity_a = sa.name
 JOIN sig sb ON cand.entity_b = sb.name
 WHERE ROUND(({_KG_MINHASH_AGREE}) / 8.0, 6) >= 0.25
 """
+
+ORACLES["kg_schema_profile"] = f"""{KG_CTE}
+SELECT es.entity_type AS source_type, r.relation_type,
+       et.entity_type AS target_type,
+       COUNT(*) AS n_edges,
+       COUNT(DISTINCT r.source) AS n_sources,
+       COUNT(DISTINCT r.target) AS n_targets
+FROM relations r
+JOIN entities es ON r.source = es.name
+JOIN entities et ON r.target = et.name
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["kg_degree_histogram"] = f"""{KG_CTE},
+outs AS (SELECT source AS name, COUNT(*) AS out_degree FROM relations GROUP BY source),
+ins AS (SELECT target AS name, COUNT(*) AS in_degree FROM relations GROUP BY target),
+deg AS (
+  SELECT CAST(COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS BIGINT) AS degree
+  FROM outs FULL OUTER JOIN ins ON outs.name = ins.name
+)
+SELECT degree, COUNT(*) AS n_entities FROM deg GROUP BY 1
+"""

@@ -677,3 +677,21 @@ JOIN wtop t USING (doc_id)
 LEFT JOIN bagg b USING (doc_id)
 LEFT JOIN btop bt USING (doc_id)
 """
+
+# Incremental dedup: incoming (odd doc_id) minus existing (even),
+# lead-prefix fingerprint (first 6 word tokens).
+ORACLES["dedup_incremental"] = """
+WITH fps AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           regexp_extract_all(lower(text), '[a-z0-9]+')[1:6], ' ')) AS fp
+  FROM documents
+),
+existing AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+incoming AS (
+  SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_batch_copies
+  FROM fps WHERE doc_id % 2 = 1 GROUP BY 1
+)
+SELECT i.fp, i.keep_id, i.n_batch_copies
+FROM incoming i ANTI JOIN existing e ON i.fp = e.fp
+"""

@@ -161,3 +161,13 @@ FROM pairs p JOIN cvecs v USING (lang)
 ORDER BY centroid_cosine, p.doc_id
 LIMIT 20
 """
+
+ORACLES["vec_knn_range"] = """
+WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       ROUND(list_cosine_similarity(embedding::DOUBLE[], q_embedding::DOUBLE[]), 6)
+         AS cosine_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+  AND ROUND(list_cosine_similarity(embedding::DOUBLE[], q_embedding::DOUBLE[]), 6) >= 0.2
+"""

@@ -1112,3 +1112,27 @@ def q_events_dau_wau(spark, sf_dir):
 def q_events_sliding(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return ev_ops.sliding_windows(t)
+
+
+@query("kg_schema_profile")
+def q_kg_schema_profile(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.schema_profile(g["entities"], g["relations"])
+
+
+@query("kg_degree_histogram")
+def q_kg_degree_histogram(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.degree_histogram(g["relations"])
+
+
+@query("vec_knn_range")
+def q_vec_knn_range(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return knn.knn_range(t["embeddings"], query_vec_id=0, threshold=0.2)
+
+
+@query("dedup_incremental")
+def q_dedup_incremental(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.dedup_incremental(t["documents"], prefix_words=6)

@@ -456,3 +456,44 @@ def simhash_sql(text_col: str, n: int = 3) -> Column:
         f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (s, x) -> s + x)"
     )
     return F.expr(packed)
+
+
+def dedup_incremental(documents: DataFrame, prefix_words: int = 0) -> DataFrame:
+    """Cross-corpus (incremental) dedup: drop incoming docs whose
+    fingerprint already exists in the reference corpus, keeping the
+    earliest incoming copy of each new fingerprint. The gate splits
+    the documents table by doc_id parity (even = already-ingested
+    corpus, odd = incoming batch) — the shape of a daily
+    crawl-refresh dedup against yesterday's corpus.
+
+    ``prefix_words > 0`` fingerprints only the first k word tokens
+    (lead-prefix dedup, the Dolma/CCNet trick for near-identical
+    syndicated pages whose tails differ); 0 fingerprints the whole
+    normalized text (exact mode). The gate runs prefix mode because
+    this corpus has no full-text duplicates — the anti-join must
+    actually drop rows to be a meaningful check.
+
+    Plan: both sides reduce to (fingerprint) before joining — the
+    reference side is a distinct digest set (one partial-agg
+    shuffle), the incoming side a min-doc_id-per-digest rollup, then
+    a digest-keyed left-anti join. Shuffle volume is O(distinct
+    digests), never O(corpus); at 100 TB the reference digests are a
+    bucketed table maintained across runs, so only the (small)
+    incoming batch shuffles per run."""
+    if prefix_words > 0:
+        toks = words(F.col("text"))
+        fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_words)))
+    else:
+        fp = F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        )
+    base = documents.select("doc_id", fp.alias("fp"))
+    existing = base.where(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    incoming = (
+        base.where(F.col("doc_id") % 2 == 1)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_batch_copies"))
+    )
+    return incoming.join(existing, "fp", "left_anti").select(
+        "fp", "keep_id", "n_batch_copies"
+    )

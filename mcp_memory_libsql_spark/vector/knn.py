@@ -106,3 +106,21 @@ def norm_stats(embeddings: DataFrame) -> DataFrame:
         F.round(F.max("norm"), 6).alias("max_norm"),
         F.round(F.avg("norm"), 6).alias("avg_norm"),
     )
+
+
+def knn_range(
+    embeddings: DataFrame, query_vec_id: int, threshold: float = 0.2
+) -> DataFrame:
+    """Radius search: ALL vectors with cosine ≥ threshold to the
+    query (query row excluded) → (vec_id, label, cosine_sim).
+    Same broadcast-query single-scan plan as top-k, but the filter
+    replaces the global sort — cheaper than knn when the radius is
+    selective, and embarrassingly parallel at any corpus size."""
+    q = broadcast(_query_vec(embeddings, query_vec_id))
+    sim = F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6)
+    return (
+        embeddings.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(q)
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
