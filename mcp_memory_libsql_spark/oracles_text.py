@@ -695,3 +695,34 @@ incoming AS (
 SELECT i.fp, i.keep_id, i.n_batch_copies
 FROM incoming i ANTI JOIN existing e ON i.fp = e.fp
 """
+
+# Overlapping audio-window framing over the synthesized ASCII
+# payloads: window 64B / hop 32B, trailing partial kept. Byte == char
+# arithmetic (pure-ASCII corpus); mean_byte is the mean ASCII code.
+# Only doc_id % 3 = 1 rows are audio-kind (media.synthesize_media).
+ORACLES["mm_audio_windows"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         GREATEST(length(text) - 64, 0) AS mw
+  FROM documents WHERE doc_id % 3 = 1
+),
+wins AS (
+  SELECT media_id, text,
+         CAST(unnest(range(0, mw + 32, 32)) AS INTEGER) AS win_start
+  FROM m
+),
+cut AS (
+  SELECT media_id, win_start,
+         substr(text, win_start + 1, 64) AS w
+  FROM wins
+)
+SELECT media_id,
+       CAST(win_start // 32 AS INTEGER) AS win_idx,
+       win_start,
+       CAST(length(w) AS INTEGER) AS win_bytes,
+       md5(w) AS win_md5,
+       ROUND(list_sum(list_transform(range(1, length(w) + 1),
+                                     i -> ascii(substr(w, i, 1))))
+             / CAST(length(w) AS DOUBLE), 6) AS mean_byte
+FROM cut WHERE length(w) > 0
+"""

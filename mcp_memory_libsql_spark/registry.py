@@ -1136,3 +1136,11 @@ def q_vec_knn_range(spark, sf_dir):
 def q_dedup_incremental(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return dd.dedup_incremental(t["documents"], prefix_words=6)
+
+
+@query("mm_audio_windows")
+def q_mm_audio_windows(spark, sf_dir):
+    from .multimodal import media as mm
+
+    t = load_tables(spark, sf_dir)
+    return mm.audio_windows(mm.synthesize_media(t["documents"]))

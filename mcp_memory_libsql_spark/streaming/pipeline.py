@@ -324,3 +324,45 @@ def relation_upsert_stream(
             store.checkpoint()
 
     return stream.writeStream.foreachBatch(apply_batch).outputMode("update").start()
+
+
+def topk_users_stream(events: DataFrame, sink_dir: str, checkpoint_dir: str):
+    """Streaming top-k users — live twin of ``events.topk_users``.
+
+    Per-user totals are addition-mergeable, so each micro-batch
+    appends only its own per-user PARTIALS (count + exact decimal
+    value sum) to a parquet delta log: O(micro-batch) writes, no
+    unbounded streaming state, no rewrite of the totals table.
+    ``read_topk_users`` merges partials and takes the global top-k at
+    read time — the leaderboard pattern (write partials continuously,
+    rank on serve) that holds at any user cardinality."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partials = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sum"),
+        )
+        partials.write.mode("append").parquet(sink_dir)
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_topk_users(spark: SparkSession, sink_dir: str, k: int = 20) -> DataFrame:
+    """Merge-on-read over streamed per-user partials → same
+    (user_id, n_events, sum_value) top-k rows as the batch operator:
+    one partial-agg shuffle on user_id, then a tiny global top-k."""
+    partials = spark.read.parquet(sink_dir)
+    return (
+        partials.groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.round(F.sum("_sum").cast("double"), 2).alias("sum_value"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(k)
+    )

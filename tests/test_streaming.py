@@ -550,3 +550,27 @@ def test_relation_upsert_stream(spark, tmp_path):
         for r in store.read()["relations"].collect()
     }
     assert rels == {("A", "B", "knows"), ("B", "C", "likes")}
+
+
+def test_topk_users_stream_matches_batch(spark, sf_dir, tmp_path):
+    from mcp_memory_libsql_spark.analytics import events as ev_ops
+
+    events, src = _events_as_json_files(spark, sf_dir, tmp_path)
+    sink = str(tmp_path / "topk_sink")
+    ckpt = str(tmp_path / "topk_ckpt")
+    stream = pipeline.read_event_stream(spark, str(src))
+    q = pipeline.topk_users_stream(stream, sink, ckpt)
+    _wait(q)
+    q.processAllAvailable()
+    q.stop()
+    got = [
+        (r.user_id, r.n_events, r.sum_value)
+        for r in pipeline.read_topk_users(spark, sink, k=10).collect()
+    ]
+    want = [
+        (r.user_id, r.n_events, round(float(r.sum_value), 2))
+        for r in ev_ops.topk_users({"events": events}, k=10).collect()
+    ]
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[2] - w[2]) < 0.02
