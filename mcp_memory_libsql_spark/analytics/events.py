@@ -496,3 +496,57 @@ def sliding_windows(t, window_secs: int = 1800, slide_secs: int = 900) -> DataFr
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+def winsorize_stats(t, pct: int = 5) -> DataFrame:
+    """Rank-based winsorization report per event_type: replace the
+    lowest/highest ``pct``% of values (k = floor(n·pct/100) rows per
+    tail) with the nearest surviving order statistic, and report the
+    raw vs winsorized mean. Rank-based (not interpolated-quantile)
+    clipping keeps every clipped value an actual 2-decimal data value,
+    so both sums stay DECIMAL-exact and the means are deterministic
+    double divisions — no order-dependent float summation.
+
+    Plan: one shuffle on event_type for the rank window (5 groups;
+    at 100 TB you'd compute approximate bounds with approx_percentile
+    and clip in a scan — the sketch twin of this exact op), then a
+    broadcast-back of the 5-row bounds table and one partial-agg
+    rollup."""
+    ev = t["events"].select(
+        "event_id", "event_type", F.col("value").cast("decimal(12,2)").alias("val")
+    )
+    w = Window.partitionBy("event_type").orderBy("val", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "val",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    ).withColumn("k", F.expr(f"CAST((n * {pct}) DIV 100 AS BIGINT)"))
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == F.col("k") + 1, F.col("val"))).alias("lo_val"),
+        F.min(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("val"))).alias(
+            "hi_val"
+        ),
+    )
+    clipped = ranked.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "val",
+        "n",
+        "k",
+        "lo_val",
+        "hi_val",
+        F.when(F.col("rn") <= F.col("k"), F.col("lo_val"))
+        .when(F.col("rn") > F.col("n") - F.col("k"), F.col("hi_val"))
+        .otherwise(F.col("val"))
+        .alias("wval"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("k").cast("bigint").alias("k"),
+        F.max("lo_val").cast("double").alias("lo_val"),
+        F.max("hi_val").cast("double").alias("hi_val"),
+        F.round(F.sum("val").cast("double") / F.max("n"), 6).alias("mean_raw"),
+        F.round(F.sum("wval").cast("double") / F.max("n"), 6).alias(
+            "mean_winsorized"
+        ),
+    )

@@ -764,3 +764,43 @@ def supplier_cooccurrence(t, max_suppliers_per_part: int = 50) -> DataFrame:
         )
         .agg(F.count("*").alias("shared_parts"))
     )
+
+
+def yoy_growth(t) -> DataFrame:
+    """Year-over-year order revenue per nation: (n_name, o_year,
+    revenue, prev_revenue, yoy_growth). Revenue is DECIMAL-exact;
+    growth is one deterministic double division of two exact decimals
+    (NULL for each nation's first year).
+
+    Plan: orders joined to broadcast customer→nation dims, one
+    partial-agg shuffle on (nation, year), then a lag window over the
+    tiny (nation × year) rollup — the window never sees fact rows.
+    """
+    from pyspark.sql.window import Window
+
+    customer, nation = t["customer"], t["nation"]
+    dim = customer.join(
+        nation, customer["c_nationkey"] == nation["n_nationkey"]
+    ).select(F.col("c_custkey").alias("o_custkey"), "n_name")
+    rev = (
+        t["orders"]
+        .select(
+            "o_custkey",
+            F.year("o_orderdate").alias("o_year"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .join(F.broadcast(dim), "o_custkey")
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("price").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return rev.select(
+        "n_name",
+        "o_year",
+        F.col("revenue").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.round(
+            (F.col("revenue") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("yoy_growth"),
+    )

@@ -966,3 +966,61 @@ SELECT window_start_epoch, event_type,
        ROUND(SUM(value), 2) AS sum_value
 FROM ex GROUP BY 1, 2
 """
+
+ORACLES["orders_yoy_growth"] = """
+WITH rev AS (
+  SELECT n_name, year(o_orderdate) AS o_year,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT n_name, o_year, revenue,
+         lag(revenue) OVER (PARTITION BY n_name ORDER BY o_year) AS prev
+  FROM rev
+)
+SELECT n_name, o_year,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(prev AS DOUBLE) AS prev_revenue,
+       ROUND(CAST(revenue - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6)
+         AS yoy_growth
+FROM lagged
+"""
+
+ORACLES["events_winsorize"] = """
+WITH ev AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS val
+  FROM events
+),
+ranked AS (
+  SELECT event_type, val,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY val, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+kd AS (SELECT *, CAST(n * 5 // 100 AS BIGINT) AS k FROM ranked),
+bounds AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = k + 1 THEN val END) AS lo_val,
+         MIN(CASE WHEN rn = n - k THEN val END) AS hi_val
+  FROM kd GROUP BY 1
+),
+clipped AS (
+  SELECT kd.event_type, kd.val, kd.n, kd.k, b.lo_val, b.hi_val,
+         CASE WHEN kd.rn <= kd.k THEN b.lo_val
+              WHEN kd.rn > kd.n - kd.k THEN b.hi_val
+              ELSE kd.val END AS wval
+  FROM kd JOIN bounds b ON kd.event_type = b.event_type
+)
+SELECT event_type,
+       MAX(n)::BIGINT AS n,
+       MAX(k)::BIGINT AS k,
+       CAST(MAX(lo_val) AS DOUBLE) AS lo_val,
+       CAST(MAX(hi_val) AS DOUBLE) AS hi_val,
+       ROUND(CAST(SUM(val) AS DOUBLE) / MAX(n), 6) AS mean_raw,
+       ROUND(CAST(SUM(wval) AS DOUBLE) / MAX(n), 6) AS mean_winsorized
+FROM clipped GROUP BY 1
+"""

@@ -171,3 +171,15 @@ FROM embeddings, q
 WHERE vec_id <> 0
   AND ROUND(list_cosine_similarity(embedding::DOUBLE[], q_embedding::DOUBLE[]), 6) >= 0.2
 """
+
+ORACLES["vec_dim_stats"] = """
+WITH ex AS (
+  SELECT CAST(unnest(range(0, len(embedding))) AS INTEGER) AS pos,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+)
+SELECT pos, COUNT(*) AS n,
+       MIN(v) AS min_val, MAX(v) AS max_val,
+       ROUND(AVG(v), 6) AS avg_val
+FROM ex GROUP BY 1
+"""

@@ -1144,3 +1144,21 @@ def q_mm_audio_windows(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return mm.audio_windows(mm.synthesize_media(t["documents"]))
+
+
+@query("vec_dim_stats")
+def q_vec_dim_stats(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return knn.dim_stats(t["embeddings"])
+
+
+@query("orders_yoy_growth")
+def q_orders_yoy_growth(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tpch.yoy_growth(t)
+
+
+@query("events_winsorize")
+def q_events_winsorize(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.winsorize_stats(t)

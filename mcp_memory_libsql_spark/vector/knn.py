@@ -124,3 +124,23 @@ def knn_range(
         .select("vec_id", "label", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column:
+    (pos, n, min_val, max_val, avg_val) — the normalization /
+    dead-dimension audit a feature store runs before training.
+    posexplode is a narrow 64× fan-out feeding one partial-agg
+    shuffle on the dimension index (64 keys) — min/max/sum all
+    combine map-side, so shuffle volume is O(dims × partitions)."""
+    return (
+        embeddings.select(F.posexplode("embedding").alias("pos", "v"))
+        .select("pos", F.col("v").cast("double").alias("v"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("min_val"),
+            F.max("v").alias("max_val"),
+            F.round(F.avg("v"), 6).alias("avg_val"),
+        )
+    )
