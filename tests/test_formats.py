@@ -1,0 +1,73 @@
+"""Source/sink round-trips + plan-shape assertions for io/formats.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_memory_libsql_spark.io import formats
+from mcp_memory_libsql_spark.io.tables import load_tables
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "docs_jsonl")
+    formats.write_jsonl(docs, path)
+    back = formats.read_jsonl(spark, path, formats.DOCUMENTS_SCHEMA)
+    assert back.count() == docs.count()
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.select(docs.columns).collect()}
+    assert a == b
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    path = str(tmp_path / "docs_csv")
+    formats.write_csv(docs, path)
+    back = formats.read_csv(
+        spark, path, "doc_id bigint, lang string, source string, n_chars bigint"
+    )
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in docs.collect()}
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "docs_part")
+    formats.write_partitioned_parquet(docs, path, ["lang"])
+    back = spark.read.parquet(path).where(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter reaches the scan: only the lang=en directory read
+    assert "PartitionFilters" in plan and "lang" in plan
+    want = docs.where(F.col("lang") == "en").count()
+    assert back.count() == want
+
+
+def test_training_shards_deterministic_and_balanced(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    formats.export_training_shards(docs, p1, n_shards=4)
+    formats.export_training_shards(docs, p2, n_shards=4)
+    b1 = formats.read_training_shards(spark, p1)
+    b2 = formats.read_training_shards(spark, p2)
+    m1 = {(r.doc_id, r.shard) for r in b1.select("doc_id", "shard").collect()}
+    m2 = {(r.doc_id, r.shard) for r in b2.select("doc_id", "shard").collect()}
+    assert m1 == m2  # same corpus -> identical shard membership
+    assert b1.count() == docs.count()
+    sizes = dict(
+        (r.shard, r.n)
+        for r in b1.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    )
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) <= 2 * min(sizes.values())  # hash-balanced
+
+
+def test_shard_scoped_read_prunes(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "s3")
+    formats.export_training_shards(docs, path, n_shards=4)
+    one = formats.read_training_shards(spark, path).where(F.col("shard") == 2)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan
