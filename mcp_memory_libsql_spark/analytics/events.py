@@ -550,3 +550,21 @@ def winsorize_stats(t, pct: int = 5) -> DataFrame:
             "mean_winsorized"
         ),
     )
+
+
+def session_stats(t, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Corpus-level session distribution built ON TOP of
+    ``sessionize`` — (n_sessions, n_single_event, avg_events,
+    avg_duration_secs, max_duration_secs): the engagement rollup a
+    product-analytics dashboard serves. The per-user windows of
+    sessionize are the only big shuffle; this adds one 1-row global
+    aggregate (all integer sums → deterministic double division)."""
+    s = sessionize(t, gap_minutes=gap_minutes)
+    dur = F.col("end_epoch") - F.col("start_epoch")
+    return s.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("bigint")).alias("n_single_event"),
+        F.round(F.sum("n_events") / F.count("*"), 6).alias("avg_events"),
+        F.round(F.sum(dur) / F.count("*"), 6).alias("avg_duration_secs"),
+        F.max(dur).cast("bigint").alias("max_duration_secs"),
+    )

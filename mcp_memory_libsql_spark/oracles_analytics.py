@@ -1024,3 +1024,33 @@ SELECT event_type,
        ROUND(CAST(SUM(wval) AS DOUBLE) / MAX(n), 6) AS mean_winsorized
 FROM clipped GROUP BY 1
 """
+
+
+ORACLES["events_session_stats"] = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR FLOOR(epoch(ts)) - FLOOR(epoch(lag(ts) OVER w)) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+),
+sess AS (
+  SELECT user_id, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, value
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         MAX(FLOOR(epoch(ts))) - MIN(FLOOR(epoch(ts))) AS dur
+  FROM sess GROUP BY 1, 2
+)
+SELECT COUNT(*)::BIGINT AS n_sessions,
+       SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_single_event,
+       ROUND(SUM(n_events) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_events,
+       ROUND(SUM(dur) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_duration_secs,
+       MAX(dur)::BIGINT AS max_duration_secs
+FROM per
+"""

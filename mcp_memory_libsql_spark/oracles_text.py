@@ -726,3 +726,52 @@ SELECT media_id,
              / CAST(length(w) AS DOUBLE), 6) AS mean_byte
 FROM cut WHERE length(w) > 0
 """
+
+
+# Funnel counts for the composed curation pipeline: one row per stage.
+ORACLES["corpus_curation_report"] = (
+    MINHASH_CTE
+    + _LSH_PAIRS_CTE
+    + f""",
+quality AS (
+  SELECT doc_id FROM ({ORACLES["text_quality"]})
+  WHERE n_tokens >= 30 AND stopword_ratio <= 0.2
+),
+kept AS (
+  SELECT d.doc_id, d.lang
+  FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+  WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+),
+curated AS (
+  SELECT doc_id, lang,
+    CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))
+              ::BIGINT % 100 < 80 THEN 'train'
+         WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))
+              ::BIGINT % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4))
+             ::BIGINT % 1000 AS sample_bucket
+    FROM kept
+  )
+  WHERE sample_bucket < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 500
+                                  WHEN 'es' THEN 500 WHEN 'fr' THEN 700
+                                  WHEN 'zh' THEN 700 ELSE 0 END
+)
+SELECT '0_raw' AS stage, COUNT(*)::BIGINT AS n_docs FROM documents
+UNION ALL SELECT '1_quality', COUNT(*)::BIGINT FROM quality
+UNION ALL SELECT '2_dedup', COUNT(*)::BIGINT FROM kept
+UNION ALL SELECT '3_sample', COUNT(*)::BIGINT FROM curated
+UNION ALL SELECT '4_train', COUNT(*)::BIGINT FROM curated WHERE split = 'train'
+UNION ALL SELECT '5_val', COUNT(*)::BIGINT FROM curated WHERE split = 'val'
+UNION ALL SELECT '6_test', COUNT(*)::BIGINT FROM curated WHERE split = 'test'
+"""
+)
+
+
+ORACLES["text_lang_confusion"] = f"""
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM ({ORACLES["text_langid"]})
+GROUP BY 1, 2
+"""

@@ -1162,3 +1162,23 @@ def q_orders_yoy_growth(spark, sf_dir):
 def q_events_winsorize(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return ev_ops.winsorize_stats(t)
+
+
+@query("corpus_curation_report")
+def q_corpus_curation_report(spark, sf_dir):
+    from .textops import sampling
+
+    t = load_tables(spark, sf_dir)
+    return sampling.curation_report(t["documents"])
+
+
+@query("events_session_stats")
+def q_events_session_stats(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.session_stats(t)
+
+
+@query("text_lang_confusion")
+def q_text_lang_confusion(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.lang_confusion(t["documents"])

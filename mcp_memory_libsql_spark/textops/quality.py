@@ -315,3 +315,15 @@ def keywords(documents: DataFrame, k: int = 3) -> DataFrame:
             F.round(F.col("tf") / F.col("df"), 6).alias("score"),
         )
     )
+
+
+def lang_confusion(documents: DataFrame) -> DataFrame:
+    """Confusion matrix of tagged vs predicted language →
+    (lang, lang_pred, n_docs) — the eval rollup for the heuristic
+    language-ID (accuracy per class, systematic confusions). Pure
+    projection + one partial-agg shuffle on a ≤|langs|² key space."""
+    return (
+        lang_id(documents)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )

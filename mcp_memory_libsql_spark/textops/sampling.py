@@ -174,3 +174,52 @@ def curate(documents: DataFrame) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+def curation_report(documents: DataFrame) -> DataFrame:
+    """Pipeline observability for :func:`curate`: one row per funnel
+    stage → (stage, n_docs) — raw corpus, quality survivors, after
+    cluster dedup, after stratified sampling, and per-split sizes.
+    This is the report a curation job publishes after every run to
+    catch a filter suddenly dropping 90% of a crawl.
+
+    Each stage count is a 1-row aggregate of a prefix of the same
+    lazy curation plan (Spark reuses the shuffle outputs of the
+    shared dedup-cluster stages across the counts); the union of
+    seven 1-row frames is driver-trivial."""
+    from pyspark.sql.functions import broadcast
+
+    from . import dedup as dd
+    from .quality import quality
+
+    qual_ids = (
+        quality(documents)
+        .where((F.col("n_tokens") >= 30) & (F.col("stopword_ratio") <= 0.2))
+        .select("doc_id")
+    )
+    drops = (
+        dd.dedup_clusters(documents)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    kept = (
+        documents.select("doc_id", "lang")
+        .join(qual_ids, "doc_id")
+        .join(broadcast(drops), "doc_id", "left_anti")
+    )
+    final = curate(documents)
+
+    def n(df, stage):
+        return df.agg(F.count("*").cast("bigint").alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    return (
+        n(documents, "0_raw")
+        .unionByName(n(qual_ids, "1_quality"))
+        .unionByName(n(kept, "2_dedup"))
+        .unionByName(n(final, "3_sample"))
+        .unionByName(n(final.where(F.col("split") == "train"), "4_train"))
+        .unionByName(n(final.where(F.col("split") == "val"), "5_val"))
+        .unionByName(n(final.where(F.col("split") == "test"), "6_test"))
+    )
