@@ -10,9 +10,9 @@ filter as early as possible.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -34,40 +34,22 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# events.parquet carries TIMESTAMP(NANOS), which Spark reads only via
-# the nanosAsLong legacy conf. Leaving that conf set session-wide
-# would silently decode ANY later nanos column as bigint, so events is
-# normalized ONCE per (session, sf_dir) to a microsecond-ts parquet
-# (the ingest-normalization pattern: at 100 TB this is the ingest
-# job's problem, not a per-query conf), with the legacy conf scoped
-# strictly to that one rewrite.
-_EVENTS_MICROS: dict[tuple[str, str], str] = {}
-
-
+# events.parquet's ts column has shipped as TIMESTAMP(NANOS) (decoded
+# bigint under the nanosAsLong legacy conf on Spark ≤4.0; decoded
+# natively as TIMESTAMP_NTZ with nanos truncated on Spark ≥4.1) and as
+# TIMESTAMP(MICROS)/NTZ. Normalize by the *decoded dtype*, not by conf
+# fiddling: all paths land on session-tz TimestampType with identical
+# microsecond values (epoch-nanos DIV 1000 == native truncation).
 def _events_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _EVENTS_MICROS.get(key)
-    if path is None:
-        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(conf_key, None)
-        spark.conf.set(conf_key, "true")
-        try:
-            raw = spark.read.parquet(table_path(sf_dir, "events"))
-            # integer DIV, not `/ 1000`: float division of epoch-nanos
-            # (~1.7e18 > 2^53) loses microsecond precision
-            micros = raw.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
-            path = tempfile.mkdtemp(prefix="spark_events_micros_")
-            # the write action executes inside the conf scope
-            micros.write.mode("overwrite").parquet(path)
-        finally:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
-        _EVENTS_MICROS[key] = path
-    return spark.read.parquet(path)
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # integer DIV, not `/ 1000`: float division of epoch-nanos
+        # (~1.7e18 > 2^53) loses microsecond precision
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
