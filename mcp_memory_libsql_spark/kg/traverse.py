@@ -252,3 +252,100 @@ def degree_histogram(relations: DataFrame) -> DataFrame:
         .groupBy("degree")
         .agg(F.count("*").alias("n_entities"))
     )
+
+
+TRIANGLE_DEG_CAP = 64
+
+
+def triangle_stats(relations: DataFrame, cap: int = TRIANGLE_DEG_CAP) -> DataFrame:
+    """One-row global triangle census over the hub-capped undirected
+    graph → (n_nodes, n_edges, n_wedges, n_closed, n_triangles,
+    clustering). ``clustering`` is the global clustering coefficient
+    (closed wedges / all wedges); ``n_triangles = n_closed / 3``
+    exactly, since every triangle closes one wedge at each vertex.
+
+    Implied by the reference's "Explore entity relationships" surface
+    (README.md:109): triangle density is the standard cohesion
+    measure over the same relations table the traversal ops read.
+
+    Scale: hubs (degree > ``cap``) are dropped first — a hub of
+    degree d contributes C(d, 2) wedges, so the cap is THE bound that
+    keeps wedge volume ≤ C(cap, 2)·N instead of quadratic in the hub
+    width (same role as DF_CAP in the dedup postings). Wedges are
+    generated in-row from sorted adjacency lists (one shuffle builds
+    the lists, sizes ≤ cap by construction) and closed by one join
+    against the capped edge set — no all-pairs anywhere.
+
+    ``n_butterflies`` counts 2×2 bicliques (Σ C(support, 2) over
+    wedge endpoints): the KG projection is near-bipartite
+    (customer–part, entity–nation, nation–region), where triangles
+    are structurally impossible but butterflies are the standard
+    cohesion motif — so the census stays informative on both graph
+    shapes. Butterfly support reuses the SAME wedge stream (one
+    extra partial-agg shuffle on the endpoint pair).
+    """
+    e = (
+        relations.select(
+            F.least("source", "target").alias("a"),
+            F.greatest("source", "target").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e.selectExpr("a AS n", "b AS m").unionByName(
+        e.selectExpr("b AS n", "a AS m")
+    )
+    keep = (
+        und.groupBy("n")
+        .agg(F.count("*").alias("d"))
+        .where(F.col("d") <= cap)
+        .select("n")
+    )
+    e2 = (
+        e.join(keep.withColumnRenamed("n", "a"), "a")
+        .join(keep.withColumnRenamed("n", "b"), "b")
+        .select("a", "b")
+        .persist()
+    )
+    und2 = e2.selectExpr("a AS n", "b AS m").unionByName(
+        e2.selectExpr("b AS n", "a AS m")
+    )
+    adj = und2.groupBy("n").agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    combos = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    wedges = adj.select(F.explode(combos).alias("p")).select(
+        F.col("p.x").alias("x"), F.col("p.y").alias("y")
+    ).persist()
+    nn = keep.agg(F.count("*").alias("n_nodes"))
+    ne = e2.agg(F.count("*").alias("n_edges"))
+    nw = wedges.agg(F.count("*").alias("n_wedges"))
+    nc = wedges.join(
+        e2, (wedges["x"] == e2["a"]) & (wedges["y"] == e2["b"])
+    ).agg(F.count("*").alias("n_closed"))
+    nb = (
+        wedges.groupBy("x", "y")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("n_butterflies"))
+    )
+    return (
+        nn.crossJoin(ne)
+        .crossJoin(nw)
+        .crossJoin(nc)
+        .crossJoin(nb)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_closed",
+            F.expr("n_closed DIV 3").alias("n_triangles"),
+            F.col("n_butterflies").cast("bigint").alias("n_butterflies"),
+            F.round(F.col("n_closed") / F.col("n_wedges"), 6).alias("clustering"),
+        )
+    )

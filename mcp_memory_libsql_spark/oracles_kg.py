@@ -427,3 +427,37 @@ deg AS (
 )
 SELECT degree, COUNT(*) AS n_entities FROM deg GROUP BY 1
 """
+
+ORACLES["kg_triangles"] = f"""{KG_CTE},
+e AS (
+  SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+  FROM relations WHERE source <> target
+),
+und AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e),
+keep AS (SELECT n FROM und GROUP BY n HAVING COUNT(*) <= 64),
+e2 AS (
+  SELECT e.a, e.b FROM e
+  JOIN keep ka ON e.a = ka.n
+  JOIN keep kb ON e.b = kb.n
+),
+und2 AS (SELECT a AS n, b AS m FROM e2 UNION ALL SELECT b, a FROM e2),
+wedges AS (
+  SELECT u1.m AS x, u2.m AS y
+  FROM und2 u1 JOIN und2 u2 ON u1.n = u2.n AND u1.m < u2.m
+),
+nn AS (SELECT COUNT(*)::BIGINT AS n_nodes FROM keep),
+ne AS (SELECT COUNT(*)::BIGINT AS n_edges FROM e2),
+nw AS (SELECT COUNT(*)::BIGINT AS n_wedges FROM wedges),
+nc AS (
+  SELECT COUNT(*)::BIGINT AS n_closed
+  FROM wedges w JOIN e2 ON w.x = e2.a AND w.y = e2.b
+),
+nb AS (
+  SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_butterflies
+  FROM (SELECT x, y, COUNT(*) AS c FROM wedges GROUP BY 1, 2)
+)
+SELECT n_nodes, n_edges, n_wedges, n_closed,
+       n_closed // 3 AS n_triangles, n_butterflies,
+       ROUND(n_closed / n_wedges, 6) AS clustering
+FROM nn, ne, nw, nc, nb
+"""

@@ -775,3 +775,44 @@ SELECT lang, lang_pred, COUNT(*) AS n_docs
 FROM ({ORACLES["text_langid"]})
 GROUP BY 1, 2
 """
+
+
+# Substring-window dedup: distinct fixed-width character windows
+# (width 40, stride 10) hashed per doc — the CTE mirrors
+# textops.dedup.substring_fingerprints (in-row list_distinct ==
+# Spark's array_distinct before the explode).
+_SUBSTR_CTE = """
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(0, length(text) - 40 + 1, 10),
+           s -> md5(substr(text, CAST(s AS INTEGER) + 1, 40))))) AS h
+  FROM documents WHERE length(text) >= 40
+)"""
+
+ORACLES["dedup_substring"] = (
+    _SUBSTR_CTE
+    + """,
+ok AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 100)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*)::BIGINT AS shared_windows
+FROM w a
+JOIN ok ON a.h = ok.h
+JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+)
+
+ORACLES["dedup_substring_docs"] = (
+    _SUBSTR_CTE
+    + """,
+df AS (SELECT h, COUNT(*) AS c FROM w GROUP BY h)
+SELECT w.doc_id, COUNT(*)::BIGINT AS n_windows,
+       SUM(CASE WHEN df.c BETWEEN 2 AND 100 THEN 1 ELSE 0 END)::BIGINT
+         AS dup_windows,
+       ROUND(SUM(CASE WHEN df.c BETWEEN 2 AND 100 THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS dup_frac
+FROM w JOIN df ON w.h = df.h
+GROUP BY 1
+"""
+)

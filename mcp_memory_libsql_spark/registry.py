@@ -569,6 +569,16 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return lsh.near_dup_pairs_lsh(t["embeddings"], threshold=0.9)
 
 
+@query("ann_recall_eval")
+def q_ann_recall_eval(spark, sf_dir):
+    # rows-only gate (LSH planes / IVF cells aren't SQL-expressible);
+    # recall floors asserted in tests/test_vector.py
+    from .vector import evaluate
+
+    t = load_tables(spark, sf_dir)
+    return evaluate.recall_eval(t["embeddings"])
+
+
 # ----------------------------------------------------- coverage wave 5
 
 
@@ -1126,6 +1136,12 @@ def q_kg_degree_histogram(spark, sf_dir):
     return kg_traverse.degree_histogram(g["relations"])
 
 
+@query("kg_triangles")
+def q_kg_triangles(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.triangle_stats(g["relations"])
+
+
 @query("vec_knn_range")
 def q_vec_knn_range(spark, sf_dir):
     t = load_tables(spark, sf_dir)
@@ -1136,6 +1152,18 @@ def q_vec_knn_range(spark, sf_dir):
 def q_dedup_incremental(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return dd.dedup_incremental(t["documents"], prefix_words=6)
+
+
+@query("dedup_substring")
+def q_dedup_substring(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.substring_dup_pairs(t["documents"])
+
+
+@query("dedup_substring_docs")
+def q_dedup_substring_docs(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.substring_dup_coverage(t["documents"])
 
 
 @query("mm_audio_windows")

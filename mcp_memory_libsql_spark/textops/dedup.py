@@ -497,3 +497,110 @@ def dedup_incremental(documents: DataFrame, prefix_words: int = 0) -> DataFrame:
     return incoming.join(existing, "fp", "left_anti").select(
         "fp", "keep_id", "n_batch_copies"
     )
+
+
+SUBSTR_WIDTH = 40  # window chars — long enough that collisions mean real copying
+SUBSTR_STRIDE = 10  # overlap factor 4: a copied span ≥ width+stride always shares ≥2 windows
+
+
+def substring_fingerprints(
+    documents: DataFrame, width: int = SUBSTR_WIDTH, stride: int = SUBSTR_STRIDE
+) -> DataFrame:
+    """(doc_id, h) — md5 fingerprints of the distinct fixed-width
+    character windows of each document (starts 0, stride, 2·stride …).
+
+    Substring-level dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better") catches *copied spans* inside
+    otherwise-distinct documents — boilerplate, quoted passages,
+    syndicated fragments — which document-level shingle Jaccard
+    dilutes away. Windows are hashed and de-duplicated **in-row**
+    (``transform`` + ``array_distinct`` before the explode), so
+    within-doc repetition never inflates the shuffle and there is no
+    extra distinct shuffle — the explode output goes straight to the
+    postings groupBy.
+    """
+    starts = F.sequence(F.lit(0), F.length("text") - width, F.lit(stride))
+    hashes = F.array_distinct(
+        F.transform(
+            starts,
+            lambda s: F.md5(F.col("text").substr(s + F.lit(1), F.lit(width))),
+        )
+    )
+    return documents.where(F.length("text") >= width).select(
+        "doc_id", F.explode(hashes).alias("h")
+    )
+
+
+def substring_dup_pairs(
+    documents: DataFrame,
+    width: int = SUBSTR_WIDTH,
+    stride: int = SUBSTR_STRIDE,
+    cap: int = DF_CAP,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` character windows →
+    (doc_a, doc_b, shared_windows), doc_a < doc_b.
+
+    The inverted-index postings plan of :func:`ngram_jaccard_pairs`
+    applied to window fingerprints: ONE shuffle on the window hash
+    builds each posting list, ubiquitous windows (boilerplate in >
+    ``cap`` docs) are dropped by the size filter on the aggregated
+    row, and pairs are in-row explosions of each list — output
+    bounded by Σ C(|postings|, 2) with |postings| ≤ cap, never N².
+    ``min_shared ≥ 2`` plus stride-overlap means a single 40-char
+    coincidence is not enough: only genuinely copied spans survive.
+    """
+    wnd = substring_fingerprints(documents, width, stride)
+    postings = (
+        wnd.groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= cap))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        postings.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count("*").alias("shared_windows"))
+        .where(F.col("shared_windows") >= min_shared)
+    )
+
+
+def substring_dup_coverage(
+    documents: DataFrame,
+    width: int = SUBSTR_WIDTH,
+    stride: int = SUBSTR_STRIDE,
+    cap: int = DF_CAP,
+) -> DataFrame:
+    """Per-document duplicated-span coverage → (doc_id, n_windows,
+    dup_windows, dup_frac): how much of each doc's window set also
+    appears in other docs (capped postings, as in
+    :func:`substring_dup_pairs`). The curation signal: docs with high
+    ``dup_frac`` are mostly boilerplate/copied text and get dropped
+    or down-weighted in training-data pipelines.
+
+    Plan: the window table shuffles once on the hash to flag
+    cross-doc windows (count-over-window, no second scan), then once
+    on doc_id for the rollup — both partial-aggregated. Docs shorter
+    than ``width`` have no windows and are excluded (exact dedup
+    owns that regime).
+    """
+    wnd = substring_fingerprints(documents, width, stride)
+    # windows are already distinct per doc, so a plain count over the
+    # hash partition IS the doc frequency — no collect_set needed
+    n_docs = F.count("*").over(Window.partitionBy("h"))
+    flagged = wnd.withColumn(
+        "is_dup", ((n_docs >= 2) & (n_docs <= cap)).cast("int")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("is_dup").alias("dup_windows"),
+        F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_frac"),
+    )

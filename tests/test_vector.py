@@ -208,3 +208,20 @@ def test_pca_first_component_maximizes_variance(spark, sf_dir):
     v1 = ((x @ comps[0]) ** 2).mean()
     assert v1 + 1e-9 >= x.var(axis=0).max()
     np.testing.assert_allclose(v1, ev[0], rtol=1e-8)
+
+
+def test_recall_eval_floors(spark, sf_dir):
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.vector import evaluate
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rows = evaluate.recall_eval(emb, n_queries=5, k=10).collect()
+    by_method = {}
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        by_method.setdefault(r.method, []).append(r.recall)
+    assert set(by_method) == {"lsh", "ivf"}
+    assert all(len(v) == 5 for v in by_method.values())
+    # floors: LSH with recall-oriented defaults beats IVF at n_probe=3
+    assert sum(by_method["lsh"]) / 5 >= 0.6
+    assert sum(by_method["ivf"]) / 5 >= 0.3
