@@ -568,3 +568,47 @@ def session_stats(t, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
         F.round(F.sum(dur) / F.count("*"), 6).alias("avg_duration_secs"),
         F.max(dur).cast("bigint").alias("max_duration_secs"),
     )
+
+
+def daily_cusum(t) -> DataFrame:
+    """CUSUM changepoint scan over the daily event-count series →
+    (day, n_events, cusum, is_shift): cumulative sum of deviations
+    from the overall daily mean, the standard drift/level-shift
+    detector for pipeline-health monitoring (a data-source outage or
+    ingest regression shows up as a sustained cusum run, not a
+    single-day spike like the z-score op catches).
+
+    Exactness: with D days and total N events, the running deviation
+    sum after day i is  cumsum_i − i·N/D;  scaled by D it is the
+    BIGINT  cumsum_i·D − i·N  — computed entirely in integer math and
+    divided (one IEEE op) only for display, so cross-engine results
+    are bit-identical. ``is_shift`` flags |cusum| > 2·mean.
+
+    Scale: the raw scan collapses to a day-grain rollup first (one
+    map-side-combinable shuffle); the ordered window then runs over
+    D rows — a few thousand even at 100 TB — so the single-partition
+    window is on the tiny rollup, never the raw events."""
+    daily = (
+        t["events"]
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    stats = daily.agg(
+        F.sum("n_events").alias("_total"), F.count("*").alias("_days")
+    )
+    cum = daily.select(
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).alias("_cum"),
+        F.row_number().over(Window.orderBy("day")).alias("_i"),
+    ).crossJoin(F.broadcast(stats))
+    scaled = (
+        F.col("_cum") * F.col("_days") - F.col("_i") * F.col("_total")
+    ).cast("bigint")
+    return cum.select(
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(scaled / F.col("_days"), 4).alias("cusum"),
+        (F.abs(scaled) > 2 * F.col("_total")).alias("is_shift"),
+    )

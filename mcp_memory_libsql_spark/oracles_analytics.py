@@ -1054,3 +1054,23 @@ SELECT COUNT(*)::BIGINT AS n_sessions,
        MAX(dur)::BIGINT AS max_duration_secs
 FROM per
 """
+
+ORACLES["events_cusum"] = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS _total,
+               COUNT(*) AS _days FROM daily),
+cum AS (
+  SELECT day, n_events,
+    SUM(n_events) OVER (ORDER BY day) AS _cum,
+    ROW_NUMBER() OVER (ORDER BY day) AS _i
+  FROM daily
+)
+SELECT day, CAST(n_events AS BIGINT) AS n_events,
+  ROUND(CAST(_cum * _days - _i * _total AS BIGINT)
+        / CAST(_days AS DOUBLE), 4) AS cusum,
+  abs(CAST(_cum * _days - _i * _total AS BIGINT)) > 2 * _total AS is_shift
+FROM cum, tot
+"""

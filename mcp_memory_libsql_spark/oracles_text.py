@@ -816,3 +816,42 @@ FROM w JOIN df ON w.h = df.h
 GROUP BY 1
 """
 )
+
+ORACLES["text_char_classes"] = """
+SELECT doc_id,
+  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+  CAST(length(text) - length(regexp_replace(text, '[\\s]', '', 'g')) AS BIGINT) AS n_space,
+  CAST(
+    length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+    + length(regexp_replace(text, '[0-9]', '', 'g'))
+    + length(regexp_replace(text, '[\\s]', '', 'g'))
+    + length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+    - 3 * length(text) AS BIGINT) AS n_punct,
+  CAST(length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_nonascii
+FROM documents
+"""
+
+ORACLES["text_ttr"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tc AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr
+FROM tc GROUP BY doc_id
+"""
+
+ORACLES["data_mixture_weights"] = """
+WITH per AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS _total,
+               COUNT(*) AS _n_langs FROM per)
+SELECT lang, n_docs,
+  ROUND(n_docs / CAST(_total AS DOUBLE), 6) AS share,
+  ROUND(_total / CAST(_n_langs * n_docs AS DOUBLE), 6) AS weight
+FROM per, tot
+"""

@@ -183,3 +183,25 @@ SELECT pos, COUNT(*) AS n,
        ROUND(AVG(v), 6) AS avg_val
 FROM ex GROUP BY 1
 """
+
+ORACLES["vec_hamming_knn"] = """
+WITH codes AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(range(1, 61),
+      i -> CASE WHEN embedding[i] > 0
+               THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS BIGINT)
+    AS code
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, code AS q_code FROM codes WHERE vec_id < 5),
+scored AS (
+  SELECT q_id, c.vec_id,
+         CAST(bit_count(xor(code, q_code)) AS INT) AS hamming
+  FROM codes c, q WHERE c.vec_id <> q_id
+),
+r AS (SELECT *, ROW_NUMBER()
+        OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank
+      FROM scored)
+SELECT q_id, vec_id, hamming, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""

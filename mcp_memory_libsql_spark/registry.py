@@ -1210,3 +1210,38 @@ def q_events_session_stats(spark, sf_dir):
 def q_text_lang_confusion(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return tq.lang_confusion(t["documents"])
+
+
+@query("text_char_classes")
+def q_text_char_classes(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.char_classes(t["documents"])
+
+
+@query("text_ttr")
+def q_text_ttr(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.type_token(t["documents"])
+
+
+@query("data_mixture_weights")
+def q_data_mixture_weights(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.mixture_weights(t["documents"])
+
+
+@query("events_cusum")
+def q_events_cusum(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.daily_cusum(t)
+
+
+@query("vec_hamming_knn")
+def q_vec_hamming_knn(spark, sf_dir):
+    from .vector import binary
+
+    t = load_tables(spark, sf_dir)
+    queries_df = t["embeddings"].where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return binary.hamming_knn(t["embeddings"], queries_df, k=5)

@@ -6,6 +6,7 @@ All pure column expressions — single scan, no shuffle, no Python.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from .tokenize import BPE_RE, words
@@ -314,6 +315,83 @@ def keywords(documents: DataFrame, k: int = 3) -> DataFrame:
             "df",
             F.round(F.col("tf") / F.col("df"), 6).alias("score"),
         )
+    )
+
+
+def char_classes(documents: DataFrame) -> DataFrame:
+    """Per-doc character-class census → (doc_id, n_alpha, n_digit,
+    n_space, n_punct, n_nonascii): the code-vs-prose / mojibake
+    detector a curation pipeline runs next to the quality ratios
+    (high digit/punct share flags tables and minified code; nonascii
+    flags encoding damage in an ascii-expected source).
+
+    All counts are length-difference expressions over one scan —
+    integer-exact, zero shuffle, fully codegen'd."""
+    total = F.length("text")
+
+    def n(pattern: str):
+        return total - F.length(F.regexp_replace(F.col("text"), pattern, ""))
+
+    alpha, digit, space = n("[A-Za-z]"), n("[0-9]"), n("\\s")
+    nonascii = n("[^\\x00-\\x7F]")
+    return documents.select(
+        "doc_id",
+        alpha.cast("bigint").alias("n_alpha"),
+        digit.cast("bigint").alias("n_digit"),
+        space.cast("bigint").alias("n_space"),
+        (total - alpha - digit - space - nonascii)
+        .cast("bigint")
+        .alias("n_punct"),
+        nonascii.cast("bigint").alias("n_nonascii"),
+    )
+
+
+def type_token(documents: DataFrame) -> DataFrame:
+    """Per-doc lexical-diversity rollup → (doc_id, n_tokens, n_types,
+    n_hapax, ttr): type-token ratio and hapax-legomena count, the
+    classic repetition/diversity quality signals (template spam has
+    low TTR; OCR noise has high hapax share).
+
+    Computed by exploding tokens and aggregating (doc, term) counts —
+    one map-side-combinable shuffle keyed by (doc_id, term), never a
+    per-doc O(len²) array scan, so a 100 TB corpus stays a two-level
+    hash aggregate."""
+    toks = documents.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
+    per_term = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    return per_term.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("ttr"),
+    )
+
+
+def mixture_weights(documents: DataFrame) -> DataFrame:
+    """Domain-mixture resampling weights → (lang, n_docs, share,
+    weight): per-language corpus share and the sampling weight that
+    rebalances the mixture to a UNIFORM target over languages
+    (weight = target_share / actual_share) — the reweighting step of
+    a training-data mixture job (cf. DoReMi/DSIR-style domain
+    balancing; the uniform target keeps it parameter-free and
+    oracle-checkable).
+
+    One tiny rollup, then a 1-row totals broadcast back onto it —
+    the corpus is scanned once; no per-doc shuffle."""
+    per_lang = documents.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    totals = per_lang.agg(
+        F.sum("n_docs").alias("_total"), F.count("*").alias("_n_langs")
+    )
+    return per_lang.crossJoin(broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_total"), 6).alias("share"),
+        F.round(
+            F.col("_total") / (F.col("_n_langs") * F.col("n_docs")), 6
+        ).alias("weight"),
     )
 
 
