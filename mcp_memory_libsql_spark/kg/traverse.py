@@ -349,3 +349,54 @@ def triangle_stats(relations: DataFrame, cap: int = TRIANGLE_DEG_CAP) -> DataFra
             F.round(F.col("n_closed") / F.col("n_wedges"), 6).alias("clustering"),
         )
     )
+
+
+def k_core(relations: DataFrame, k: int = 3, max_iter: int = 20) -> DataFrame:
+    """k-core decomposition of the undirected relation graph →
+    (name, core_degree): the maximal subgraph where every node keeps
+    ≥ k neighbors, the standard dense-region extractor (spam rings,
+    tight entity clusters) the degree rollup alone can't find.
+
+    Iterative peel: drop nodes with degree < k, recompute degrees on
+    the induced subgraph, repeat to fixpoint. Each round is one
+    semi-join + one degree agg — the same shuffle shape as HashMin
+    components above, with localCheckpoint cutting lineage. Converges
+    in ≤ max_iter rounds or stops early when no node was peeled
+    (checked via a cheap count — the count doubles as the checkpoint
+    materialization each round, so it is not an extra job).
+
+    Distinct undirected neighbor pairs (not parallel edges) define
+    degree, matching the classic definition."""
+    edges = (
+        relations.select("source", "target")
+        .where(F.col("source") != F.col("target"))
+        .select(
+            F.least("source", "target").alias("a"),
+            F.greatest("source", "target").alias("b"),
+        )
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    live = sym  # (a, b) adjacency of the current induced subgraph
+    for _ in range(max_iter):
+        deg = live.groupBy("a").agg(F.count("*").alias("core_degree"))
+        keep = deg.where(F.col("core_degree") >= k)
+        nxt = (
+            live.join(keep.select("a"), "a")
+            .join(
+                keep.select(F.col("a").alias("b")),
+                "b",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == live.count():
+            live = nxt
+            break
+        live = nxt
+    return (
+        live.groupBy(F.col("a").alias("name"))
+        .agg(F.count("*").alias("core_degree"))
+        .where(F.col("core_degree") >= k)
+    )

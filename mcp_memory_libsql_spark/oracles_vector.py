@@ -205,3 +205,44 @@ r AS (SELECT *, ROW_NUMBER()
 SELECT q_id, vec_id, hamming, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 5
 """
+
+ORACLES["vec_matryoshka_recall"] = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_embedding
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q_id, e.vec_id,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+      ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                   q_embedding::DOUBLE[]), 6) DESC,
+      e.vec_id) AS rank_full,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+      ROUND(list_cosine_similarity((e.embedding[1:8])::DOUBLE[],
+                                   (q_embedding[1:8])::DOUBLE[]), 6) DESC,
+      e.vec_id) AS rank_8,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+      ROUND(list_cosine_similarity((e.embedding[1:16])::DOUBLE[],
+                                   (q_embedding[1:16])::DOUBLE[]), 6) DESC,
+      e.vec_id) AS rank_16,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+      ROUND(list_cosine_similarity((e.embedding[1:32])::DOUBLE[],
+                                   (q_embedding[1:32])::DOUBLE[]), 6) DESC,
+      e.vec_id) AS rank_32
+  FROM embeddings e CROSS JOIN q WHERE q_id <> e.vec_id
+),
+unp AS (
+  SELECT q_id, CAST(8 AS INTEGER) AS dim_trunc, rank_8 AS rank_t, rank_full
+  FROM scored
+  UNION ALL
+  SELECT q_id, CAST(16 AS INTEGER), rank_16, rank_full FROM scored
+  UNION ALL
+  SELECT q_id, CAST(32 AS INTEGER), rank_32, rank_full FROM scored
+)
+SELECT q_id, dim_trunc,
+  CAST(SUM(CASE WHEN rank_t <= 10 AND rank_full <= 10 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_overlap,
+  ROUND(SUM(CASE WHEN rank_t <= 10 AND rank_full <= 10 THEN 1 ELSE 0 END)
+        / CAST(10 AS DOUBLE), 6) AS recall
+FROM unp GROUP BY q_id, dim_trunc
+"""

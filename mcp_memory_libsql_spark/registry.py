@@ -1245,3 +1245,22 @@ def q_vec_hamming_knn(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
     )
     return binary.hamming_knn(t["embeddings"], queries_df, k=5)
+
+
+@query("kg_k_core")
+def q_kg_k_core(spark, sf_dir):
+    # iterative peel — no SQL oracle (rows-only gate); membership
+    # invariants covered in tests/test_kg2.py
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.k_core(g["relations"], k=3)
+
+
+@query("vec_matryoshka_recall")
+def q_vec_matryoshka_recall(spark, sf_dir):
+    from .vector import evaluate
+
+    t = load_tables(spark, sf_dir)
+    queries_df = t["embeddings"].where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return evaluate.matryoshka_recall(t["embeddings"], queries_df, k=10)

@@ -157,3 +157,73 @@ def recall_eval(
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dims: tuple[int, ...] = MATRYOSHKA_DIMS,
+) -> DataFrame:
+    """Truncation-dimension recall curve → (q_id, dim_trunc,
+    n_overlap, recall): overlap@k of cosine top-k computed on the
+    first ``d`` dims vs the full vector, per probe query — the eval
+    that decides how far Matryoshka-style embedding truncation
+    (Kusupati et al. 2022) can cut serving cost before quality falls
+    off.
+
+    One corpus scan computes the full cosine AND every truncated
+    cosine per row; the per-query ranks are window functions sharing
+    one q_id exchange (different sort orders reuse the partitioning).
+    Integer overlap counts + a /k display division keep the result
+    fully oracle-checkable despite the float scoring (same
+    round-to-6-then-rank contract as ``knn_batch``).
+
+    Scale: probes are a bounded broadcast set, so cost is Q scans of
+    the corpus fused into one; this is the offline eval-harness
+    pattern, not a serving path."""
+    exprs = [
+        F.round(
+            cosine(
+                F.slice("embedding", 1, d), F.slice("q_embedding", 1, d)
+            ),
+            6,
+        ).alias(f"cos_{d}")
+        for d in dims
+    ] + [F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias("cos_full")]
+    scored = (
+        embeddings.crossJoin(broadcast(queries))
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", *exprs)
+    )
+    def rank(col):
+        w = Window.partitionBy("q_id").orderBy(F.col(col).desc(), "vec_id")
+        return F.row_number().over(w)
+
+    ranked = scored.select(
+        "q_id",
+        rank("cos_full").alias("rank_full"),
+        *[rank(f"cos_{d}").alias(f"rank_{d}") for d in dims],
+    )
+    stack = ", ".join(f"{d}, rank_{d}" for d in dims)
+    unp = ranked.select(
+        "q_id",
+        "rank_full",
+        F.expr(
+            f"stack({len(dims)}, {stack}) AS (dim_trunc, rank_t)"
+        ),
+    )
+    hit = (F.col("rank_t") <= k) & (F.col("rank_full") <= k)
+    return (
+        unp.groupBy("q_id", F.col("dim_trunc").cast("int").alias("dim_trunc"))
+        .agg(F.sum(hit.cast("bigint")).alias("n_overlap"))
+        .select(
+            "q_id",
+            "dim_trunc",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(k), 6).alias("recall"),
+        )
+    )

@@ -334,3 +334,32 @@ def test_minhash_similarity_finds_top_exact_pair(spark, sf_dir):
     assert key in est
     assert est[key] >= 0.25
     assert all(0.25 <= v <= 1.0 for v in est.values())
+
+
+def test_k_core_invariants(spark, t):
+    rel = kg_views.relations(t)
+    core = kg_traverse.k_core(rel, k=3)
+    members = {r.name for r in core.collect()}
+    assert members, "3-core should be non-empty on the KG testdata"
+    # undirected distinct adjacency
+    import collections
+
+    adj = collections.defaultdict(set)
+    for r in rel.select("source", "target").distinct().collect():
+        if r.source != r.target:
+            adj[r.source].add(r.target)
+            adj[r.target].add(r.source)
+    # every member keeps >= k neighbors inside the core
+    for m in members:
+        assert len(adj[m] & members) >= 3, m
+    # maximality: no excluded node has >= k neighbors in the core
+    # (the k-core is the unique maximal such subgraph)
+    for n, nb in adj.items():
+        if n not in members:
+            assert len(nb & members) < 3, n
+
+
+def test_k_core_matches_reported_degree(spark, t):
+    rel = kg_views.relations(t)
+    rows = kg_traverse.k_core(rel, k=3).collect()
+    assert all(r.core_degree >= 3 for r in rows)
