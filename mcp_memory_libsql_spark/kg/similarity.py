@@ -153,8 +153,13 @@ def similar_entities_minhash(
     rows, independent of neighbor-set width.
     """
     und = undirected_neighbors(relations)
+    # Dictionary-encode names to 60-bit ints BEFORE any pairing (same
+    # trick as similar_entities): the candidate pair stream — the one
+    # unbounded-size intermediate — then shuffles 2×8-byte ints
+    # instead of wide strings; survivors decode through a broadcast
+    # dictionary at the very end.
     d = und.select(
-        "name",
+        md5_hash60(F.col("name")).alias("nid"),
         F.md5(F.col("nbr")).alias("d1"),
         F.md5(F.concat(F.lit("x:"), F.col("nbr"))).alias("d2"),
     )
@@ -163,7 +168,7 @@ def similar_entities_minhash(
         src = F.col("d1") if i < 4 else F.col("d2")
         chunk = F.substring(src, 1 + 8 * (i % 4), 8)
         aggs.append(F.min(F.conv(chunk, 16, 10).cast("bigint")).alias(f"h{i}"))
-    sig = d.groupBy("name").agg(*aggs).persist()
+    sig = d.groupBy("nid").agg(*aggs).persist()
 
     keys = F.array(
         *[
@@ -171,7 +176,7 @@ def similar_entities_minhash(
             for b in range(MINHASH_BANDS)
         ]
     )
-    banded = sig.select("name", F.explode(keys).alias("band_key"))
+    banded = sig.select("nid", F.explode(keys).alias("band_key"))
     combos = F.flatten(
         F.transform(
             F.col("ids"),
@@ -183,14 +188,14 @@ def similar_entities_minhash(
     )
     cand = (
         banded.groupBy("band_key")
-        .agg(F.sort_array(F.collect_list("name")).alias("ids"))
+        .agg(F.sort_array(F.collect_list("nid")).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap))
         .select(F.explode(combos).alias("p"))
-        .select(F.col("p.a").alias("entity_a"), F.col("p.b").alias("entity_b"))
+        .select(F.col("p.a").alias("na"), F.col("p.b").alias("nb"))
         .distinct()
     )
-    sa = sig.select(F.col("name").alias("entity_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)])
-    sb = sig.select(F.col("name").alias("entity_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)])
+    sa = sig.select(F.col("nid").alias("na"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)])
+    sb = sig.select(F.col("nid").alias("nb"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)])
     agree = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(MINHASH_K)
@@ -198,11 +203,27 @@ def similar_entities_minhash(
     # sig is O(#entities) rows of 9 narrow columns — tiny next to the
     # candidate pair stream — so both signature sides broadcast: the
     # (possibly huge) pair stream never shuffles again after its
-    # band-key grouping. Measured 13.2s → ~5s at sf0.1.
-    return (
-        cand.join(F.broadcast(sa), "entity_a")
-        .join(F.broadcast(sb), "entity_b")
+    # band-key grouping. Measured 13.2s → ~5s at sf0.1 (strings),
+    # then further with the int-encoded pair stream.
+    scored = (
+        cand.join(F.broadcast(sa), "na")
+        .join(F.broadcast(sb), "nb")
         .withColumn("est_jaccard", F.round(agree / MINHASH_K, 6))
         .where(F.col("est_jaccard") >= min_est)
-        .select("entity_a", "entity_b", "est_jaccard")
+        .select("na", "nb", "est_jaccard")
+    )
+    names = und.select(
+        md5_hash60(F.col("name")).alias("nid"), "name"
+    ).distinct()
+    da = names.select(F.col("nid").alias("na"), F.col("name").alias("name_a"))
+    db = names.select(F.col("nid").alias("nb"), F.col("name").alias("name_b"))
+    return (
+        scored.join(F.broadcast(da), "na")
+        .join(F.broadcast(db), "nb")
+        .select(
+            # nid order is not name order: re-canonicalize a < b
+            F.least("name_a", "name_b").alias("entity_a"),
+            F.greatest("name_a", "name_b").alias("entity_b"),
+            "est_jaccard",
+        )
     )
