@@ -89,3 +89,17 @@ def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
     """Read back a sharded export (shard is a hive partition column,
     so shard-scoped reads prune to one directory)."""
     return spark.read.schema(DOCUMENTS_SCHEMA + ", shard int").json(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None):
+    """ORC sink (Spark-native columnar alternative to parquet; some
+    warehouse stacks are ORC-standardized). Same hive-partitioning
+    contract as the parquet sink."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -70,3 +70,76 @@ def salted_join(
     )
     out = big_s.join(small_s, [key, "_salt"])
     return out.drop("_salt")
+
+
+def zorder_key(cols: list[str], bits: int = 20) -> F.Column:
+    """Bit-interleaved (Morton / Z-order) clustering key over up to 3
+    integer columns → one BIGINT.
+
+    Sorting a table by this key before writing clusters rows that are
+    close in EVERY dimension into the same parquet row groups, so
+    min/max row-group statistics prune multi-dimensional range
+    predicates — the data-skipping trick behind Delta/Iceberg OPTIMIZE
+    ZORDER, expressed here as a pure column expression (each column is
+    clamped to ``bits`` bits, then bits are interleaved with
+    shiftleft/or — codegen'd, no UDF).
+
+    With 3 columns at 20 bits each the key fills 60 bits — the repo's
+    BIGINT-safe convention. Columns must already be non-negative ints
+    (rank/normalize first for floats or skewed domains; at 100 TB use
+    a percent_rank pass so each dimension is uniform)."""
+    if not 1 <= len(cols) <= 3:
+        raise ValueError("zorder_key takes 1-3 columns")
+    n = len(cols)
+    key = F.lit(0).cast("bigint")
+    one = F.lit(1).cast("bigint")
+    for ci, c in enumerate(cols):
+        mask = F.lit((1 << bits) - 1).cast("bigint")
+        v = F.col(c).cast("bigint").bitwiseAND(mask)
+        for b in range(bits):
+            bit = F.shiftright(v, b).bitwiseAND(one)
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + ci))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    bits: int = 20,
+    files_per_write: int = 8,
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order key of
+    ``zcols``: repartitionByRange on the key (range partitioning keeps
+    key locality ACROSS files, unlike hash) then sortWithinPartitions
+    so every row group covers a tight key range. Readers then prune
+    files AND row groups on any conjunction of range predicates over
+    ``zcols`` via parquet min/max stats."""
+    keyed = df.withColumn("_zkey", zorder_key(zcols, bits))
+    (
+        keyed.repartitionByRange(files_per_write, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction: rewrite ``src`` parquet into ``dst``
+    with ≈``target_rows_per_file`` rows per file → returns file
+    count. The maintenance job every long-lived ingest needs (tiny
+    files destroy scan throughput: per-file open cost, starved
+    vectorized reads, bloated listings). Row-count-based sizing keeps
+    it deterministic; at 100 TB you'd size by bytes via
+    spark.sql.files.maxRecordsPerFile instead of a coalesce."""
+    df = spark.read.parquet(src)
+    n = df.count()
+    files = max(1, -(-n // target_rows_per_file))
+    df.coalesce(files).write.mode("overwrite").parquet(dst)
+    return files

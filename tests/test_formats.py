@@ -71,3 +71,21 @@ def test_shard_scoped_read_prunes(spark, sf_dir, tmp_path):
     one = formats.read_training_shards(spark, path).where(F.col("shard") == 2)
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "shard" in plan
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    from mcp_memory_libsql_spark.io.formats import read_orc, write_orc
+    from mcp_memory_libsql_spark.io.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, partition_by=["lang"])
+    back = read_orc(spark, path)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+    # partition pruning: a lang filter must reach PartitionFilters
+    plan = (
+        back.where(F.col("lang") == "en")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]

@@ -111,3 +111,88 @@ def test_dedup_exact_column_pruning(spark, sf_dir):
     assert "text" in read_schema
     assert "lang" not in read_schema
     assert "source" not in read_schema
+
+
+def _morton_ref(vals: list[int], bits: int) -> int:
+    key = 0
+    n = len(vals)
+    for ci, v in enumerate(vals):
+        v &= (1 << bits) - 1
+        for b in range(bits):
+            key |= ((v >> b) & 1) << (b * n + ci)
+    return key
+
+
+def test_zorder_key_matches_reference(spark):
+    from mcp_memory_libsql_spark.io.layout import zorder_key
+
+    rows = [(3, 5, 9), (0, 0, 0), (1048575, 1048575, 1048575), (7, 1, 2)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = [
+        r.k
+        for r in df.select(zorder_key(["a", "b", "c"]).alias("k"))
+        .orderBy("a")
+        .collect()
+    ]
+    want = [
+        _morton_ref(list(v), 20)
+        for v in sorted(rows, key=lambda x: x[0])
+    ]
+    assert got == want
+    # 3 cols x 20 bits stays BIGINT-safe
+    assert all(0 <= k < (1 << 60) for k in got)
+
+
+def test_zorder_write_narrows_rowgroup_stats(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    from mcp_memory_libsql_spark.io.layout import write_zordered
+    from mcp_memory_libsql_spark.io.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    # hash-derived dims give a full 0..1023 domain at every SF (the
+    # raw ids span too little at sf0.001 to show row-group pruning)
+    ev = t["events"].select(
+        "event_id",
+        F.pmod(F.xxhash64("event_id"), F.lit(1024)).alias("u"),
+        F.pmod(F.xxhash64("event_id", F.lit(1)), F.lit(1024)).alias("v"),
+    )
+    plain, zord = str(tmp_path / "plain"), str(tmp_path / "zord")
+    ev.repartition(16).write.parquet(plain)
+    write_zordered(ev, zord, ["u", "v"], bits=10, files_per_write=16)
+
+    def mean_width(path, col):
+        import glob
+
+        widths, total = [], 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                widths.append(st.max - st.min)
+                total += 1
+        return sum(widths) / total
+
+    # both dimensions must tighten vs the unsorted layout
+    assert mean_width(zord, "u") < mean_width(plain, "u") * 0.5
+    assert mean_width(zord, "v") < mean_width(plain, "v") * 0.5
+    # and the rewrite is content-identical
+    a = spark.read.parquet(plain)
+    b = spark.read.parquet(zord)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_compact_parquet_roundtrip(spark, tmp_path):
+    from mcp_memory_libsql_spark.io.layout import compact_parquet
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(0, 10000).withColumn("x", F.col("id") * 2)
+    df.repartition(50).write.parquet(src)  # 50 tiny files
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 50
+    files = compact_parquet(spark, src, dst, target_rows_per_file=4000)
+    assert files == 3
+    assert len(glob.glob(dst + "/*.parquet")) == 3
+    assert spark.read.parquet(dst).exceptAll(df).count() == 0
