@@ -248,3 +248,53 @@ def audio_windows(
     return media.where(F.col("kind") == "audio").mapInPandas(
         batches, schema=WINDOW_SCHEMA
     )
+
+
+def image_patches(media: DataFrame, patch: int = 16) -> DataFrame:
+    """ViT-style patch grid over image media → one row per patch
+    (media_id, px, py, patch_chars, patch_md5): the preprocessing
+    explode a vision-transformer training pipeline runs before
+    embedding (image → ceil(w/p)×ceil(h/p) patches).
+
+    The pixel decode is the container-stubbed step, so patch CONTENT
+    is the deterministic even split of the decoded payload (same
+    stand-in contract as ``sample_frames``); the grid geometry,
+    explode shape, and per-patch hashing are the real Spark plumbing.
+    Pure column expressions — narrow explode, no shuffle, no Python —
+    and fully oracle-checkable."""
+    q = patch - 1
+    img = media.where(F.col("kind") == "image").select(
+        "media_id",
+        F.decode(F.col("payload"), "utf-8").alias("txt"),
+        F.expr(f"(meta.width + {q}) div {patch}").alias("nx"),
+        F.expr(f"(meta.height + {q}) div {patch}").alias("ny"),
+    )
+    d = img.select(
+        "media_id", "txt", "nx", "ny", F.length("txt").alias("n")
+    )
+    e = d.select(
+        "media_id",
+        "txt",
+        "nx",
+        "n",
+        (F.col("nx") * F.col("ny")).alias("np"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("nx") * F.col("ny") - 1)
+        ).alias("idx"),
+    )
+    start = F.expr("(idx * n) div np")
+    seg_len = F.expr("((idx + 1) * n) div np - (idx * n) div np")
+    seg = F.expr(
+        "substring(txt, cast((idx * n) div np + 1 as int), "
+        "cast(((idx + 1) * n) div np - (idx * n) div np as int))"
+    )
+    return (
+        e.select(
+            "media_id",
+            (F.col("idx") % F.col("nx")).cast("int").alias("px"),
+            F.expr("idx div nx").cast("int").alias("py"),
+            seg_len.cast("int").alias("patch_chars"),
+            F.md5(seg).alias("patch_md5"),
+        )
+        .where(F.col("patch_chars") > 0)
+    )

@@ -855,3 +855,77 @@ SELECT lang, n_docs,
   ROUND(_total / CAST(_n_langs * n_docs AS DOUBLE), 6) AS weight
 FROM per, tot
 """
+
+
+ORACLES["dedup_lsh_eval"] = (
+    MINHASH_CTE
+    + f""",
+banded AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+ip AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           ROUND(inter_size / (sa.sz + sb.sz - inter_size), 6) AS jaccard
+    FROM ip
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+  ) WHERE jaccard >= 0.5
+),
+j AS (
+  SELECT COALESCE(e.doc_a, c.doc_a) AS doc_a,
+         COALESCE(e.doc_b, c.doc_b) AS doc_b,
+         (e.doc_a IS NOT NULL) AS in_e, (c.doc_a IS NOT NULL) AS in_c
+  FROM exact e FULL OUTER JOIN cand c
+    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         CAST(SUM(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         CAST(SUM(CASE WHEN in_e AND in_c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_common
+  FROM j
+)
+SELECT CAST(0.5 AS DOUBLE) AS threshold, n_exact, n_cand, n_common,
+  CASE WHEN n_exact > 0
+       THEN ROUND(n_common / CAST(n_exact AS DOUBLE), 6) END AS recall,
+  CASE WHEN n_cand > 0
+       THEN ROUND(n_common / CAST(n_cand AS DOUBLE), 6) END AS precision
+FROM agg
+"""
+)
+
+ORACLES["mm_image_patches"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS n,
+    ((CAST(n_chars % 64 + 1 AS INTEGER)) + 15) // 16 AS nx,
+    ((CAST(n_chars % 48 + 1 AS INTEGER)) + 15) // 16 AS ny
+  FROM documents WHERE doc_id % 3 = 0
+),
+p AS (
+  SELECT media_id, text, n, nx, ny,
+         unnest(range(0, nx * ny)) AS idx
+  FROM m
+)
+SELECT media_id,
+  CAST(idx % nx AS INTEGER) AS px,
+  CAST(idx // nx AS INTEGER) AS py,
+  CAST((idx + 1) * n // (nx * ny) - idx * n // (nx * ny) AS INTEGER)
+    AS patch_chars,
+  md5(substr(text, CAST(idx * n // (nx * ny) + 1 AS INTEGER),
+             CAST((idx + 1) * n // (nx * ny) - idx * n // (nx * ny)
+                  AS INTEGER))) AS patch_md5
+FROM p
+WHERE (idx + 1) * n // (nx * ny) - idx * n // (nx * ny) > 0
+"""

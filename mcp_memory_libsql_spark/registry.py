@@ -1264,3 +1264,17 @@ def q_vec_matryoshka_recall(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
     )
     return evaluate.matryoshka_recall(t["embeddings"], queries_df, k=10)
+
+
+@query("dedup_lsh_eval")
+def q_dedup_lsh_eval(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.lsh_eval(t["documents"], threshold=0.5)
+
+
+@query("mm_image_patches")
+def q_mm_image_patches(spark, sf_dir):
+    from .multimodal import media as mm
+
+    t = load_tables(spark, sf_dir)
+    return mm.image_patches(mm.synthesize_media(t["documents"]))

@@ -604,3 +604,59 @@ def substring_dup_coverage(
         F.sum("is_dup").alias("dup_windows"),
         F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_frac"),
     )
+
+
+def lsh_eval(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Candidate-quality report for the banded-LSH dedup path → ONE
+    row (threshold, n_exact, n_cand, n_common, recall, precision):
+    how many of the TRUE near-dup pairs (exact n-gram Jaccard ≥
+    threshold over the DF-capped index) the LSH candidate generator
+    surfaces (recall), and what fraction of its candidates are true
+    pairs (precision — the rescore-cost driver).
+
+    This is the tuning harness for (bands, rows-per-band): the
+    theoretical collision curve 1-(1-j^r)^b is only a model; this
+    measures the real corpus. Deterministic end-to-end (both sides
+    are exact set algebra on md5-derived integers), so unlike most
+    ANN evals it is FULLY oracle-checkable.
+
+    Plan: the two pair sets full-outer-join on the pair key, then one
+    global rollup — pair streams are already DF/band-bounded, so the
+    eval costs roughly one run of each generator."""
+    exact = ngram_jaccard_pairs(documents, n, threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_e")
+    )
+    cand = minhash_lsh_candidates(documents, n).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_c")
+    )
+    j = exact.join(cand, ["doc_a", "doc_b"], "full_outer")
+    agg = j.agg(
+        F.coalesce(F.sum("in_e"), F.lit(0)).cast("bigint").alias("n_exact"),
+        F.coalesce(F.sum("in_c"), F.lit(0)).cast("bigint").alias("n_cand"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("in_e").isNotNull() & F.col("in_c").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_common"),
+    )
+    return agg.select(
+        F.lit(float(threshold)).alias("threshold"),
+        "n_exact",
+        "n_cand",
+        "n_common",
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(F.col("n_common") / F.col("n_exact"), 6),
+        ).alias("recall"),
+        F.when(
+            F.col("n_cand") > 0,
+            F.round(F.col("n_common") / F.col("n_cand"), 6),
+        ).alias("precision"),
+    )
