@@ -1278,3 +1278,16 @@ def q_mm_image_patches(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return mm.image_patches(mm.synthesize_media(t["documents"]))
+
+
+@query("text_quality_classifier")
+def q_text_quality_classifier(spark, sf_dir):
+    # MLlib fit is iterative — no SQL oracle (rows-only gate);
+    # accuracy/AUC floors covered in tests/test_text.py
+    from .textops import classifier
+
+    t = load_tables(spark, sf_dir)
+    return classifier.quality_scores(
+        t["documents"],
+        cache_key=f"{spark.sparkContext.applicationId}:{sf_dir}",
+    )

@@ -133,3 +133,19 @@ def test_simhash_sql_matches_uncapped_aggregation(spark, sf_dir):
         .collect()
     }
     assert agg and all(perrow[k] == v for k, v in agg.items())
+
+
+def test_quality_classifier_learns_weak_rule(spark, docs):
+    from mcp_memory_libsql_spark.textops.classifier import quality_scores
+
+    scored = quality_scores(docs).cache()
+    rows = scored.collect()
+    assert len(rows) == docs.count()
+    # the linear model must reproduce its own weak training rule well
+    acc = sum(1 for r in rows if r.prediction == r.weak_label) / len(rows)
+    assert acc >= 0.9, acc
+    # scores are probabilities and separate the classes in the mean
+    assert all(0.0 <= r.score <= 1.0 for r in rows)
+    pos = [r.score for r in rows if r.weak_label == 1]
+    neg = [r.score for r in rows if r.weak_label == 0]
+    assert pos and neg and (sum(pos) / len(pos)) > (sum(neg) / len(neg)) + 0.2
