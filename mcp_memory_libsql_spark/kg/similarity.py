@@ -227,3 +227,81 @@ def similar_entities_minhash(
             "est_jaccard",
         )
     )
+
+
+NAME_GRAM_CAP = 100
+
+
+def entity_name_neardup(
+    entities: DataFrame, threshold: float = 0.6, cap: int = NAME_GRAM_CAP
+) -> DataFrame:
+    """Near-duplicate ENTITY NAMES by character-trigram Jaccard →
+    (entity_a, entity_b, inter_size, size_a, size_b, jaccard).
+
+    The reference's memory store accumulates near-duplicate entities
+    over time ("Claude AI" vs "claude_ai" vs "Claude-AI") because
+    create_entities upserts by exact name (client.ts:140-176); this
+    op is the remediation scan that finds merge candidates. Names are
+    normalized exactly like the reference's fuzzy search treats query
+    separators ([\\s_-]+ → one space, client.ts:217) before
+    trigramming.
+
+    Same bounded plan as the document dedup family: one shuffle
+    builds trigram postings, hub trigrams (shared prefixes like
+    'Customer#…') die at the DF cap, pairs are in-row combos of the
+    surviving postings — never an entity×entity product."""
+    nm = F.concat_ws(
+        " ",
+        F.regexp_extract_all(F.lower(F.col("name")), F.lit("[a-z0-9]+"), 0),
+    )
+    d = entities.select("name", nm.alias("nm"))
+    grams = F.when(
+        F.length("nm") >= 3,
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, length(nm) - 2), "
+                "i -> substring(nm, i, 3))"
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g0 = d.select("name", F.explode(grams).alias("gram"))
+    postings = (
+        g0.groupBy("gram")
+        .agg(F.sort_array(F.collect_list("name")).alias("ids"))
+        .where(F.size("ids") <= cap)
+        .persist()
+    )
+    sizes = (
+        postings.select(F.explode("ids").alias("name"))
+        .groupBy("name")
+        .agg(F.count("*").alias("sz"))
+    )
+    combos = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS a, y AS b))))"
+    )
+    pairs = (
+        postings.where(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.a").alias("entity_a"), F.col("p.b").alias("entity_b"))
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sa = sizes.select(F.col("name").alias("entity_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("name").alias("entity_b"), F.col("sz").alias("size_b"))
+    return (
+        pairs.join(F.broadcast(sa), "entity_a")
+        .join(F.broadcast(sb), "entity_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter_size")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            "entity_a", "entity_b", "inter_size", "size_a", "size_b", "jaccard"
+        )
+    )

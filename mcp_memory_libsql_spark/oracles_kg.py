@@ -461,3 +461,40 @@ SELECT n_nodes, n_edges, n_wedges, n_closed,
        ROUND(n_closed / n_wedges, 6) AS clustering
 FROM nn, ne, nw, nc, nb
 """
+
+ORACLES["kg_entity_neardup"] = (
+    KG_CTE
+    + """,
+norm AS (
+  SELECT name,
+         array_to_string(regexp_extract_all(lower(name), '[a-z0-9]+'), ' ')
+           AS nm
+  FROM entities
+),
+g0 AS (
+  SELECT name, unnest(list_distinct(
+    CASE WHEN length(nm) >= 3
+         THEN list_transform(range(1, length(nm) - 1),
+                             i -> substr(nm, i, 3))
+         ELSE []::VARCHAR[] END)) AS gram
+  FROM norm
+),
+freq AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) > 100),
+g AS (SELECT name, gram FROM g0
+      WHERE gram NOT IN (SELECT gram FROM freq)),
+sizes AS (SELECT name, COUNT(*) AS sz FROM g GROUP BY name),
+pairs AS (
+  SELECT a.name AS entity_a, b.name AS entity_b, COUNT(*) AS inter_size
+  FROM g a JOIN g b ON a.gram = b.gram AND a.name < b.name
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT entity_a, entity_b, inter_size, sa.sz AS size_a, sb.sz AS size_b,
+         ROUND(inter_size / (sa.sz + sb.sz - inter_size), 6) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON entity_a = sa.name
+  JOIN sizes sb ON entity_b = sb.name
+)
+WHERE jaccard >= 0.6
+"""
+)

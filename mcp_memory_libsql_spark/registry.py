@@ -1291,3 +1291,11 @@ def q_text_quality_classifier(spark, sf_dir):
         t["documents"],
         cache_key=f"{spark.sparkContext.applicationId}:{sf_dir}",
     )
+
+
+@query("kg_entity_neardup")
+def q_kg_entity_neardup(spark, sf_dir):
+    from .kg import similarity as kg_sim
+
+    g, _ = _kg(spark, sf_dir)
+    return kg_sim.entity_name_neardup(g["entities"], threshold=0.6)
