@@ -305,3 +305,68 @@ def entity_name_neardup(
             "entity_a", "entity_b", "inter_size", "size_a", "size_b", "jaccard"
         )
     )
+
+
+def merge_candidates(
+    entities: DataFrame, threshold: float = 0.6, max_iter: int = 64
+) -> DataFrame:
+    """Entity-merge plan over the near-dup name graph → (name,
+    canonical, cluster_size): connected components of
+    :func:`entity_name_neardup` pairs, canonical = lexicographic min
+    name per cluster — the remediation step after the scan (rewrite
+    relations/observations onto the canonical entity, then delete the
+    rest through the reference's cascade semantics).
+
+    Near-dup NAME clusters can be long chains (Entity-1 ~ Entity-2 ~
+    Entity-3 …), so unlike the hub-connected relation graph
+    (``kg_components``, fixed 8 rounds) this HashMin loop runs to
+    CONVERGENCE with an early-stop check (one count per round — the
+    pair graph is orders smaller than the entity table, so the extra
+    action is cheap). Exact same fixpoint as the oracle's recursive
+    CTE."""
+    pairs = entity_name_neardup(entities, threshold).select(
+        F.col("entity_a").alias("a"), F.col("entity_b").alias("b")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("name"))
+        .distinct()
+        .withColumn("component", F.col("name"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["a"] == labels["name"])
+            .groupBy(F.col("b").alias("name"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "name", "left")
+            .select(
+                "name",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "name")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return labels.join(F.broadcast(sizes), "component").select(
+        "name",
+        F.col("component").alias("canonical"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )

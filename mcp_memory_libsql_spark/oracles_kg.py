@@ -498,3 +498,22 @@ SELECT * FROM (
 WHERE jaccard >= 0.6
 """
 )
+
+ORACLES["kg_merge_entities"] = f"""
+WITH p2 AS ({ORACLES["kg_entity_neardup"]}),
+edges AS (
+  SELECT entity_a AS a, entity_b AS b FROM p2
+  UNION
+  SELECT entity_b, entity_a FROM p2
+),
+cc AS (
+  WITH RECURSIVE walk(name, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, walk.comp FROM walk JOIN edges e ON walk.name = e.a
+  )
+  SELECT name, MIN(comp) AS canonical FROM walk GROUP BY name
+),
+sizes AS (SELECT canonical AS c2, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
+SELECT name, canonical, cluster_size FROM cc JOIN sizes ON canonical = c2
+"""

@@ -1299,3 +1299,11 @@ def q_kg_entity_neardup(spark, sf_dir):
 
     g, _ = _kg(spark, sf_dir)
     return kg_sim.entity_name_neardup(g["entities"], threshold=0.6)
+
+
+@query("kg_merge_entities")
+def q_kg_merge_entities(spark, sf_dir):
+    from .kg import similarity as kg_sim
+
+    g, _ = _kg(spark, sf_dir)
+    return kg_sim.merge_candidates(g["entities"], threshold=0.6)
