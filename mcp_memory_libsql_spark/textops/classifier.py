@@ -55,6 +55,26 @@ def fit_quality_model(documents: DataFrame, reg: float = 0.01):
     return asm, model
 
 
+def score_with_model(documents: DataFrame, asm, model) -> DataFrame:
+    """Apply a fitted model → (doc_id, weak_label, score,
+    prediction). Works identically on BATCH and STREAMING frames:
+    the quality signals are stateless column expressions and the
+    fitted model applies as a broadcast coefficient vector — the
+    standard serve path for scoring a document firehose with a
+    batch-trained filter."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = quality(documents).withColumn("label", _weak_label())
+    scored = model.transform(asm.transform(feats))
+    p1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    return scored.select(
+        "doc_id",
+        F.col("label").cast("int").alias("weak_label"),
+        F.round(p1, 6).alias("score"),
+        F.col("prediction").cast("int").alias("prediction"),
+    )
+
+
 def quality_scores(
     documents: DataFrame, cache_key: str | None = None
 ) -> DataFrame:
@@ -67,14 +87,4 @@ def quality_scores(
         asm, model = fit_quality_model(documents)
         if cache_key is not None:
             _MODEL_CACHE[cache_key] = (asm, model)
-    feats = quality(documents).withColumn("label", _weak_label())
-    from pyspark.ml.functions import vector_to_array
-
-    scored = model.transform(asm.transform(feats))
-    p1 = F.element_at(vector_to_array(F.col("probability")), 2)
-    return scored.select(
-        "doc_id",
-        F.col("label").cast("int").alias("weak_label"),
-        F.round(p1, 6).alias("score"),
-        F.col("prediction").cast("int").alias("prediction"),
-    )
+    return score_with_model(documents, asm, model)

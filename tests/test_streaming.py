@@ -574,3 +574,60 @@ def test_topk_users_stream_matches_batch(spark, sf_dir, tmp_path):
     assert [g[:2] for g in got] == [w[:2] for w in want]
     for g, w in zip(got, want):
         assert abs(g[2] - w[2]) < 0.02
+
+
+def test_classifier_scores_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Batch-fitted quality model scoring a document stream: the
+    fitted LR applies as stateless expressions, so stream scores must
+    be row-identical to batch scores."""
+    from mcp_memory_libsql_spark.textops.classifier import (
+        fit_quality_model,
+        score_with_model,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    asm, model = fit_quality_model(docs)
+    batch = {
+        r.doc_id: (r.weak_label, r.score, r.prediction)
+        for r in score_with_model(docs, asm, model).collect()
+    }
+
+    pdf = docs.toPandas()
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    n = len(pdf)
+    for i in range(2):
+        chunk = pdf.iloc[i * n // 2 : (i + 1) * n // 2]
+        with open(src / f"part{i}.json", "w") as f:
+            for _, row in chunk.iterrows():
+                f.write(
+                    json.dumps(
+                        {
+                            "doc_id": int(row.doc_id),
+                            "text": row.text,
+                            "lang": row.lang,
+                            "source": row.source,
+                            "n_chars": int(row.n_chars),
+                        }
+                    )
+                    + "\n"
+                )
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    scored = score_with_model(stream, asm, model)
+    q = pipeline.run_stream_to_memory(scored, "clf_mem", mode="append")
+    try:
+        _wait(q)
+        got = {
+            r.doc_id: (r.weak_label, r.score, r.prediction)
+            for r in spark.sql("SELECT * FROM clf_mem").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
