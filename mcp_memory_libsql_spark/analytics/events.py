@@ -612,3 +612,67 @@ def daily_cusum(t) -> DataFrame:
         F.round(scaled / F.col("_days"), 4).alias("cusum"),
         (F.abs(scaled) > 2 * F.col("_total")).alias("is_shift"),
     )
+
+
+def lateness_profile(t, bucket: int = 1024) -> DataFrame:
+    """Watermark-choice profile → one row per candidate delay
+    (delay_secs, n_late, late_share): how many events would arrive
+    AFTER the watermark had already passed their timestamp, for
+    candidate delays of 1 m / 10 m / 1 h / 6 h.
+
+    Event-time disorder is measured against ARRIVAL order (event_id
+    in the synthetic feed): an event is late for delay D when the
+    running max event-time among earlier arrivals exceeds its own
+    time by more than D — exactly the condition under which
+    Structured Streaming's watermark (max event time − D) would drop
+    it.
+
+    The running max is a DISTRIBUTED two-level prefix scan, not one
+    global window (which would serialize the whole feed through a
+    single partition at 100 TB): per-bucket running maxes compute in
+    parallel (window partitioned by event_id div bucket), the
+    per-bucket rollup is tiny so ITS running max is a cheap ordered
+    window, and each row combines the two with greatest() — the
+    standard parallel prefix-aggregate decomposition. All epoch math
+    is integer."""
+    ev = t["events"].select(
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ep"),
+        F.expr(f"event_id div {bucket}").alias("bkt"),
+    )
+    per_b = ev.groupBy("bkt").agg(F.max("ep").alias("bmax"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prior = per_b.select(
+        "bkt", F.max("bmax").over(wb).alias("prior_max")
+    )
+    wi = (
+        Window.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = ev.join(F.broadcast(prior), "bkt").select(
+        "ep",
+        F.max("ep").over(wi).alias("in_max"),
+        "prior_max",
+    )
+    late = x.where(
+        F.col("in_max").isNotNull() | F.col("prior_max").isNotNull()
+    ).select(
+        (F.greatest("in_max", "prior_max") - F.col("ep")).alias("late_by")
+    )
+    delays = F.expr("stack(4, 60, 600, 3600, 21600) AS (delay_secs)")
+    dtab = late.sparkSession.range(1).select(delays)
+    return (
+        late.crossJoin(F.broadcast(dtab))
+        .groupBy("delay_secs")
+        .agg(
+            F.sum((F.col("late_by") > F.col("delay_secs")).cast("bigint"))
+            .alias("n_late"),
+            F.count("*").alias("_total"),
+        )
+        .select(
+            F.col("delay_secs").cast("int").alias("delay_secs"),
+            F.col("n_late").cast("bigint").alias("n_late"),
+            F.round(F.col("n_late") / F.col("_total"), 6).alias("late_share"),
+        )
+    )

@@ -804,3 +804,34 @@ def yoy_growth(t) -> DataFrame:
             (F.col("revenue") - prev).cast("double") / prev.cast("double"), 6
         ).alias("yoy_growth"),
     )
+
+
+def data_skew_report(t) -> DataFrame:
+    """Join-key skew diagnostics over lineitem → one row per join key
+    (key_name, n_rows, n_keys, max_width, top_share, avg_width): the
+    pre-flight a 100 TB join runs BEFORE choosing a strategy — a
+    top_share near 1/shuffle-partitions means one reducer absorbs a
+    partition's worth of a single key (→ salt it or let AQE split it),
+    and avg_width sizes the expected per-key group.
+
+    One scan unpivots the three join keys (narrow stack explode),
+    then two map-side-combinable rollups. All counts are integers;
+    the shares are single IEEE divisions — bit-identical across
+    engines."""
+    li = t["lineitem"].select(
+        F.expr(
+            "stack(3, 'l_orderkey', l_orderkey, "
+            "'l_partkey', l_partkey, 'l_suppkey', l_suppkey) "
+            "AS (key_name, key_value)"
+        )
+    )
+    widths = li.groupBy("key_name", "key_value").agg(
+        F.count("*").alias("w")
+    )
+    return widths.groupBy("key_name").agg(
+        F.sum("w").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("w").cast("bigint").alias("max_width"),
+        F.round(F.max("w") / F.sum("w"), 6).alias("top_share"),
+        F.round(F.sum("w") / F.count("*"), 6).alias("avg_width"),
+    )

@@ -1074,3 +1074,62 @@ SELECT day, CAST(n_events AS BIGINT) AS n_events,
   abs(CAST(_cum * _days - _i * _total AS BIGINT)) > 2 * _total AS is_shift
 FROM cum, tot
 """
+
+ORACLES["data_skew_report"] = """
+WITH keys AS (
+  SELECT 'l_orderkey' AS key_name, l_orderkey AS key_value FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', l_suppkey FROM lineitem
+),
+widths AS (
+  SELECT key_name, key_value, COUNT(*) AS w FROM keys GROUP BY 1, 2
+)
+SELECT key_name,
+  CAST(SUM(w) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(MAX(w) AS BIGINT) AS max_width,
+  ROUND(MAX(w) / CAST(SUM(w) AS DOUBLE), 6) AS top_share,
+  ROUND(SUM(w) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_width
+FROM widths GROUP BY key_name
+"""
+
+ORACLES["events_lateness_profile"] = """
+WITH ev AS (
+  SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+         event_id // 1024 AS bkt
+  FROM events
+),
+pb AS (SELECT bkt, MAX(ep) AS bmax FROM ev GROUP BY 1),
+pr AS (
+  SELECT bkt, MAX(bmax) OVER (
+    ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ) AS prior_max
+  FROM pb
+),
+x AS (
+  SELECT e.ep,
+    MAX(e.ep) OVER (
+      PARTITION BY e.bkt ORDER BY e.event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS in_max,
+    pr.prior_max
+  FROM ev e JOIN pr ON e.bkt = pr.bkt
+),
+late AS (
+  SELECT greatest(in_max, prior_max) - ep AS late_by
+  FROM x
+  WHERE in_max IS NOT NULL OR prior_max IS NOT NULL
+),
+d AS (
+  SELECT * FROM late
+  CROSS JOIN (VALUES (60), (600), (3600), (21600)) AS t(delay_secs)
+)
+SELECT CAST(delay_secs AS INTEGER) AS delay_secs,
+  CAST(SUM(CASE WHEN late_by > delay_secs THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_late,
+  ROUND(SUM(CASE WHEN late_by > delay_secs THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS late_share
+FROM d GROUP BY delay_secs
+"""

@@ -1307,3 +1307,15 @@ def q_kg_merge_entities(spark, sf_dir):
 
     g, _ = _kg(spark, sf_dir)
     return kg_sim.merge_candidates(g["entities"], threshold=0.6)
+
+
+@query("data_skew_report")
+def q_data_skew_report(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tpch.data_skew_report(t)
+
+
+@query("events_lateness_profile")
+def q_events_lateness_profile(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.lateness_profile(t)
