@@ -57,6 +57,15 @@ EXTENDED = [
     "vec_pca",
     "doc_keywords",
     "events_funnel_steps",
+    "vec_hamming_knn",
+    "vec_matryoshka_recall",
+    "kg_entity_neardup",
+    "kg_merge_entities",
+    "dedup_lsh_eval",
+    "text_quality_classifier",
+    "text_ttr",
+    "data_skew_report",
+    "events_lateness_profile",
 ]
 
 
