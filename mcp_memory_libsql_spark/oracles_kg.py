@@ -517,3 +517,12 @@ cc AS (
 sizes AS (SELECT canonical AS c2, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
 SELECT name, canonical, cluster_size FROM cc JOIN sizes ON canonical = c2
 """
+
+ORACLES["kg_growth"] = (
+    KG_CTE
+    + """
+SELECT created_at // 1000 AS epoch_bucket, entity_type,
+       CAST(COUNT(*) AS BIGINT) AS n_entities
+FROM entities GROUP BY 1, 2
+"""
+)

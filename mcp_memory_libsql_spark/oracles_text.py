@@ -929,3 +929,24 @@ SELECT media_id,
 FROM p
 WHERE (idx + 1) * n // (nx * ny) - idx * n // (nx * ny) > 0
 """
+
+ORACLES["dedup_containment"] = (
+    SHINGLE_CTE
+    + """,
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT doc_a, doc_b, inter_size, sa.sz AS size_a, sb.sz AS size_b,
+         ROUND(inter_size / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6)
+           AS containment
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)
+WHERE containment >= 0.5
+"""
+)

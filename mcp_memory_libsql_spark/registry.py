@@ -1319,3 +1319,22 @@ def q_data_skew_report(spark, sf_dir):
 def q_events_lateness_profile(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return ev_ops.lateness_profile(t)
+
+
+@query("dedup_containment")
+def q_dedup_containment(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.containment_pairs(t["documents"], threshold=0.5)
+
+
+@query("kg_growth")
+def q_kg_growth(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return (
+        g["entities"]
+        .groupBy(
+            F.expr("created_at div 1000").alias("epoch_bucket"),
+            "entity_type",
+        )
+        .agg(F.count("*").alias("n_entities"))
+    )

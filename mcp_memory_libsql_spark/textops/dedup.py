@@ -660,3 +660,52 @@ def lsh_eval(
             F.round(F.col("n_common") / F.col("n_cand"), 6),
         ).alias("precision"),
     )
+
+
+def containment_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT →
+    (doc_a, doc_b, inter_size, size_a, size_b, containment) where
+    containment = |A∩B| / min(|A|, |B|).
+
+    Catches what Jaccard structurally cannot: a short doc embedded
+    verbatim in a much longer one (quote farms, scraped excerpts,
+    boilerplate-wrapped copies) scores near 1.0 here but near
+    |short|/|long| ≈ 0 on Jaccard. Same bounded postings plan as
+    ``ngram_jaccard_pairs`` — one shuffle, DF-capped, in-row pair
+    combos — only the final score differs."""
+    sh = doc_shingles(documents, n)  # (doc_id, shingle), DF-capped
+    postings = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    combos = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS a, y AS b))))"
+    )
+    pairs = (
+        postings.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("inter_size") / F.least("size_a", "size_b"), 6
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            "doc_a", "doc_b", "inter_size", "size_a", "size_b", "containment"
+        )
+    )
