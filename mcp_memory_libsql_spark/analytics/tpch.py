@@ -835,3 +835,50 @@ def data_skew_report(t) -> DataFrame:
         F.round(F.max("w") / F.sum("w"), 6).alias("top_share"),
         F.round(F.sum("w") / F.count("*"), 6).alias("avg_width"),
     )
+
+
+def join_cardinality_report(t) -> DataFrame:
+    """Pre-join cardinality forecast → one row per candidate join
+    (join_name, n_keys, est_rows, max_key_rows): the EXACT output
+    size Σ w_left(k)·w_right(k) computed from per-key width rollups —
+    without running the join itself.
+
+    At 100 TB this is how you decide a join strategy before paying
+    for it: est_rows >> max(inputs) reveals a fan-out join that will
+    explode (and max_key_rows shows whether one hot key causes it —
+    the salt-or-AQE signal). The width tables are key-cardinality
+    sized (orders smaller than the fact table) so the forecast costs
+    two map-side-combinable rollups + a key-table join per
+    candidate."""
+    specs = [
+        ("lineitem_x_orders", t["lineitem"], "l_orderkey",
+         t["orders"], "o_orderkey"),
+        ("lineitem_x_part", t["lineitem"], "l_partkey",
+         t["part"], "p_partkey"),
+        ("lineitem_x_supplier", t["lineitem"], "l_suppkey",
+         t["supplier"], "s_suppkey"),
+        ("orders_x_customer", t["orders"], "o_custkey",
+         t["customer"], "c_custkey"),
+    ]
+    outs = []
+    for name, left, lk, right, rk in specs:
+        wa = left.groupBy(F.col(lk).alias("k")).agg(
+            F.count("*").alias("wa")
+        )
+        wb = right.groupBy(F.col(rk).alias("k")).agg(
+            F.count("*").alias("wb")
+        )
+        j = wa.join(wb, "k").select(
+            (F.col("wa") * F.col("wb")).alias("prod")
+        )
+        outs.append(
+            j.agg(
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.sum("prod").cast("bigint").alias("est_rows"),
+                F.max("prod").cast("bigint").alias("max_key_rows"),
+            ).select(F.lit(name).alias("join_name"), "*")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

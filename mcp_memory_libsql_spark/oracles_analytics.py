@@ -1133,3 +1133,32 @@ SELECT CAST(delay_secs AS INTEGER) AS delay_secs,
         / CAST(COUNT(*) AS DOUBLE), 6) AS late_share
 FROM d GROUP BY delay_secs
 """
+
+ORACLES["join_cardinality_report"] = """
+WITH
+la AS (SELECT l_orderkey AS k, COUNT(*) AS wa FROM lineitem GROUP BY 1),
+oa AS (SELECT o_orderkey AS k, COUNT(*) AS wb FROM orders GROUP BY 1),
+lp AS (SELECT l_partkey AS k, COUNT(*) AS wa FROM lineitem GROUP BY 1),
+pp AS (SELECT p_partkey AS k, COUNT(*) AS wb FROM part GROUP BY 1),
+ls AS (SELECT l_suppkey AS k, COUNT(*) AS wa FROM lineitem GROUP BY 1),
+ss AS (SELECT s_suppkey AS k, COUNT(*) AS wb FROM supplier GROUP BY 1),
+oc AS (SELECT o_custkey AS k, COUNT(*) AS wa FROM orders GROUP BY 1),
+cc AS (SELECT c_custkey AS k, COUNT(*) AS wb FROM customer GROUP BY 1)
+SELECT 'lineitem_x_orders' AS join_name,
+  CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(wa * wb) AS BIGINT) AS est_rows,
+  CAST(MAX(wa * wb) AS BIGINT) AS max_key_rows
+FROM la JOIN oa USING (k)
+UNION ALL
+SELECT 'lineitem_x_part', CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(wa * wb) AS BIGINT), CAST(MAX(wa * wb) AS BIGINT)
+FROM lp JOIN pp USING (k)
+UNION ALL
+SELECT 'lineitem_x_supplier', CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(wa * wb) AS BIGINT), CAST(MAX(wa * wb) AS BIGINT)
+FROM ls JOIN ss USING (k)
+UNION ALL
+SELECT 'orders_x_customer', CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(wa * wb) AS BIGINT), CAST(MAX(wa * wb) AS BIGINT)
+FROM oc JOIN cc USING (k)
+"""

@@ -1338,3 +1338,9 @@ def q_kg_growth(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_entities"))
     )
+
+
+@query("join_cardinality_report")
+def q_join_cardinality_report(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tpch.join_cardinality_report(t)
