@@ -676,3 +676,51 @@ def lateness_profile(t, bucket: int = 1024) -> DataFrame:
             F.round(F.col("n_late") / F.col("_total"), 6).alias("late_share"),
         )
     )
+
+
+def session_paths(
+    t, gap_minutes: int = SESSION_GAP_MINUTES, max_steps: int = 8, k: int = 20
+) -> DataFrame:
+    """Top-k user journeys → (path, n_sessions): the ordered
+    event-type sequence of each gap session (first ``max_steps``
+    steps, '>'-joined), ranked by frequency — the discovery query
+    behind funnel design (you mine the real paths before you assert
+    one in events_funnel_steps).
+
+    Deterministic ordering via (epoch, event_id) — event_id is unique
+    so path strings never depend on tie luck. Same per-user window
+    shuffle as the sessionizer; the path rollup keys are short
+    bounded strings (≤ max_steps types)."""
+    ev = t["events"].select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("ep"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    prev = F.lag("ep").over(w)
+    is_new = (
+        prev.isNull() | ((F.col("ep") - prev) > gap_minutes * 60)
+    ).cast("int")
+    s = ev.withColumn("is_new", is_new).withColumn(
+        "sid",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "sid").orderBy("ep", "event_id")
+    )
+    r = s.withColumn("rn", rn).where(F.col("rn") <= max_steps)
+    paths = r.groupBy("user_id", "sid").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(rn, event_type))), x -> x.event_type), '>')"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(k)
+    )

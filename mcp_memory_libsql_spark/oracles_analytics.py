@@ -1162,3 +1162,36 @@ SELECT 'orders_x_customer', CAST(COUNT(*) AS BIGINT),
   CAST(SUM(wa * wb) AS BIGINT), CAST(MAX(wa * wb) AS BIGINT)
 FROM oc JOIN cc USING (k)
 """
+
+ORACLES["events_session_paths"] = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+),
+l AS (
+  SELECT *, lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id)
+    AS prev
+  FROM ev
+),
+s AS (
+  SELECT *, SUM(CASE WHEN prev IS NULL OR ep - prev > 1800
+                     THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ep, event_id
+          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l
+),
+r AS (
+  SELECT *, ROW_NUMBER()
+    OVER (PARTITION BY user_id, sid ORDER BY ep, event_id) AS rn
+  FROM s
+),
+p AS (
+  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 8 GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""

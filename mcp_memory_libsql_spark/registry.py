@@ -1344,3 +1344,9 @@ def q_kg_growth(spark, sf_dir):
 def q_join_cardinality_report(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return tpch.join_cardinality_report(t)
+
+
+@query("events_session_paths")
+def q_events_session_paths(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.session_paths(t)
