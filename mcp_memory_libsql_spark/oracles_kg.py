@@ -526,3 +526,38 @@ SELECT created_at // 1000 AS epoch_bucket, entity_type,
 FROM entities GROUP BY 1, 2
 """
 )
+
+# PageRank, 5 damped iterations UNROLLED (r0..r5): the same
+# contribution sums the Spark loop computes, with every constant cast
+# to DOUBLE and the teleport term written (1.0 - 0.85)/cnt — NOT the
+# literal 0.15/cnt, which is a different IEEE double than what the
+# Python driver computes. Matching to ROUND(rank, 8) verified at
+# sf0.001 and sf0.01.
+_PR_ITER = """
+c{i} AS (
+  SELECT e.target AS name, SUM(r.rank / d.out_degree) AS in_rank
+  FROM edges e
+  JOIN r{p} r ON e.source = r.name
+  JOIN odeg d ON e.source = d.name
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT nodes.name,
+    ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / cnt)
+    + CAST(0.85 AS DOUBLE) * COALESCE(in_rank, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes LEFT JOIN c{i} ON nodes.name = c{i}.name, n
+),"""
+
+_PR_BODY = """,
+edges AS (SELECT DISTINCT source, target FROM relations),
+nodes AS (SELECT source AS name FROM edges UNION SELECT target FROM edges),
+odeg AS (SELECT source AS name, COUNT(*) AS out_degree FROM edges GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM nodes),
+r0 AS (SELECT name, CAST(1.0 AS DOUBLE) / cnt AS rank FROM nodes, n),"""
+for _i in range(1, 6):
+    _PR_BODY += _PR_ITER.format(i=_i, p=_i - 1)
+_PR_BODY = _PR_BODY.rstrip(",")
+
+ORACLES["kg_pagerank"] = (
+    KG_CTE + _PR_BODY + "\nSELECT name, ROUND(rank, 8) AS rank FROM r5"
+)

@@ -477,8 +477,9 @@ def q_kg_observation_counts(spark, sf_dir):
 
 @query("kg_pagerank")
 def q_kg_pagerank(spark, sf_dir):
-    # iterative — no SQL oracle (rows-only gate); convergence/sum
-    # invariants covered in tests/test_kg2.py
+    # iterative, but the 5-iteration loop is UNROLLED in the oracle
+    # (oracles_kg._PR_BODY) — fully hash-gated; convergence/sum
+    # invariants additionally covered in tests/test_kg2.py
     g, _ = _kg(spark, sf_dir)
     return kg_traverse.pagerank(g["relations"], iterations=5)
 
