@@ -112,6 +112,8 @@ def pagerank(relations: DataFrame, iterations: int = 5, damping: float = 0.85) -
         F.count("*").alias("out_degree")
     )
     n_nodes = nodes.count()  # scalar graph size — drives the teleport term
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0).cast("double"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
         contribs = (
