@@ -298,3 +298,33 @@ def image_patches(media: DataFrame, patch: int = 16) -> DataFrame:
         )
         .where(F.col("patch_chars") > 0)
     )
+
+
+def scene_cuts(media: DataFrame, stride: int = 1) -> DataFrame:
+    """Scene-change detection over the sampled frame stream →
+    (media_id, n_frames_sampled, n_scenes, cut_frac): a new scene
+    starts wherever the frame content hash differs from the previous
+    sampled frame — the shot-boundary pass a video-curation pipeline
+    runs to drop static/looping clips (n_scenes ≈ 1) and measure
+    visual dynamism (cut_frac → 1 means every frame differs).
+
+    Composes over :func:`sample_frames` (the Arrow decode stays the
+    stubbed stand-in); the comparison itself is one lag window per
+    media — partitioned by media_id, so it parallelizes across clips
+    and never shuffles frame payloads, only their 16-byte hashes."""
+    from pyspark.sql.window import Window
+
+    frames = sample_frames(media, stride=stride)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    cuts = frames.withColumn(
+        "is_cut",
+        (
+            F.lag("frame_md5").over(w).isNull()
+            | (F.col("frame_md5") != F.lag("frame_md5").over(w))
+        ).cast("bigint"),
+    )
+    return cuts.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_frames_sampled"),
+        F.sum("is_cut").cast("bigint").alias("n_scenes"),
+        F.round(F.sum("is_cut") / F.count("*"), 6).alias("cut_frac"),
+    )

@@ -950,3 +950,37 @@ SELECT * FROM (
 WHERE containment >= 0.5
 """
 )
+
+ORACLES["mm_scene_cuts"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         CAST(n_chars % 10 + 1 AS INTEGER) AS n_frames,
+         GREATEST(length(text) // (n_chars % 10 + 1), 1) AS step
+  FROM documents
+),
+frames AS (
+  SELECT media_id, CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx,
+         text, step
+  FROM m
+),
+f AS (
+  SELECT media_id, frame_idx,
+         md5(substr(text, frame_idx * step + 1, step)) AS frame_md5
+  FROM frames
+  WHERE length(substr(text, frame_idx * step + 1, step)) > 0
+),
+c AS (
+  SELECT media_id,
+    CASE WHEN lag(frame_md5) OVER (PARTITION BY media_id
+                                   ORDER BY frame_idx) IS NULL
+           OR frame_md5 <> lag(frame_md5) OVER (PARTITION BY media_id
+                                                ORDER BY frame_idx)
+         THEN 1 ELSE 0 END AS is_cut
+  FROM f
+)
+SELECT media_id,
+  CAST(COUNT(*) AS BIGINT) AS n_frames_sampled,
+  CAST(SUM(is_cut) AS BIGINT) AS n_scenes,
+  ROUND(SUM(is_cut) / CAST(COUNT(*) AS DOUBLE), 6) AS cut_frac
+FROM c GROUP BY media_id
+"""

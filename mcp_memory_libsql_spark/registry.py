@@ -1351,3 +1351,11 @@ def q_join_cardinality_report(spark, sf_dir):
 def q_events_session_paths(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return ev_ops.session_paths(t)
+
+
+@query("mm_scene_cuts")
+def q_mm_scene_cuts(spark, sf_dir):
+    from .multimodal import media as mm
+
+    t = load_tables(spark, sf_dir)
+    return mm.scene_cuts(mm.synthesize_media(t["documents"]), stride=1)
