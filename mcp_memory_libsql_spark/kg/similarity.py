@@ -342,13 +342,28 @@ def merge_candidates(
             .groupBy(F.col("b").alias("name"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        propagated = labels.join(neighbor_min, "name", "left").select(
+            "name",
+            F.least(
+                F.col("component"),
+                F.coalesce("nbr_component", F.col("component")),
+            ).alias("component"),
+        )
+        # Pointer jump (path halving): component ← label OF the
+        # current component. One extra self-join per round turns the
+        # O(diameter) chain walk into O(log diameter) — the classic
+        # Shiloach-Vishkin acceleration, and the reason 100-long
+        # numbered-name chains converge in a handful of rounds.
+        ptr = propagated.select(
+            F.col("name").alias("_c"), F.col("component").alias("_cc")
+        )
         new_labels = (
-            labels.join(neighbor_min, "name", "left")
+            propagated.join(ptr, propagated["component"] == ptr["_c"], "left")
             .select(
                 "name",
                 F.least(
                     F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
+                    F.coalesce("_cc", F.col("component")),
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
