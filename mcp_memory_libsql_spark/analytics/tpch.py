@@ -882,3 +882,35 @@ def join_cardinality_report(t) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def ship_latency(t) -> DataFrame:
+    """Order-to-ship latency per order priority → (o_orderpriority,
+    n_items, min_days, max_days, avg_days): the fulfillment-SLA
+    rollup (which priority class actually ships faster, and by how
+    much).
+
+    Latency is integer epoch-day arithmetic (floor(epoch/86400)
+    per side) — never engine-local date subtraction, whose
+    timezone/rounding semantics differ. One orderkey equi-join
+    shuffle (the q3/q10 plan shape), then a tiny priority rollup
+    with exact integer sums."""
+    li = t["lineitem"].select(
+        "l_orderkey",
+        F.expr("unix_timestamp(l_shipdate) div 86400").alias("ship_day"),
+    )
+    o = t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("order_day"),
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        (F.col("ship_day") - F.col("order_day")).alias("days"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.min("days").cast("bigint").alias("min_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+        F.round(F.sum("days") / F.count("*"), 6).alias("avg_days"),
+    )

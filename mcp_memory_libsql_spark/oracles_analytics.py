@@ -1195,3 +1195,26 @@ FROM p GROUP BY 1
 ORDER BY n_sessions DESC, path
 LIMIT 20
 """
+
+ORACLES["orders_ship_latency"] = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400 AS ship_day
+  FROM lineitem
+),
+o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS order_day
+  FROM orders
+),
+j AS (
+  SELECT o_orderpriority, ship_day - order_day AS days
+  FROM li JOIN o ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(MIN(days) AS BIGINT) AS min_days,
+  CAST(MAX(days) AS BIGINT) AS max_days,
+  ROUND(SUM(days) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_days
+FROM j GROUP BY 1
+"""

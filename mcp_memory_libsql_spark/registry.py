@@ -1359,3 +1359,9 @@ def q_mm_scene_cuts(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return mm.scene_cuts(mm.synthesize_media(t["documents"]), stride=1)
+
+
+@query("orders_ship_latency")
+def q_orders_ship_latency(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tpch.ship_latency(t)
