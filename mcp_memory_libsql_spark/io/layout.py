@@ -143,3 +143,35 @@ def compact_parquet(
     files = max(1, -(-n // target_rows_per_file))
     df.coalesce(files).write.mode("overwrite").parquet(dst)
     return files
+
+
+def parquet_layout_report(path: str) -> list[dict]:
+    """Physical-layout health audit of a parquet dataset → one dict
+    per file: row groups, rows, bytes, mean rows/row-group. The ops
+    check behind the compaction / Z-order utilities above: tiny row
+    groups (≪ 100k rows) or tiny files flag a layout that will
+    starve vectorized readers at scale.
+
+    Driver-side pyarrow metadata read — footers only, never data
+    pages; for a 100 TB table you'd parallelize the footer reads
+    with a mapInPandas over the file list, same math."""
+    import glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(_os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        rows = md.num_rows
+        rgs = md.num_row_groups
+        out.append(
+            {
+                "file": _os.path.basename(f),
+                "rows": rows,
+                "row_groups": rgs,
+                "bytes": _os.path.getsize(f),
+                "rows_per_group": rows / max(rgs, 1),
+            }
+        )
+    return out

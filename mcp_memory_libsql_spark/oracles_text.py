@@ -984,3 +984,16 @@ SELECT media_id,
   ROUND(SUM(is_cut) / CAST(COUNT(*) AS DOUBLE), 6) AS cut_frac
 FROM c GROUP BY media_id
 """
+
+ORACLES["text_sample_k_per_lang"] = """
+SELECT doc_id, lang, CAST(sample_rank AS INTEGER) AS sample_rank
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 50
+"""

@@ -1365,3 +1365,9 @@ def q_mm_scene_cuts(spark, sf_dir):
 def q_orders_ship_latency(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return tpch.ship_latency(t)
+
+
+@query("text_sample_k_per_lang")
+def q_text_sample_k_per_lang(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.sample_k_per_lang(t["documents"], k=50)

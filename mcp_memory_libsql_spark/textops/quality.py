@@ -405,3 +405,30 @@ def lang_confusion(documents: DataFrame) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def sample_k_per_lang(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Deterministic EXACT-k stratified sample → the first ``k`` docs
+    per language under the md5(doc_id) shuffle order → (doc_id, lang,
+    sample_rank). Complements the hash-THRESHOLD sampler (which gives
+    a k only in expectation): eval sets and human-review batches need
+    exactly k.
+
+    The md5 rank is a content-independent, engine-portable shuffle;
+    the per-lang window ranks within each stratum in parallel. At
+    100 TB, rank windows over full strata are wasteful — you'd
+    pre-filter with the threshold sampler to ~4k candidates per
+    stratum first, then rank exactly; composition left to the
+    caller."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        documents.select(
+            "doc_id", "lang", F.row_number().over(w).alias("sample_rank")
+        )
+        .where(F.col("sample_rank") <= k)
+        .select(
+            "doc_id", "lang", F.col("sample_rank").cast("int").alias("sample_rank")
+        )
+    )

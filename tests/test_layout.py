@@ -196,3 +196,20 @@ def test_compact_parquet_roundtrip(spark, tmp_path):
     assert files == 3
     assert len(glob.glob(dst + "/*.parquet")) == 3
     assert spark.read.parquet(dst).exceptAll(df).count() == 0
+
+
+def test_parquet_layout_report(spark, tmp_path):
+    from mcp_memory_libsql_spark.io.layout import (
+        compact_parquet,
+        parquet_layout_report,
+    )
+
+    src, dst = str(tmp_path / "s"), str(tmp_path / "d")
+    spark.range(0, 9000).repartition(30).write.parquet(src)
+    rep = parquet_layout_report(src)
+    assert len(rep) == 30
+    assert sum(r["rows"] for r in rep) == 9000
+    compact_parquet(spark, src, dst, target_rows_per_file=9000)
+    rep2 = parquet_layout_report(dst)
+    assert len(rep2) == 1 and rep2[0]["rows"] == 9000
+    assert rep2[0]["rows_per_group"] > rep[0]["rows_per_group"]
