@@ -724,3 +724,34 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(k)
     )
+
+
+def ab_srm_check(t) -> DataFrame:
+    """Sample-ratio-mismatch check for the md5-parity A/B split →
+    ONE row (n_a, n_b, chi2, srm_suspect): the guardrail you run
+    BEFORE reading the Welch t-test (events_ab_test) — an unbalanced
+    split means assignment is broken and the experiment readout is
+    invalid.
+
+    For a 50/50 design, chi-square = (n_a − n_b)² / (n_a + n_b),
+    computed from BIGINT counts with one display division;
+    srm_suspect flags chi2 > 3.84 (the 5% critical value with 1 df).
+    One scan, one 1-row rollup."""
+    from ..textops.tokenize import md5_hash32
+
+    # the SAME cohort hash events_ab_test uses — an SRM check on a
+    # different assignment would validate the wrong experiment
+    parity = md5_hash32(F.col("user_id").cast("string")) % 2
+    g = t["events"].select(parity.alias("grp"))
+    agg = g.agg(
+        F.sum((F.col("grp") == 0).cast("bigint")).alias("n_a"),
+        F.sum((F.col("grp") == 1).cast("bigint")).alias("n_b"),
+    )
+    diff2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    chi2 = F.round(diff2 / (F.col("n_a") + F.col("n_b")), 6)
+    return agg.select(
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        (diff2 / (F.col("n_a") + F.col("n_b")) > 3.84).alias("srm_suspect"),
+    )

@@ -1218,3 +1218,21 @@ SELECT o_orderpriority,
   ROUND(SUM(days) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_days
 FROM j GROUP BY 1
 """
+
+ORACLES["events_ab_srm"] = """
+WITH k AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+           AS grp
+  FROM events
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM k
+)
+SELECT n_a, n_b,
+  ROUND((n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+  (n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE) > 3.84
+    AS srm_suspect
+FROM agg
+"""

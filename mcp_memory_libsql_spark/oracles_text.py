@@ -997,3 +997,23 @@ FROM (
 )
 WHERE sample_rank <= 50
 """
+
+ORACLES["text_resample_balanced"] = """
+WITH per AS (SELECT lang, COUNT(*) AS _n FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(_n) AS BIGINT) AS _total, COUNT(*) AS _L FROM per),
+w AS (
+  SELECT lang,
+         least(1000, (1000 * _total) // (_L * _n)) AS keep_per_mille
+  FROM per, tot
+),
+b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('balance:' || CAST(doc_id AS VARCHAR)), 1, 4))
+           ::BIGINT % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, b.lang, bucket, CAST(keep_per_mille AS BIGINT)
+  AS keep_per_mille
+FROM b JOIN w ON b.lang = w.lang
+WHERE bucket < keep_per_mille
+"""

@@ -1371,3 +1371,17 @@ def q_orders_ship_latency(spark, sf_dir):
 def q_text_sample_k_per_lang(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return tq.sample_k_per_lang(t["documents"], k=50)
+
+
+@query("text_resample_balanced")
+def q_text_resample_balanced(spark, sf_dir):
+    from .textops import sampling
+
+    t = load_tables(spark, sf_dir)
+    return sampling.resample_balanced(t["documents"])
+
+
+@query("events_ab_srm")
+def q_events_ab_srm(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.ab_srm_check(t)

@@ -223,3 +223,38 @@ def curation_report(documents: DataFrame) -> DataFrame:
         .unionByName(n(final.where(F.col("split") == "val"), "5_val"))
         .unionByName(n(final.where(F.col("split") == "test"), "6_test"))
     )
+
+
+def resample_balanced(documents: DataFrame) -> DataFrame:
+    """Apply the uniform-target mixture weights as a deterministic
+    downsample → the rebalanced corpus (doc_id, lang, bucket,
+    keep_per_mille): keep a doc iff its md5 per-mille bucket falls
+    under its language's computed weight (capped at 1000‰ —
+    overrepresented languages shrink toward uniform; underrepresented
+    ones are kept whole, since hash sampling can't replicate).
+
+    Closes the loop from ``data_mixture_weights`` (the report) to the
+    corpus that ships. The per-mille threshold is PURE INTEGER math —
+    (1000·total) div (n_langs·n_docs) — so the kept set is bit-stable
+    across engines and re-runs; the weight rollup is two tiny aggs
+    broadcast back onto one corpus scan."""
+    from pyspark.sql.functions import broadcast
+
+    per_lang = documents.groupBy("lang").agg(F.count("*").alias("_n"))
+    totals = per_lang.agg(
+        F.sum("_n").alias("_total"), F.count("*").alias("_L")
+    )
+    weights = per_lang.crossJoin(broadcast(totals)).select(
+        "lang",
+        F.least(
+            F.lit(1000).cast("bigint"),
+            F.expr("(1000 * _total) div (_L * _n)"),
+        ).alias("keep_per_mille"),
+    )
+    b = _bucket(F.col("doc_id"), "balance:", 1000)
+    return (
+        documents.select("doc_id", "lang", b.alias("bucket"))
+        .join(broadcast(weights), "lang")
+        .where(F.col("bucket") < F.col("keep_per_mille"))
+        .select("doc_id", "lang", "bucket", "keep_per_mille")
+    )
