@@ -755,3 +755,70 @@ def ab_srm_check(t) -> DataFrame:
         chi2.alias("chi2"),
         (diff2 / (F.col("n_a") + F.col("n_b")) > 3.84).alias("srm_suspect"),
     )
+
+
+def daily_dense(t) -> DataFrame:
+    """Gap-filled daily counts → one row per (day, event_type) for
+    EVERY day in the observed range, zero-filled where nothing
+    happened — the densification step before charting or
+    window-over-days math (a missing day silently breaks rolling
+    averages and WoW ratios).
+
+    The calendar spine is a sequence() over the min..max epoch-day
+    span (driver-free, a few thousand rows at any corpus size)
+    crossed with the distinct type set, then LEFT-joined with the
+    real rollup — the fact table is scanned once; the spine join is
+    broadcast."""
+    ev = t["events"].select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day_num"),
+        "event_type",
+    )
+    counts = ev.groupBy("day_num", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    span = ev.agg(
+        F.min("day_num").alias("_lo"), F.max("day_num").alias("_hi")
+    )
+    days = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day_num")
+    )
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    return (
+        spine.join(counts, ["day_num", "event_type"], "left")
+        .select(
+            F.date_format(
+                F.to_timestamp(F.col("day_num") * 86400), "yyyy-MM-dd"
+            ).alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def daily_type_pivot(t) -> DataFrame:
+    """Wide daily matrix via PIVOT → (day, n_click, n_purchase,
+    n_signup, n_view): the reporting shape BI tools consume. The
+    pivot column set is FIXED (never inferred — at 100 TB a
+    distinct-scan just to learn column names is a wasted pass, and
+    an unbounded type domain would explode the schema)."""
+    ev = t["events"].select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    )
+    return (
+        ev.groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[
+                F.coalesce(F.col(c), F.lit(0))
+                .cast("bigint")
+                .alias(f"n_{c}")
+                for c in EVENT_TYPES
+            ],
+        )
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 
 def degree(relations: DataFrame) -> DataFrame:
@@ -401,4 +402,27 @@ def k_core(relations: DataFrame, k: int = 3, max_iter: int = 20) -> DataFrame:
         live.groupBy(F.col("a").alias("name"))
         .agg(F.count("*").alias("core_degree"))
         .where(F.col("core_degree") >= k)
+    )
+
+
+def observation_history(observations: DataFrame) -> DataFrame:
+    """SCD2-style validity intervals over each entity's observation
+    feed → (entity_name, content, valid_from, valid_to, is_current):
+    every observation is valid from its created_at until the entity's
+    NEXT observation arrives (NULL = still current) — the
+    point-in-time view a memory store needs to answer "what did we
+    know about X at time T" (the query GraphStore's snapshot
+    time-travel answers at table level, expressed here at row level).
+
+    One window per entity (lead over created_at with a content
+    tiebreak for equal timestamps) — parallel across entities, no
+    other shuffle."""
+    w = Window.partitionBy("entity_name").orderBy("created_at", "content")
+    nxt = F.lead("created_at").over(w)
+    return observations.select(
+        "entity_name",
+        "content",
+        F.col("created_at").cast("bigint").alias("valid_from"),
+        nxt.cast("bigint").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
     )

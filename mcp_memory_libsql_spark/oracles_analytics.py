@@ -1236,3 +1236,36 @@ SELECT n_a, n_b,
     AS srm_suspect
 FROM agg
 """
+
+ORACLES["events_daily_dense"] = """
+WITH ev AS (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day_num, event_type
+  FROM events
+),
+counts AS (
+  SELECT day_num, event_type, COUNT(*) AS n FROM ev GROUP BY 1, 2
+),
+span AS (SELECT MIN(day_num) AS lo, MAX(day_num) AS hi FROM ev),
+days AS (SELECT unnest(range(lo, hi + 1)) AS day_num FROM span),
+types AS (SELECT DISTINCT event_type FROM ev)
+SELECT strftime(to_timestamp(day_num * 86400), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+FROM days CROSS JOIN types
+LEFT JOIN counts USING (day_num, event_type)
+"""
+
+ORACLES["events_type_pivot"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view
+FROM events GROUP BY 1
+"""

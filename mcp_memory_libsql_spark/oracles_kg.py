@@ -561,3 +561,18 @@ _PR_BODY = _PR_BODY.rstrip(",")
 ORACLES["kg_pagerank"] = (
     KG_CTE + _PR_BODY + "\nSELECT name, ROUND(rank, 8) AS rank FROM r5"
 )
+
+ORACLES["kg_obs_history"] = (
+    KG_CTE
+    + """
+SELECT entity_name, content,
+  CAST(created_at AS BIGINT) AS valid_from,
+  CAST(lead(created_at) OVER (
+    PARTITION BY entity_name ORDER BY created_at, content
+  ) AS BIGINT) AS valid_to,
+  lead(created_at) OVER (
+    PARTITION BY entity_name ORDER BY created_at, content
+  ) IS NULL AS is_current
+FROM observations
+"""
+)

@@ -1385,3 +1385,21 @@ def q_text_resample_balanced(spark, sf_dir):
 def q_events_ab_srm(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return ev_ops.ab_srm_check(t)
+
+
+@query("events_daily_dense")
+def q_events_daily_dense(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.daily_dense(t)
+
+
+@query("events_type_pivot")
+def q_events_type_pivot(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.daily_type_pivot(t)
+
+
+@query("kg_obs_history")
+def q_kg_obs_history(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.observation_history(g["observations"])
