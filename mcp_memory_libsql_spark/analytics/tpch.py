@@ -914,3 +914,32 @@ def ship_latency(t) -> DataFrame:
         F.max("days").cast("bigint").alias("max_days"),
         F.round(F.sum("days") / F.count("*"), 6).alias("avg_days"),
     )
+
+
+def pricing_cube(t) -> DataFrame:
+    """CUBE over (returnflag, linestatus) → all four grouping-set
+    combinations (detail, each single-axis rollup, grand total) in
+    ONE aggregation pass — the OLAP companion to events_rollup's
+    ROLLUP. NULL group keys are rendered as 'ALL' so the output is
+    join- and oracle-friendly (bare NULL grouping keys are
+    ambiguous with genuinely-null data at 100 TB).
+
+    Money is the decimal-exact q1 pattern; Spark computes the cube
+    with map-side partial aggregation — one shuffle, four result
+    granularities."""
+    li = t["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            _money_sum("CAST(l_quantity AS DECIMAL(12,2))", "sum_qty"),
+            _money_sum(f"{_PRICE} * ({_ONE} - {_DISC})", "revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+            "revenue",
+        )
+    )

@@ -1269,3 +1269,13 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
     AS n_view
 FROM events GROUP BY 1
 """
+
+ORACLES["tpch_cube"] = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {_money_sum(_QTY)} AS sum_qty,
+       {_money_sum(_REV)} AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""

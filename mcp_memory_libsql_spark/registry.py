@@ -1403,3 +1403,9 @@ def q_events_type_pivot(spark, sf_dir):
 def q_kg_obs_history(spark, sf_dir):
     g, _ = _kg(spark, sf_dir)
     return kg_traverse.observation_history(g["observations"])
+
+
+@query("tpch_cube")
+def q_tpch_cube(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tpch.pricing_cube(t)
