@@ -426,3 +426,31 @@ def observation_history(observations: DataFrame) -> DataFrame:
         nxt.cast("bigint").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def relation_reciprocity(relations: DataFrame) -> DataFrame:
+    """Per-type reciprocity → (relation_type, n_edges, n_reciprocal,
+    reciprocity): how many distinct directed edges have a reverse
+    edge of the SAME type — the graph-health metric that separates
+    naturally symmetric relations (SIMILAR_TO) from hierarchies
+    (PART_OF), and flags ingest bugs that double-write both
+    directions. Distinct edge set self-joined on the swapped key —
+    both sides hash-partition on the same (source, target) domain."""
+    e = relations.select("source", "target", "relation_type").distinct()
+    rev = e.select(
+        F.col("target").alias("source"),
+        F.col("source").alias("target"),
+        "relation_type",
+    )
+    recip = e.join(rev, ["source", "target", "relation_type"]).groupBy(
+        "relation_type"
+    ).agg(F.count("*").alias("n_reciprocal"))
+    totals = e.groupBy("relation_type").agg(F.count("*").alias("n_edges"))
+    return totals.join(recip, "relation_type", "left").select(
+        "relation_type",
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.coalesce("n_reciprocal", F.lit(0)).cast("bigint").alias("n_reciprocal"),
+        F.round(
+            F.coalesce("n_reciprocal", F.lit(0)) / F.col("n_edges"), 6
+        ).alias("reciprocity"),
+    )

@@ -576,3 +576,24 @@ SELECT entity_name, content,
 FROM observations
 """
 )
+
+ORACLES["kg_reciprocity"] = (
+    KG_CTE
+    + """,
+e AS (SELECT DISTINCT source, target, relation_type FROM relations),
+recip AS (
+  SELECT a.relation_type, COUNT(*) AS n_reciprocal
+  FROM e a JOIN e b
+    ON a.source = b.target AND a.target = b.source
+   AND a.relation_type = b.relation_type
+  GROUP BY 1
+),
+totals AS (SELECT relation_type, COUNT(*) AS n_edges FROM e GROUP BY 1)
+SELECT t.relation_type,
+  CAST(n_edges AS BIGINT) AS n_edges,
+  CAST(COALESCE(n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+  ROUND(COALESCE(n_reciprocal, 0) / CAST(n_edges AS DOUBLE), 6)
+    AS reciprocity
+FROM totals t LEFT JOIN recip r ON t.relation_type = r.relation_type
+"""
+)

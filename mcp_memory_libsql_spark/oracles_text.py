@@ -1017,3 +1017,25 @@ SELECT doc_id, b.lang, bucket, CAST(keep_per_mille AS BIGINT)
 FROM b JOIN w ON b.lang = w.lang
 WHERE bucket < keep_per_mille
 """
+
+ORACLES["dedup_shingle_profile"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE []::VARCHAR[] END)) AS shingle
+  FROM toks
+),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY 1)
+SELECT CAST(1::BIGINT << CAST(FLOOR(log2(df)) AS INTEGER) AS BIGINT)
+         AS df_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df > 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_capped_bucket
+FROM df GROUP BY 1
+"""

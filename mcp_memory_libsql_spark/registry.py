@@ -1409,3 +1409,15 @@ def q_kg_obs_history(spark, sf_dir):
 def q_tpch_cube(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return tpch.pricing_cube(t)
+
+
+@query("dedup_shingle_profile")
+def q_dedup_shingle_profile(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.shingle_df_profile(t["documents"])
+
+
+@query("kg_reciprocity")
+def q_kg_reciprocity(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.relation_reciprocity(g["relations"])

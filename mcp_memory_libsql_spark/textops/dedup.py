@@ -709,3 +709,31 @@ def containment_pairs(
             "doc_a", "doc_b", "inter_size", "size_a", "size_b", "containment"
         )
     )
+
+
+def shingle_df_profile(
+    documents: DataFrame, n: int = 3, cap: int = DF_CAP
+) -> DataFrame:
+    """Shingle document-frequency distribution → (df_bucket,
+    n_shingles, n_capped_bucket): log2-bucketed histogram of how many
+    docs each distinct shingle appears in, plus how many shingles in
+    the bucket exceed the DF cap — the tuning readout for DF_CAP
+    itself (a cap that drops 40% of shingles destroys recall; one
+    that drops 0.01% isn't bounding anything).
+
+    One explode + one shingle rollup (the same shuffle the dedup
+    index pays), then a tiny histogram agg."""
+    sh = _exploded_shingles(documents, n)
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # SQL expr: PySpark's shiftleft() only takes a literal bit count
+    bucket = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), "
+        "CAST(floor(log2(df)) AS INT)) AS BIGINT)"
+    )
+    return (
+        df.groupBy(bucket.alias("df_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("df") > cap).cast("bigint")).alias("n_capped_bucket"),
+        )
+    )
