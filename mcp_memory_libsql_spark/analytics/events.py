@@ -822,3 +822,36 @@ def daily_type_pivot(t) -> DataFrame:
             ],
         )
     )
+
+
+def new_vs_returning(t) -> DataFrame:
+    """Daily acquisition split → (day, n_new, n_returning,
+    n_active): users whose FIRST-ever event falls on the day vs
+    users seen before — the product-health counterpart of the cohort
+    matrix. Two rollups share the user_id shuffle (per-user first
+    day, then per-(day,user) distinct activity); day math is integer
+    epoch-days rendered once at the end."""
+    ev = t["events"].select(
+        "user_id",
+        F.expr("unix_timestamp(ts) div 86400").alias("day_num"),
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("day_num").alias("first_day"))
+    j = ev.join(first, "user_id")
+    return (
+        j.groupBy("day_num")
+        .agg(
+            F.sum((F.col("day_num") == F.col("first_day")).cast("bigint"))
+            .alias("n_new"),
+            F.sum((F.col("day_num") != F.col("first_day")).cast("bigint"))
+            .alias("n_returning"),
+            F.count("*").cast("bigint").alias("n_active"),
+        )
+        .select(
+            F.date_format(
+                F.to_timestamp(F.col("day_num") * 86400), "yyyy-MM-dd"
+            ).alias("day"),
+            "n_new",
+            "n_returning",
+            "n_active",
+        )
+    )

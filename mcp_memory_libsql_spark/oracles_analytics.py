@@ -1279,3 +1279,20 @@ SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
+
+ORACLES["events_new_vs_returning"] = """
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day_num
+  FROM events
+),
+first AS (SELECT user_id, MIN(day_num) AS first_day FROM ev GROUP BY 1)
+SELECT strftime(to_timestamp(day_num * 86400), '%Y-%m-%d') AS day,
+  CAST(SUM(CASE WHEN day_num = first_day THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_new,
+  CAST(SUM(CASE WHEN day_num <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_returning,
+  CAST(COUNT(*) AS BIGINT) AS n_active
+FROM ev JOIN first USING (user_id)
+GROUP BY day_num
+"""

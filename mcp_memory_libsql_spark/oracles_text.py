@@ -1039,3 +1039,25 @@ SELECT CAST(1::BIGINT << CAST(FLOOR(log2(df)) AS INTEGER) AS BIGINT)
          AS n_capped_bucket
 FROM df GROUP BY 1
 """
+
+
+ORACLES["dedup_source_overlap"] = (
+    MINHASH_CTE
+    + f""",
+banded AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM cand
+JOIN documents da ON doc_a = da.doc_id
+JOIN documents db ON doc_b = db.doc_id
+GROUP BY 1, 2
+"""
+)

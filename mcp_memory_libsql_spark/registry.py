@@ -1421,3 +1421,15 @@ def q_dedup_shingle_profile(spark, sf_dir):
 def q_kg_reciprocity(spark, sf_dir):
     g, _ = _kg(spark, sf_dir)
     return kg_traverse.relation_reciprocity(g["relations"])
+
+
+@query("events_new_vs_returning")
+def q_events_new_vs_returning(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.new_vs_returning(t)
+
+
+@query("dedup_source_overlap")
+def q_dedup_source_overlap(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.source_overlap(t["documents"])

@@ -737,3 +737,33 @@ def shingle_df_profile(
             F.sum((F.col("df") > cap).cast("bigint")).alias("n_capped_bucket"),
         )
     )
+
+
+def source_overlap(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Cross-source duplication census → (source_a, source_b,
+    n_pairs): which corpus sources copy from each other, computed by
+    attributing every LSH candidate pair to its (source, source)
+    bucket — the provenance signal that decides whether a source is
+    additive or a mirror of one you already have.
+
+    Reuses the banded-LSH candidate stream (bounded, never N²); the
+    doc→source map is corpus-cardinality but only two slim columns,
+    broadcast onto the small pair stream. Sources are canonicalized
+    (a ≤ b) so mirrored pairs aggregate together."""
+    cand = minhash_lsh_candidates(documents, n)
+    src = documents.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")
+    )
+    return (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
