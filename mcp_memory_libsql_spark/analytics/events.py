@@ -855,3 +855,34 @@ def new_vs_returning(t) -> DataFrame:
             "n_active",
         )
     )
+
+
+def sessionize_native(t, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Gap sessions via Spark's NATIVE ``session_window`` →
+    (user_id, start_epoch, n_events, sum_value): the built-in
+    operator the window-function sessionizer (``sessionize``) hand-
+    rolls — in batch it plans as one aggregation over merging session
+    windows, and the SAME expression drives streaming session aggs
+    with watermark-bounded state.
+
+    Boundary semantics differ from the lag rule by one instant: a
+    pair exactly ``gap`` apart SPLITS here (merge condition is
+    diff < gap) but merges in the lag-based sessionizer (split on
+    diff > gap) — the oracle mirrors this operator's strict rule, and
+    both operators stay registered because real pipelines must pick
+    one convention and know why."""
+    ev = t["events"].select("user_id", "ts", "value")
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").cast("bigint").alias("start_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1296,3 +1296,26 @@ SELECT strftime(to_timestamp(day_num * 86400), '%Y-%m-%d') AS day,
 FROM ev JOIN first USING (user_id)
 GROUP BY day_num
 """
+
+ORACLES["events_sessionize_native"] = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR FLOOR(epoch(ts)) - FLOOR(epoch(lag(ts) OVER w)) >= 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(FLOOR(epoch(ts))) AS BIGINT) AS start_epoch,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+"""

@@ -1250,8 +1250,10 @@ def q_vec_hamming_knn(spark, sf_dir):
 
 @query("kg_k_core")
 def q_kg_k_core(spark, sf_dir):
-    # iterative peel — no SQL oracle (rows-only gate); membership
-    # invariants covered in tests/test_kg2.py
+    # iterative peel, but the rounds are UNROLLED in the oracle
+    # (oracles_kg._KCORE_BODY, 12 materialized rounds) — fully
+    # hash-gated; membership/maximality invariants additionally
+    # covered in tests/test_kg2.py
     g, _ = _kg(spark, sf_dir)
     return kg_traverse.k_core(g["relations"], k=3)
 
@@ -1433,3 +1435,9 @@ def q_events_new_vs_returning(spark, sf_dir):
 def q_dedup_source_overlap(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return dd.source_overlap(t["documents"])
+
+
+@query("events_sessionize_native")
+def q_events_sessionize_native(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.sessionize_native(t)
