@@ -246,3 +246,54 @@ SELECT q_id, dim_trunc,
         / CAST(10 AS DOUBLE), 6) AS recall
 FROM unp GROUP BY q_id, dim_trunc
 """
+
+
+# ann_lsh_cosine: the random-hyperplane index is DETERMINISTIC (md5-
+# seeded planes, sign-bit signatures), so the whole ANN path is
+# SQL-expressible — the oracle embeds the SAME plane constants the
+# Spark plan uses (imported from vector.lsh, so they cannot drift)
+# and mirrors bucket-match candidate generation + exact rescoring.
+# Sign(dot) is stable cross-engine: a flip needs |dot| within ulps of
+# 0 (~1e-16 probability with continuous inputs).
+def _ann_lsh_oracle() -> str:
+    from .vector.lsh import N_BITS, N_TABLES, planes
+
+    ps = planes(64, N_TABLES, N_BITS)
+
+    def arr(vals):
+        return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+    sig_selects = []
+    for t in range(N_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> embedding[i]::DOUBLE * ({arr(ps[t][j])})[i])) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(N_BITS)
+        )
+        sig_selects.append(
+            f"SELECT vec_id, {t} AS table_id, ({bits}) AS sig"
+            " FROM embeddings"
+        )
+    sigs_sql = "\nUNION ALL\n".join(sig_selects)
+    return f"""
+WITH sigs AS (
+{sigs_sql}
+),
+q_sigs AS (SELECT table_id, sig FROM sigs WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT s.vec_id FROM sigs s JOIN q_sigs q
+    ON s.table_id = q.table_id AND s.sig = q.sig
+  WHERE s.vec_id <> 0
+),
+qv AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+  ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q_embedding::DOUBLE[]), 6)
+    AS cosine_sim
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+ORACLES["ann_lsh_cosine"] = _ann_lsh_oracle()

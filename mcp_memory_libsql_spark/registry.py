@@ -395,6 +395,9 @@ from .vector import lsh  # noqa: E402
 
 @query("ann_lsh_cosine")
 def q_ann_lsh_cosine(spark, sf_dir):
+    # approximate, but DETERMINISTIC (md5-seeded planes) — fully
+    # hash-gated: the oracle embeds the same plane constants
+    # (oracles_vector._ann_lsh_oracle); recall floors in pytest
     t = load_tables(spark, sf_dir)
     return lsh.ann_cosine(t["embeddings"], query_vec_id=0, k=10, dim=64)
 
