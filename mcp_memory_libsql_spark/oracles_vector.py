@@ -297,3 +297,64 @@ LIMIT 10
 
 
 ORACLES["ann_lsh_cosine"] = _ann_lsh_oracle()
+
+
+def _neardup_lsh_oracle(threshold: float = 0.4) -> str:
+    """dedup_embedding_lsh mirrored end-to-end: same planes, same
+    signature width (n_bits_for_threshold), same 2..cap bucket
+    filter, same a<b distinct pair set, same rescore. MATERIALIZED
+    sigs — a plain CTE would re-expand the 64-dot signature scan per
+    reference."""
+    from .vector.lsh import (
+        BUCKET_CAP,
+        N_TABLES,
+        n_bits_for_threshold,
+        planes,
+    )
+
+    nb = n_bits_for_threshold(threshold)
+    ps = planes(64, N_TABLES, nb)
+
+    def arr(vals):
+        return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+    sig_selects = []
+    for t in range(N_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> embedding[i]::DOUBLE * ({arr(ps[t][j])})[i])) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(nb)
+        )
+        sig_selects.append(
+            f"SELECT vec_id, {t} AS table_id, ({bits}) AS sig"
+            " FROM embeddings"
+        )
+    sigs_sql = "\nUNION ALL\n".join(sig_selects)
+    return f"""
+WITH sigs AS MATERIALIZED (
+{sigs_sql}
+),
+ok AS (
+  SELECT table_id, sig FROM sigs GROUP BY 1, 2
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {BUCKET_CAP}
+),
+capped AS (SELECT s.* FROM sigs s JOIN ok USING (table_id, sig)),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM capped a JOIN capped b
+    ON a.table_id = b.table_id AND a.sig = b.sig
+   AND a.vec_id < b.vec_id
+),
+ea AS (SELECT vec_id AS vec_a, embedding AS emb_a FROM embeddings),
+eb AS (SELECT vec_id AS vec_b, embedding AS emb_b FROM embeddings)
+SELECT vec_a, vec_b,
+  ROUND(list_cosine_similarity(emb_a::DOUBLE[], emb_b::DOUBLE[]), 6)
+    AS cosine_sim
+FROM pairs JOIN ea USING (vec_a) JOIN eb USING (vec_b)
+WHERE ROUND(list_cosine_similarity(emb_a::DOUBLE[], emb_b::DOUBLE[]), 6)
+      >= {threshold}
+"""
+
+
+ORACLES["dedup_embedding_lsh"] = _neardup_lsh_oracle(0.4)

@@ -567,10 +567,13 @@ def q_kg_search_typed(spark, sf_dir):
 
 @query("dedup_embedding_lsh")
 def q_dedup_embedding_lsh(spark, sf_dir):
-    # approximate (LSH candidates) — rows-only gate; candidate-recall
-    # property vs brute force covered in tests/test_vector.py
+    # approximate (LSH candidates) but DETERMINISTIC — fully
+    # hash-gated (oracle embeds the md5-seeded planes); candidate
+    # recall vs brute force covered in tests/test_vector.py. τ=0.4
+    # like the brute twin so the gate checks non-trivial pairs (the
+    # testdata's max pairwise cosine is ~0.51).
     t = load_tables(spark, sf_dir)
-    return lsh.near_dup_pairs_lsh(t["embeddings"], threshold=0.9)
+    return lsh.near_dup_pairs_lsh(t["embeddings"], threshold=0.4)
 
 
 @query("ann_recall_eval")
