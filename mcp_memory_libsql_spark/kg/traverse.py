@@ -454,3 +454,40 @@ def relation_reciprocity(relations: DataFrame) -> DataFrame:
             F.coalesce("n_reciprocal", F.lit(0)) / F.col("n_edges"), 6
         ).alias("reciprocity"),
     )
+
+
+def type_assortativity(entities: DataFrame, relations: DataFrame) -> DataFrame:
+    """Per-relation-type mixing profile → (relation_type, n_edges,
+    n_same_type, same_type_frac): how often an edge connects entities
+    of the SAME type — the assortativity readout that distinguishes
+    intra-class relations (entity↔entity of one kind) from
+    cross-class structure (customer→nation), and catches
+    miscategorized ingests (a LOCATED_IN edge between two customers).
+
+    The (name → type) map joins onto each endpoint — at 100 TB the
+    entity dim shuffles once per side on the name key, co-partitioned
+    with the relations shuffle."""
+    typ = entities.select("name", "entity_type")
+    src_t = typ.select(
+        F.col("name").alias("source"), F.col("entity_type").alias("_st")
+    )
+    tgt_t = typ.select(
+        F.col("name").alias("target"), F.col("entity_type").alias("_tt")
+    )
+    e = relations.select("source", "target", "relation_type")
+    return (
+        e.join(src_t, "source")
+        .join(tgt_t, "target")
+        .groupBy("relation_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_edges"),
+            F.sum((F.col("_st") == F.col("_tt")).cast("bigint")).alias(
+                "n_same_type"
+            ),
+            F.round(
+                F.sum((F.col("_st") == F.col("_tt")).cast("int"))
+                / F.count("*"),
+                6,
+            ).alias("same_type_frac"),
+        )
+    )

@@ -630,3 +630,19 @@ ORACLES["kg_k_core"] = (
     + f"\nSELECT a AS name, CAST(COUNT(*) AS BIGINT) AS core_degree "
     f"FROM {_prev} GROUP BY a HAVING COUNT(*) >= 3"
 )
+
+ORACLES["kg_assortativity"] = (
+    KG_CTE
+    + """
+SELECT relation_type,
+  CAST(COUNT(*) AS BIGINT) AS n_edges,
+  CAST(SUM(CASE WHEN st.entity_type = tt.entity_type THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_same_type,
+  ROUND(SUM(CASE WHEN st.entity_type = tt.entity_type THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS same_type_frac
+FROM relations r
+JOIN entities st ON r.source = st.name
+JOIN entities tt ON r.target = tt.name
+GROUP BY relation_type
+"""
+)

@@ -1061,3 +1061,24 @@ JOIN documents db ON doc_b = db.doc_id
 GROUP BY 1, 2
 """
 )
+
+ORACLES["dedup_inflation"] = """
+WITH toks AS (
+  SELECT md5(text) AS h,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS tok
+  FROM documents
+),
+per_group AS (
+  SELECT h, COUNT(*) AS n, SUM(tok) AS gtok, MAX(tok) AS ktok
+  FROM toks GROUP BY h
+)
+SELECT CAST(SUM(n) AS BIGINT) AS total_docs,
+  CAST(SUM(gtok) AS BIGINT) AS total_tokens,
+  CAST(COUNT(*) AS BIGINT) AS kept_docs,
+  CAST(SUM(ktok) AS BIGINT) AS kept_tokens,
+  ROUND(SUM(gtok) / CAST(SUM(ktok) AS DOUBLE), 6) AS inflation,
+  ROUND((SUM(gtok) - SUM(ktok)) / CAST(SUM(gtok) AS DOUBLE), 6)
+    AS dup_token_frac
+FROM per_group
+"""

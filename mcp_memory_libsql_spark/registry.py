@@ -1447,3 +1447,15 @@ def q_dedup_source_overlap(spark, sf_dir):
 def q_events_sessionize_native(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return ev_ops.sessionize_native(t)
+
+
+@query("dedup_inflation")
+def q_dedup_inflation(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.dedup_inflation(t["documents"])
+
+
+@query("kg_assortativity")
+def q_kg_assortativity(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.type_assortativity(g["entities"], g["relations"])

@@ -767,3 +767,36 @@ def source_overlap(documents: DataFrame, n: int = 3) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )
+
+
+def dedup_inflation(documents: DataFrame) -> DataFrame:
+    """Token-weighted duplication report → ONE row (total_docs,
+    total_tokens, kept_docs, kept_tokens, inflation, dup_token_frac):
+    how much the corpus shrinks under exact dedup, measured in
+    TOKENS — the unit that prices LLM training. inflation =
+    total/kept tokens (1.0 = clean corpus); dup_token_frac is the
+    share of training tokens that would be literal repeats.
+
+    Exact-group members share identical text (hence identical token
+    counts), so kept tokens = one member's count per group — the
+    whole report is one digest rollup + a 1-row aggregate, the same
+    single shuffle exact dedup itself costs."""
+    toks = documents.select(
+        F.md5("text").alias("h"),
+        F.size(words(F.col("text"))).cast("bigint").alias("tok"),
+    )
+    per_group = toks.groupBy("h").agg(
+        F.count("*").alias("n"),
+        F.sum("tok").alias("gtok"),
+        F.max("tok").alias("ktok"),
+    )
+    return per_group.agg(
+        F.sum("n").cast("bigint").alias("total_docs"),
+        F.sum("gtok").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("kept_docs"),
+        F.sum("ktok").cast("bigint").alias("kept_tokens"),
+        F.round(F.sum("gtok") / F.sum("ktok"), 6).alias("inflation"),
+        F.round(
+            (F.sum("gtok") - F.sum("ktok")) / F.sum("gtok"), 6
+        ).alias("dup_token_frac"),
+    )
