@@ -886,3 +886,52 @@ def sessionize_native(t, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def peak_concurrency(t, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Peak concurrent sessions per day → (day, peak_concurrent,
+    n_boundaries): the capacity-planning readout (how many users are
+    mid-session at the busiest instant of each day), computed with
+    the classic interval sweep — +1 at each session start, −1 after
+    each end, running max of the prefix sum.
+
+    Sessions come from the batch sessionizer; the sweep's running sum
+    is windowed PER DAY (sessions attributed to their start day), so
+    the ordered scan parallelizes across days instead of serializing
+    the whole timeline — the same bounded-window trick as the
+    lateness profiler. Boundary ties break deterministically
+    (delta DESC: starts before ends at the same second, user_id)."""
+    s = sessionize(t, gap_minutes=gap_minutes)
+    starts = s.select(
+        F.col("start_epoch").alias("ep"),
+        F.lit(1).alias("delta"),
+        "user_id",
+    )
+    ends = s.select(
+        (F.col("end_epoch") + 1).alias("ep"),
+        F.lit(-1).alias("delta"),
+        "user_id",
+    )
+    b = starts.unionByName(ends).withColumn(
+        "day_num", F.expr("ep div 86400")
+    )
+    w = (
+        Window.partitionBy("day_num")
+        .orderBy("ep", F.col("delta").desc(), "user_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = b.withColumn("running", F.sum("delta").over(w))
+    return (
+        swept.groupBy("day_num")
+        .agg(
+            F.max("running").cast("bigint").alias("peak_concurrent"),
+            F.count("*").cast("bigint").alias("n_boundaries"),
+        )
+        .select(
+            F.date_format(
+                F.to_timestamp(F.col("day_num") * 86400), "yyyy-MM-dd"
+            ).alias("day"),
+            "peak_concurrent",
+            "n_boundaries",
+        )
+    )

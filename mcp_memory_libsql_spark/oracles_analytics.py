@@ -1319,3 +1319,42 @@ SELECT user_id,
 FROM sess
 GROUP BY user_id, session_id
 """
+
+ORACLES["events_peak_concurrency"] = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR FLOOR(epoch(ts)) - FLOOR(epoch(lag(ts) OVER w)) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+),
+sess AS (
+  SELECT user_id, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, value
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+bounds AS (
+  SELECT user_id, session_id,
+         CAST(MIN(FLOOR(epoch(ts))) AS BIGINT) AS start_epoch,
+         CAST(MAX(FLOOR(epoch(ts))) AS BIGINT) AS end_epoch
+  FROM sess GROUP BY 1, 2
+),
+b AS (
+  SELECT start_epoch AS ep, 1 AS delta, user_id FROM bounds
+  UNION ALL
+  SELECT end_epoch + 1, -1, user_id FROM bounds
+),
+swept AS (
+  SELECT ep // 86400 AS day_num,
+    SUM(delta) OVER (PARTITION BY ep // 86400
+                     ORDER BY ep, delta DESC, user_id
+                     ROWS UNBOUNDED PRECEDING) AS running
+  FROM b
+)
+SELECT strftime(to_timestamp(day_num * 86400), '%Y-%m-%d') AS day,
+       CAST(MAX(running) AS BIGINT) AS peak_concurrent,
+       CAST(COUNT(*) AS BIGINT) AS n_boundaries
+FROM swept GROUP BY day_num
+"""

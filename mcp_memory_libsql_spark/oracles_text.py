@@ -1082,3 +1082,16 @@ SELECT CAST(SUM(n) AS BIGINT) AS total_docs,
     AS dup_token_frac
 FROM per_group
 """
+
+ORACLES["text_boilerplate_lines"] = """
+WITH lines AS (
+  SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+  FROM documents
+)
+SELECT line, CAST(COUNT(*) AS BIGINT) AS total_freq,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM lines WHERE length(line) > 0
+GROUP BY line
+ORDER BY total_freq DESC, line
+LIMIT 50
+"""

@@ -1459,3 +1459,15 @@ def q_dedup_inflation(spark, sf_dir):
 def q_kg_assortativity(spark, sf_dir):
     g, _ = _kg(spark, sf_dir)
     return kg_traverse.type_assortativity(g["entities"], g["relations"])
+
+
+@query("text_boilerplate_lines")
+def q_text_boilerplate_lines(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tq.boilerplate_lines(t["documents"])
+
+
+@query("events_peak_concurrency")
+def q_events_peak_concurrency(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ev_ops.peak_concurrency(t)

@@ -432,3 +432,30 @@ def sample_k_per_lang(documents: DataFrame, k: int = 50) -> DataFrame:
             "doc_id", "lang", F.col("sample_rank").cast("int").alias("sample_rank")
         )
     )
+
+
+def boilerplate_lines(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus-frequent LINES → top-k (line, total_freq, doc_freq):
+    the boilerplate detector ("Subscribe to our newsletter", cookie
+    banners, license headers) that line-level curation strips before
+    training — document-level dedup never sees these because the
+    surrounding text differs.
+
+    Narrow newline explode + one line-key rollup (map-side
+    combinable), deterministic top-k tiebreak. At 100 TB the rollup
+    output is boilerplate-vocabulary sized; a DF cap is unnecessary
+    because the aggregate never materializes per-pair work."""
+    lines = documents.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "\n")).alias("raw"),
+    ).select("doc_id", F.trim(F.col("raw")).alias("line"))
+    return (
+        lines.where(F.length("line") > 0)
+        .groupBy("line")
+        .agg(
+            F.count("*").cast("bigint").alias("total_freq"),
+            F.count_distinct("doc_id").cast("bigint").alias("doc_freq"),
+        )
+        .orderBy(F.col("total_freq").desc(), F.col("line"))
+        .limit(k)
+    )
