@@ -241,3 +241,31 @@ def approx_value_percentiles(t, accuracy: int = 10000) -> DataFrame:
             ).alias("p90_approx"),
         )
     )
+
+
+def gap_histogram(t) -> DataFrame:
+    """Inter-arrival gap distribution → (gap_bucket, n_gaps,
+    n_zero): log2-bucketed per-user gap histogram (plus the
+    same-second count separately, since log2(0) is undefined) — the
+    corpus view of ``event_gaps`` that picks sessionization gaps and
+    watermark delays from data instead of folklore. One rollup over
+    the already-windowed gap stream; the bucket key space is ~40
+    values at any scale."""
+    g = event_gaps(t)
+    zero = g.where(F.col("gap_s") == 0).agg(
+        F.lit(0).cast("bigint").alias("gap_bucket"),
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.lit(True).alias("is_zero"),
+    )
+    pos = (
+        g.where(F.col("gap_s") > 0)
+        .groupBy(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), "
+                "CAST(floor(log2(gap_s)) AS INT)) AS BIGINT)"
+            ).alias("gap_bucket")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_gaps"))
+        .withColumn("is_zero", F.lit(False))
+    )
+    return zero.unionByName(pos)

@@ -491,3 +491,51 @@ def type_assortativity(entities: DataFrame, relations: DataFrame) -> DataFrame:
             ).alias("same_type_frac"),
         )
     )
+
+
+def degree_assortativity(relations: DataFrame) -> DataFrame:
+    """Degree assortativity of the undirected relation graph → ONE
+    row (n_edges, corr): Pearson correlation of endpoint degrees over
+    all undirected edges — the classic Newman metric (positive: hubs
+    link hubs, social-network-like; negative: hubs link leaves,
+    star/infrastructure-like).
+
+    Exact BIGINT moments (Σx, Σy, Σx², Σy², Σxy over both edge
+    orientations, so the measure is symmetric) and ONE double
+    formula at the end — the engine's standard never-streaming-corr
+    pattern. Degrees join onto edges co-partitioned on the name
+    key."""
+    und = (
+        relations.select("source", "target")
+        .where(F.col("source") != F.col("target"))
+        .select(
+            F.least("source", "target").alias("a"),
+            F.greatest("source", "target").alias("b"),
+        )
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    da = deg.select(F.col("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("a").alias("b"), F.col("d").alias("dy"))
+    e = sym.join(da, "a").join(db, "b")
+    x = F.col("dx").cast("bigint")
+    y = F.col("dy").cast("bigint")
+    m = e.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        (n / 2).cast("bigint").alias("n_edges"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
+    )

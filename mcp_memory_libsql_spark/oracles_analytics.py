@@ -1358,3 +1358,23 @@ SELECT strftime(to_timestamp(day_num * 86400), '%Y-%m-%d') AS day,
        CAST(COUNT(*) AS BIGINT) AS n_boundaries
 FROM swept GROUP BY day_num
 """
+
+ORACLES["events_gap_histogram"] = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch
+  FROM events
+),
+g AS (
+  SELECT epoch - lag(epoch) OVER (PARTITION BY user_id
+                                  ORDER BY epoch, event_id) AS gap_s
+  FROM ev
+),
+gg AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL)
+SELECT CAST(0 AS BIGINT) AS gap_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps, TRUE AS is_zero
+FROM gg WHERE gap_s = 0
+UNION ALL
+SELECT CAST(1::BIGINT << CAST(floor(log2(gap_s)) AS INTEGER) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), FALSE
+FROM gg WHERE gap_s > 0 GROUP BY 1
+"""

@@ -646,3 +646,32 @@ JOIN entities tt ON r.target = tt.name
 GROUP BY relation_type
 """
 )
+
+ORACLES["kg_degree_assortativity"] = (
+    KG_CTE
+    + """,
+und AS (
+  SELECT least(source, target) AS a, greatest(source, target) AS b
+  FROM relations WHERE source <> target
+  GROUP BY 1, 2
+),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT a, COUNT(*) AS d FROM sym GROUP BY a),
+e AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM sym JOIN deg da ON sym.a = da.a JOIN deg db ON sym.b = db.a
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(dx) AS sx, SUM(dy) AS sy,
+         SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy,
+         SUM(dx * dy) AS sxy
+  FROM e
+)
+SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+FROM m
+"""
+)

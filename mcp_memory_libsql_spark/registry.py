@@ -1471,3 +1471,16 @@ def q_text_boilerplate_lines(spark, sf_dir):
 def q_events_peak_concurrency(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return ev_ops.peak_concurrency(t)
+
+
+@query("events_gap_histogram")
+def q_events_gap_histogram(spark, sf_dir):
+    from .analytics import windows
+
+    return windows.gap_histogram(load_tables(spark, sf_dir))
+
+
+@query("kg_degree_assortativity")
+def q_kg_degree_assortativity(spark, sf_dir):
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.degree_assortativity(g["relations"])
