@@ -943,3 +943,28 @@ def pricing_cube(t) -> DataFrame:
             "revenue",
         )
     )
+
+
+def monthly_trend(t) -> DataFrame:
+    """Monthly revenue trend → (month, revenue, prev_revenue,
+    mom_delta): the decimal-exact month-over-month report (lag over
+    the tiny month rollup; the big table is scanned once). Month keys
+    are integer epoch-month math rendered once."""
+    from pyspark.sql.window import Window
+
+    li = t["lineitem"].select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        F.expr(f"{_REV}").alias("_rev"),
+    )
+    m = li.groupBy("month").agg(
+        F.expr("CAST(ROUND(SUM(_rev), 2) AS DOUBLE)").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias(
+            "mom_delta"
+        ),
+    )

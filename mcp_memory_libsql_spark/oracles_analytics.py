@@ -1378,3 +1378,15 @@ SELECT CAST(1::BIGINT << CAST(floor(log2(gap_s)) AS INTEGER) AS BIGINT),
        CAST(COUNT(*) AS BIGINT), FALSE
 FROM gg WHERE gap_s > 0 GROUP BY 1
 """
+
+ORACLES["orders_monthly_trend"] = f"""
+WITH m AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT month, revenue,
+  lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+  ROUND(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta
+FROM m
+"""

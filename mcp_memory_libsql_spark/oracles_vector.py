@@ -358,3 +358,13 @@ WHERE ROUND(list_cosine_similarity(emb_a::DOUBLE[], emb_b::DOUBLE[]), 6)
 
 
 ORACLES["dedup_embedding_lsh"] = _neardup_lsh_oracle(0.4)
+
+ORACLES["vec_cosine_distribution"] = """
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000)
+SELECT CAST(FLOOR(ROUND(list_cosine_similarity(
+         a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) * 10) AS BIGINT)
+         AS cos_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM s a JOIN s b ON a.vec_id < b.vec_id
+GROUP BY 1
+"""

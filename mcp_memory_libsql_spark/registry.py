@@ -1484,3 +1484,15 @@ def q_events_gap_histogram(spark, sf_dir):
 def q_kg_degree_assortativity(spark, sf_dir):
     g, _ = _kg(spark, sf_dir)
     return kg_traverse.degree_assortativity(g["relations"])
+
+
+@query("orders_monthly_trend")
+def q_orders_monthly_trend(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return tpch.monthly_trend(t)
+
+
+@query("vec_cosine_distribution")
+def q_vec_cosine_distribution(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return knn.cosine_distribution(t["embeddings"])

@@ -144,3 +144,35 @@ def dim_stats(embeddings: DataFrame) -> DataFrame:
             F.round(F.avg("v"), 6).alias("avg_val"),
         )
     )
+
+
+def cosine_distribution(
+    embeddings: DataFrame, sample_max_id: int = 1000, buckets_per_unit: int = 10
+) -> DataFrame:
+    """Pairwise-cosine histogram over a bounded id-sample →
+    (cos_bucket, n_pairs): the embedding-space health check (a
+    healthy space spreads mass across buckets; collapse toward 1.0
+    means the encoder lost discrimination — the signal behind
+    'embedding collapse' monitoring).
+
+    All-pairs is quadratic, so the scan is CAPPED to vec_id <
+    ``sample_max_id`` (deterministic sample, not rand()); at 100 TB
+    you'd feed the md5 exact-k sampler output instead. Buckets are
+    floor(round(cos,6)·10) — integer keys, so the histogram is
+    hash-exact cross-engine."""
+    s = embeddings.where(F.col("vec_id") < sample_max_id).select(
+        "vec_id", "embedding"
+    )
+    a = s.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = s.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("va") < F.col("vb")).select(
+        F.floor(
+            F.round(cosine(F.col("ea"), F.col("eb")), 6)
+            * buckets_per_unit
+        )
+        .cast("bigint")
+        .alias("cos_bucket")
+    )
+    return pairs.groupBy("cos_bucket").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
