@@ -1095,3 +1095,13 @@ GROUP BY line
 ORDER BY total_freq DESC, line
 LIMIT 50
 """
+
+
+ORACLES["dedup_cluster_sizes"] = f"""
+WITH base AS ({ORACLES["dedup_clusters"]}),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM base GROUP BY 1
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY 1
+"""

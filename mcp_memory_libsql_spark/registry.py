@@ -1496,3 +1496,9 @@ def q_orders_monthly_trend(spark, sf_dir):
 def q_vec_cosine_distribution(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return knn.cosine_distribution(t["embeddings"])
+
+
+@query("dedup_cluster_sizes")
+def q_dedup_cluster_sizes(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return dd.cluster_size_histogram(t["documents"])

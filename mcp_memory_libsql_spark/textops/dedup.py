@@ -800,3 +800,18 @@ def dedup_inflation(documents: DataFrame) -> DataFrame:
             (F.sum("gtok") - F.sum("ktok")) / F.sum("gtok"), 6
         ).alias("dup_token_frac"),
     )
+
+
+def cluster_size_histogram(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Near-dup cluster-size distribution → (cluster_size,
+    n_clusters): summarizes the transitive-cluster structure
+    (many 2-clusters = scattered near-copies; a giant component =
+    template family or a broken threshold). Two tiny rollups on top
+    of ``dedup_clusters`` — no new corpus work."""
+    members = dedup_clusters(documents, n)
+    sizes = members.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters")
+    )
