@@ -539,3 +539,116 @@ def degree_assortativity(relations: DataFrame) -> DataFrame:
         (n / 2).cast("bigint").alias("n_edges"),
         F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
     )
+
+
+def personalized_pagerank(
+    relations: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank → (name, rank): teleport mass returns to
+    the SEED set instead of uniformly — "which memories are most
+    relevant to this query seed", the graph-walk generalization of the
+    reference's relevance ranking (src/db/client.ts:231-245 ranks by
+    match field; this ranks by multi-hop proximity).
+
+    Same unrolled-iteration shape as :func:`pagerank` (one shuffle per
+    step, lineage cut via localCheckpoint); the oracle unrolls the
+    identical damped updates in SQL with IEEE-exact constants.
+    Seeds outside the relation graph are ignored (they can neither
+    receive nor forward walk mass).
+    """
+    edges = relations.select("source", "target").distinct()
+    nodes = (
+        edges.select(F.col("source").alias("name"))
+        .unionByName(edges.select(F.col("target").alias("name")))
+        .distinct()
+    )
+    seed_nodes = seeds.select("name").distinct().join(nodes, "name")
+    n_seeds = seed_nodes.count()  # scalar — sizes the teleport term
+    if n_seeds == 0:
+        return nodes.withColumn("rank", F.lit(0.0).cast("double"))
+    out_deg = edges.groupBy(F.col("source").alias("name")).agg(
+        F.count("*").alias("out_degree")
+    )
+    base = nodes.join(
+        broadcast(seed_nodes.withColumn("_s", F.lit(1))), "name", "left"
+    ).select("name", F.coalesce("_s", F.lit(0)).alias("is_seed"))
+    base = base.localCheckpoint(eager=False)
+    # Python computes (1.0 - damping) / n the same IEEE sequence the
+    # oracle writes as (CAST(1.0 AS DOUBLE) - 0.85) / cnt — see the
+    # kg_pagerank oracle note on why the literal 0.15 would NOT match.
+    teleport = (1.0 - damping) / n_seeds
+    ranks = base.withColumn(
+        "rank",
+        F.when(F.col("is_seed") == 1, F.lit(1.0 / n_seeds)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges["source"] == ranks["name"])
+            .join(out_deg, "name")
+            .select(
+                F.col("target").alias("name"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("name")
+            .agg(F.sum("contrib").alias("in_rank"))
+        )
+        ranks = base.join(contribs, "name", "left").select(
+            "name",
+            "is_seed",
+            (
+                F.when(F.col("is_seed") == 1, F.lit(teleport)).otherwise(
+                    F.lit(0.0)
+                )
+                + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("name", F.round("rank", 8).alias("rank"))
+
+
+def label_propagation(relations: DataFrame, iterations: int = 4) -> DataFrame:
+    """Synchronous label-propagation communities → (name, community,
+    community_size). Fully deterministic: each round every node takes
+    the most frequent label among its (undirected) neighbors, ties
+    broken by lexicographic min — integer counts + string order only,
+    so the oracle unrolls the identical rounds with ROW_NUMBER().
+
+    Scale: each round is one groupBy on (node, label) plus a per-node
+    top-1 window — both shuffle on the node key; lineage cut per round.
+    A fixed round count (not convergence detection) keeps the plan
+    static and the oracle expressible.
+    """
+    fwd = relations.select(F.col("source").alias("a"), F.col("target").alias("b"))
+    bwd = relations.select(F.col("target").alias("a"), F.col("source").alias("b"))
+    edges = fwd.unionByName(bwd).distinct()
+    labels = (
+        edges.select(F.col("a").alias("name"))
+        .distinct()
+        .withColumn("label", F.col("name"))
+    )
+    w = Window.partitionBy("name").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(iterations):
+        counts = (
+            edges.join(labels, edges["a"] == labels["name"])
+            .groupBy(F.col("b").alias("name"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("name", "label")
+            .localCheckpoint(eager=False)
+        )
+    sizes = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("community_size")
+    )
+    return labels.select("name", F.col("label").alias("community")).join(
+        sizes, "community"
+    ).select(
+        "name", "community", F.col("community_size").cast("bigint").alias("community_size")
+    )

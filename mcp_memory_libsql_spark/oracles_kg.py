@@ -675,3 +675,88 @@ SELECT CAST(n // 2 AS BIGINT) AS n_edges,
 FROM m
 """
 )
+
+# Personalized PageRank, 5 damped iterations UNROLLED — same IEEE
+# discipline as kg_pagerank ((1.0 - 0.85)/cnt, never the literal
+# 0.15), teleport mass confined to the supplier seed set.
+_PPR_ITER = """
+pc{i} AS (
+  SELECT e.target AS name, SUM(r.rank / d.out_degree) AS in_rank
+  FROM edges e
+  JOIN p{p} r ON e.source = r.name
+  JOIN odeg d ON e.source = d.name
+  GROUP BY 1
+),
+p{i} AS (
+  SELECT base.name,
+    CASE WHEN is_seed = 1
+      THEN ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / cnt)
+      ELSE CAST(0 AS DOUBLE) END
+    + CAST(0.85 AS DOUBLE) * COALESCE(in_rank, CAST(0 AS DOUBLE)) AS rank
+  FROM base LEFT JOIN pc{i} ON base.name = pc{i}.name, ns
+),"""
+
+_PPR_BODY = """,
+edges AS (SELECT DISTINCT source, target FROM relations),
+nodes AS (SELECT source AS name FROM edges UNION SELECT target FROM edges),
+odeg AS (SELECT source AS name, COUNT(*) AS out_degree FROM edges GROUP BY 1),
+seeds AS (
+  SELECT n.name FROM nodes n JOIN entities e ON n.name = e.name
+  WHERE e.entity_type = 'supplier'
+),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM seeds),
+base AS (
+  SELECT n.name, CASE WHEN s.name IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+  FROM nodes n LEFT JOIN seeds s ON n.name = s.name
+),
+p0 AS (
+  SELECT name,
+    CASE WHEN is_seed = 1 THEN CAST(1.0 AS DOUBLE) / cnt
+         ELSE CAST(0 AS DOUBLE) END AS rank
+  FROM base, ns
+),"""
+for _i in range(1, 6):
+    _PPR_BODY += _PPR_ITER.format(i=_i, p=_i - 1)
+_PPR_BODY = _PPR_BODY.rstrip(",")
+
+ORACLES["kg_ppr"] = (
+    KG_CTE + _PPR_BODY + "\nSELECT name, ROUND(rank, 8) AS rank FROM p5"
+)
+
+# Synchronous label propagation, 4 rounds UNROLLED — integer counts
+# and string ordering only (no floats anywhere), ties broken by
+# (count DESC, label ASC) ROW_NUMBER exactly as the Spark window.
+_LPA_ITER = """
+cnt{i} AS (
+  SELECT e.b AS name, l.label, COUNT(*) AS c
+  FROM sym_lpa e JOIN l{p} l ON e.a = l.name
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT name, label FROM (
+    SELECT name, label,
+      ROW_NUMBER() OVER (PARTITION BY name ORDER BY c DESC, label) AS rn
+    FROM cnt{i}
+  ) WHERE rn = 1
+),"""
+
+_LPA_BODY = """,
+sym_lpa AS (
+  SELECT source AS a, target AS b FROM relations
+  UNION
+  SELECT target, source FROM relations
+),
+l0 AS (SELECT DISTINCT a AS name, a AS label FROM sym_lpa),"""
+for _i in range(1, 5):
+    _LPA_BODY += _LPA_ITER.format(i=_i, p=_i - 1)
+_LPA_BODY = _LPA_BODY.rstrip(",")
+
+ORACLES["kg_communities"] = (
+    KG_CTE
+    + _LPA_BODY
+    + """
+SELECT l.name, l.label AS community, CAST(s.cs AS BIGINT) AS community_size
+FROM l4 l JOIN (SELECT label, COUNT(*) AS cs FROM l4 GROUP BY 1) s
+  ON l.label = s.label
+"""
+)

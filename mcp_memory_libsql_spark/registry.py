@@ -1502,3 +1502,25 @@ def q_vec_cosine_distribution(spark, sf_dir):
 def q_dedup_cluster_sizes(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return dd.cluster_size_histogram(t["documents"])
+
+
+@query("kg_ppr")
+def q_kg_ppr(spark, sf_dir):
+    # personalized PageRank from the supplier seed set — iterative,
+    # but the 5-iteration loop is UNROLLED in the oracle (fully
+    # hash-gated, same IEEE discipline as kg_pagerank)
+    g, _ = _kg(spark, sf_dir)
+    seeds = g["entities"].where(
+        F.col("entity_type") == "supplier"
+    ).select("name")
+    return kg_traverse.personalized_pagerank(
+        g["relations"], seeds, iterations=5
+    )
+
+
+@query("kg_communities")
+def q_kg_communities(spark, sf_dir):
+    # deterministic synchronous label propagation, 4 rounds unrolled
+    # in the oracle — integer/string math only, fully hash-gated
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.label_propagation(g["relations"], iterations=4)
