@@ -368,3 +368,26 @@ SELECT CAST(FLOOR(ROUND(list_cosine_similarity(
 FROM s a JOIN s b ON a.vec_id < b.vec_id
 GROUP BY 1
 """
+
+ORACLES["vec_hard_negatives"] = """
+WITH q AS (
+  SELECT vec_id AS q_id, label AS q_label, embedding AS q_embedding
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q_id, q_label, e.vec_id, e.label AS neg_label,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q_embedding::DOUBLE[]), 6)
+           AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label <> q_label
+),
+ranked AS (
+  SELECT q_id, q_label, vec_id, neg_label, cosine_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY cosine_sim DESC, vec_id) AS INTEGER)
+           AS rank
+  FROM scored
+)
+SELECT q_id, q_label, vec_id, neg_label, cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""

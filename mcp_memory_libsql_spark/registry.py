@@ -1524,3 +1524,10 @@ def q_kg_communities(spark, sf_dir):
     # in the oracle — integer/string math only, fully hash-gated
     g, _ = _kg(spark, sf_dir)
     return kg_traverse.label_propagation(g["relations"], iterations=4)
+
+
+@query("vec_hard_negatives")
+def q_vec_hard_negatives(spark, sf_dir):
+    # contrastive hard-negative mining — full oracle
+    t = load_tables(spark, sf_dir)
+    return knn.hard_negatives(t["embeddings"], n_anchors=10, k=5)

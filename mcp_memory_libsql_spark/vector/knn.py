@@ -176,3 +176,49 @@ def cosine_distribution(
     return pairs.groupBy("cos_bucket").agg(
         F.count("*").cast("bigint").alias("n_pairs")
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame, n_anchors: int = 10, k: int = 5
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each anchor
+    vector, the top-k most-similar vectors with a DIFFERENT label —
+    the negatives that sit closest to the decision boundary and carry
+    the most gradient signal.
+
+    → (q_id, q_label, vec_id, neg_label, cosine_sim, rank).
+
+    Plan: the anchor set broadcasts (it's tiny — the batch you mine
+    for is bounded per training step), similarity is a projection
+    over ONE corpus scan, and the per-anchor top-k is a window on the
+    broadcast-side key, so the corpus never shuffles on anything
+    wider than q_id. At 100 TB with large anchor sets you'd swap the
+    scan for the LSH/IVF candidate path (vector/lsh.py, ivf.py) and
+    rescore exactly — the mining rank logic is unchanged.
+    """
+    anchors = broadcast(
+        embeddings.where(F.col("vec_id") < n_anchors).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_embedding"),
+        )
+    )
+    scored = (
+        embeddings.crossJoin(anchors)
+        .where(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).where(F.col("rank") <= k)
