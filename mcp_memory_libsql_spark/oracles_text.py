@@ -1105,3 +1105,24 @@ sizes AS (
 SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY 1
 """
+
+ORACLES["text_diversity"] = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT lang, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE []::VARCHAR[] END)) AS shingle
+  FROM toks
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_shingle_occurrences,
+  CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct_shingles,
+  ROUND(COUNT(DISTINCT shingle) / COUNT(*), 6) AS diversity
+FROM sh GROUP BY lang
+"""

@@ -1531,3 +1531,10 @@ def q_vec_hard_negatives(spark, sf_dir):
     # contrastive hard-negative mining — full oracle
     t = load_tables(spark, sf_dir)
     return knn.hard_negatives(t["embeddings"], n_anchors=10, k=5)
+
+
+@query("text_diversity")
+def q_text_diversity(spark, sf_dir):
+    # cross-doc n-gram diversity per language — full oracle
+    t = load_tables(spark, sf_dir)
+    return tq.shingle_diversity(t["documents"], n=3)

@@ -459,3 +459,42 @@ def boilerplate_lines(documents: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.col("total_freq").desc(), F.col("line"))
         .limit(k)
     )
+
+
+def shingle_diversity(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-language corpus n-gram diversity → (lang,
+    n_shingle_occurrences, n_distinct_shingles, diversity).
+
+    diversity = distinct shingles / total per-doc-distinct shingle
+    occurrences: 1.0 means every document contributes novel n-grams,
+    low values mean a templated/self-repetitive corpus — the standard
+    corpus-health readout next to dedup rates (per-doc repetition is
+    ``repetition.signals``; this is the cross-doc aggregate).
+
+    Scale: one explode + one groupBy(lang). The exact COUNT(DISTINCT)
+    expands to a two-phase aggregate on (lang, shingle) — fine because
+    shingle cardinality per language partitions well; at 100 TB swap
+    in approx_count_distinct for one pass (the HLL trade shown in
+    events_approx_users)."""
+    from .tokenize import word_shingles
+
+    toks = documents.select("lang", words(F.col("text")).alias("w"))
+    sh = toks.select(
+        "lang", F.explode(word_shingles(F.col("w"), n)).alias("shingle")
+    )
+    agg = sh.groupBy("lang").agg(
+        F.count("*").alias("n_shingle_occurrences"),
+        F.countDistinct("shingle").alias("n_distinct_shingles"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_shingle_occurrences").cast("bigint").alias(
+            "n_shingle_occurrences"
+        ),
+        F.col("n_distinct_shingles").cast("bigint").alias(
+            "n_distinct_shingles"
+        ),
+        F.round(
+            F.col("n_distinct_shingles") / F.col("n_shingle_occurrences"), 6
+        ).alias("diversity"),
+    )
