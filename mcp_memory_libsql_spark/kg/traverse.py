@@ -652,3 +652,76 @@ def label_propagation(relations: DataFrame, iterations: int = 4) -> DataFrame:
     ).select(
         "name", "community", F.col("community_size").cast("bigint").alias("community_size")
     )
+
+
+def community_modularity(
+    relations: DataFrame, iterations: int = 4
+) -> DataFrame:
+    """Newman modularity profile of the label-propagation partition →
+    (community, n_nodes, internal_edges, total_degree,
+    modularity_term). The partition-quality readout for
+    :func:`label_propagation`: term_c = e_c/m − (D_c/2m)², global Q =
+    Σ terms. Emitting per-community rows keeps every value a
+    deterministic function of exact BIGINT counts (a single global Q
+    would sum doubles in engine-dependent order).
+
+    Scale: communities from LPA, then one undirected-edge join against
+    the (tiny) label map — broadcast — and two rollups keyed by
+    community. The 1-row edge total joins back via cross join, never a
+    driver collect.
+    """
+    comms = label_propagation(relations, iterations).select(
+        "name", "community"
+    )
+    und = (
+        relations.where(F.col("source") != F.col("target"))
+        .select(
+            F.least("source", "target").alias("a"),
+            F.greatest("source", "target").alias("b"),
+        )
+        .distinct()
+    )
+    la = comms.select(
+        F.col("name").alias("a"), F.col("community").alias("ca")
+    )
+    lb = comms.select(
+        F.col("name").alias("b"), F.col("community").alias("cb")
+    )
+    edges = und.join(broadcast(la), "a").join(broadcast(lb), "b")
+    m_total = edges.agg(F.count("*").alias("m"))  # 1 row, stays in-plan
+    internal = (
+        edges.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    sym = und.select("a").unionByName(und.select(F.col("b").alias("a")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    comm_deg = (
+        comms.join(deg, comms["name"] == deg["a"], "left")
+        .groupBy("community")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.coalesce("d", F.lit(0))).alias("total_degree"),
+        )
+    )
+    joined = (
+        comm_deg.join(internal, "community", "left")
+        .crossJoin(broadcast(m_total))
+        .select(
+            "community",
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.coalesce("internal_edges", F.lit(0))
+            .cast("bigint")
+            .alias("internal_edges"),
+            F.col("total_degree").cast("bigint").alias("total_degree"),
+            # d² via explicit multiply (POWER may route through
+            # exp/log in some engines — multiplication is IEEE-exact)
+            F.round(
+                F.coalesce("internal_edges", F.lit(0)) / F.col("m")
+                - (F.col("total_degree") / (F.lit(2) * F.col("m")))
+                * (F.col("total_degree") / (F.lit(2) * F.col("m"))),
+                8,
+            ).alias("modularity_term"),
+        )
+    )
+    return joined

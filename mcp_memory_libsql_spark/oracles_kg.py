@@ -760,3 +760,45 @@ FROM l4 l JOIN (SELECT label, COUNT(*) AS cs FROM l4 GROUP BY 1) s
   ON l.label = s.label
 """
 )
+
+# Modularity profile of the LPA partition — reuses the 4 unrolled LPA
+# rounds; every emitted value derives from exact BIGINT counts (the
+# squared term via explicit multiply, never POWER).
+ORACLES["kg_modularity"] = (
+    KG_CTE
+    + _LPA_BODY
+    + """,
+comms AS (SELECT name, label AS community FROM l4),
+und AS (
+  SELECT least(source, target) AS a, greatest(source, target) AS b
+  FROM relations WHERE source <> target
+  GROUP BY 1, 2
+),
+ej AS (
+  SELECT la.community AS ca, lb.community AS cb
+  FROM und
+  JOIN comms la ON und.a = la.name
+  JOIN comms lb ON und.b = lb.name
+),
+mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ej),
+internal AS (
+  SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS internal_edges
+  FROM ej WHERE ca = cb GROUP BY 1
+),
+sym2 AS (SELECT a FROM und UNION ALL SELECT b FROM und),
+deg2 AS (SELECT a, COUNT(*) AS d FROM sym2 GROUP BY a),
+cd AS (
+  SELECT c.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(COALESCE(d, 0)) AS BIGINT) AS total_degree
+  FROM comms c LEFT JOIN deg2 ON c.name = deg2.a
+  GROUP BY 1
+)
+SELECT cd.community, n_nodes,
+  CAST(COALESCE(internal_edges, 0) AS BIGINT) AS internal_edges,
+  total_degree,
+  ROUND(COALESCE(internal_edges, 0) / m
+        - (total_degree / (2 * m)) * (total_degree / (2 * m)), 8)
+    AS modularity_term
+FROM cd LEFT JOIN internal ON cd.community = internal.community, mt
+"""
+)

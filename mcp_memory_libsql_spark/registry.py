@@ -1538,3 +1538,10 @@ def q_text_diversity(spark, sf_dir):
     # cross-doc n-gram diversity per language — full oracle
     t = load_tables(spark, sf_dir)
     return tq.shingle_diversity(t["documents"], n=3)
+
+
+@query("kg_modularity")
+def q_kg_modularity(spark, sf_dir):
+    # partition-quality profile of kg_communities — full oracle
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.community_modularity(g["relations"], iterations=4)
