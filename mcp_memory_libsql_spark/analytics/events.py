@@ -935,3 +935,56 @@ def peak_concurrency(t, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
             "n_boundaries",
         )
     )
+
+
+def sample_estimates(t, pct: int = 10) -> DataFrame:
+    """Approximate query processing readout: per-event-type count and
+    value-sum ESTIMATED from a deterministic ``pct``% hash sample,
+    next to the exact figures → (event_type, n_sample, est_events,
+    exact_events, est_value_sum, exact_value_sum).
+
+    The sample predicate (md5 bucket < pct) is a pushdown-able scan
+    filter — at 100 TB the estimate path reads ~pct% of the data and
+    never shuffles more than the tiny per-type rollup; the exact
+    columns exist here so the gate (and the reader) can see the error
+    the sample trades away. Sums are DECIMAL-exact, scale-up is
+    integer multiplication — bit-identical cross-engine.
+    """
+    from ..textops.tokenize import md5_hash32
+
+    events = t["events"]
+    val = F.col("value").cast("decimal(18,2)")
+    bucket = md5_hash32(F.col("event_id").cast("string")) % 100
+    sample = (
+        events.where(bucket < pct)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sample"),
+            F.sum(val).alias("sample_sum"),
+        )
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count("*").alias("exact_events"),
+        F.sum(val).alias("exact_value_sum"),
+    )
+    scale = 100 // pct
+    return (
+        exact.join(sample, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("n_sample", F.lit(0)).cast("bigint").alias("n_sample"),
+            (F.coalesce("n_sample", F.lit(0)) * scale)
+            .cast("bigint")
+            .alias("est_events"),
+            F.col("exact_events").cast("bigint").alias("exact_events"),
+            (
+                F.coalesce(F.col("sample_sum"), F.lit(0).cast("decimal(18,2)"))
+                * scale
+            )
+            .cast("decimal(28,2)")
+            .alias("est_value_sum"),
+            F.col("exact_value_sum").cast("decimal(28,2)").alias(
+                "exact_value_sum"
+            ),
+        )
+    )

@@ -725,3 +725,33 @@ def community_modularity(
         )
     )
     return joined
+
+
+def observation_duplicates(
+    observations: DataFrame, min_entities: int = 2, k: int = 50
+) -> DataFrame:
+    """Observation contents attached to ≥ ``min_entities`` DISTINCT
+    entities → (content, n_entities, n_rows), top-k by spread. The
+    copy-paste-ingest detector for the memory store: boilerplate facts
+    stamped onto many entities dilute search relevance (the reference
+    ranks observation matches at weight 1, src/db/client.ts:231-245 —
+    a fact shared by 500 entities makes them all "match").
+
+    One groupBy on content with map-side combine; the distinct-entity
+    count is the standard two-phase expand. Deterministic top-k
+    (spread DESC, content ASC).
+    """
+    agg = observations.groupBy("content").agg(
+        F.countDistinct("entity_name").alias("n_entities"),
+        F.count("*").alias("n_rows"),
+    )
+    return (
+        agg.where(F.col("n_entities") >= min_entities)
+        .select(
+            "content",
+            F.col("n_entities").cast("bigint").alias("n_entities"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .orderBy(F.col("n_entities").desc(), "content")
+        .limit(k)
+    )

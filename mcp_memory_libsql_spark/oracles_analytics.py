@@ -1390,3 +1390,27 @@ SELECT month, revenue,
   ROUND(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta
 FROM m
 """
+
+ORACLES["events_sample_est"] = """
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n_sample,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sample_sum
+  FROM events
+  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+        % 100 < 10
+  GROUP BY 1
+),
+x AS (
+  SELECT event_type, COUNT(*) AS exact_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS exact_value_sum
+  FROM events GROUP BY 1
+)
+SELECT x.event_type,
+  CAST(COALESCE(n_sample, 0) AS BIGINT) AS n_sample,
+  CAST(COALESCE(n_sample, 0) * 10 AS BIGINT) AS est_events,
+  CAST(exact_events AS BIGINT) AS exact_events,
+  CAST(COALESCE(sample_sum, CAST(0 AS DECIMAL(18,2))) * 10
+       AS DECIMAL(28,2)) AS est_value_sum,
+  CAST(exact_value_sum AS DECIMAL(28,2)) AS exact_value_sum
+FROM x LEFT JOIN s ON x.event_type = s.event_type
+"""

@@ -802,3 +802,17 @@ SELECT cd.community, n_nodes,
 FROM cd LEFT JOIN internal ON cd.community = internal.community, mt
 """
 )
+
+ORACLES["kg_obs_duplicates"] = (
+    KG_CTE
+    + """
+SELECT content,
+  CAST(COUNT(DISTINCT entity_name) AS BIGINT) AS n_entities,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM observations
+GROUP BY content
+HAVING COUNT(DISTINCT entity_name) >= 2
+ORDER BY n_entities DESC, content
+LIMIT 50
+"""
+)

@@ -1545,3 +1545,18 @@ def q_kg_modularity(spark, sf_dir):
     # partition-quality profile of kg_communities — full oracle
     g, _ = _kg(spark, sf_dir)
     return kg_traverse.community_modularity(g["relations"], iterations=4)
+
+
+@query("events_sample_est")
+def q_events_sample_est(spark, sf_dir):
+    # approximate-query-processing readout: pushdown-able hash sample
+    # with decimal-exact scale-up, exact columns alongside for error
+    t = load_tables(spark, sf_dir)
+    return ev_ops.sample_estimates(t, pct=10)
+
+
+@query("kg_obs_duplicates")
+def q_kg_obs_duplicates(spark, sf_dir):
+    # boilerplate-observation hygiene scan — full oracle
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.observation_duplicates(g["observations"])
