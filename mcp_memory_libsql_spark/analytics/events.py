@@ -943,9 +943,11 @@ def sample_estimates(t, pct: int = 10) -> DataFrame:
     next to the exact figures → (event_type, n_sample, est_events,
     exact_events, est_value_sum, exact_value_sum).
 
-    The sample predicate (md5 bucket < pct) is a pushdown-able scan
-    filter — at 100 TB the estimate path reads ~pct% of the data and
-    never shuffles more than the tiny per-type rollup; the exact
+    The sample predicate (md5 bucket < pct) evaluates inside the scan
+    stage (codegen, no extra pass; with the corpus ingested bucketed
+    on this hash the filter becomes partition pruning and reads only
+    pct% of files) — the estimate path never shuffles more than the
+    tiny per-type rollup. The exact
     columns exist here so the gate (and the reader) can see the error
     the sample trades away. Sums are DECIMAL-exact, scale-up is
     integer multiplication — bit-identical cross-engine.

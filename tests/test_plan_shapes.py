@@ -98,3 +98,19 @@ def test_hamming_knn_is_integer_only_scan(spark, sf_dir):
     )
     plan = _plan(corpus)
     assert _shuffles(plan) == 0
+
+
+def test_hard_negatives_broadcasts_anchors(spark, sf_dir):
+    """Anchor set broadcasts; the corpus shuffles only on the tiny
+    q_id key for the per-anchor rank window."""
+    plan = _plan(QUERIES["vec_hard_negatives"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert _shuffles(plan) <= 1, plan
+
+
+def test_sample_est_no_python_and_bounded_shuffles(spark, sf_dir):
+    """The AQP sample estimate stays JVM-side (md5 bucket is a codegen
+    expression, not a UDF) and aggregates on one tiny key."""
+    plan = _plan(QUERIES["events_sample_est"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert _shuffles(plan) <= 3, plan
