@@ -66,6 +66,13 @@ EXTENDED = [
     "text_ttr",
     "data_skew_report",
     "events_lateness_profile",
+    "kg_ppr",
+    "kg_communities",
+    "kg_modularity",
+    "vec_hard_negatives",
+    "text_diversity",
+    "events_sample_est",
+    "kg_obs_duplicates",
 ]
 
 

@@ -103,15 +103,18 @@ def pagerank(relations: DataFrame, iterations: int = 5, damping: float = 0.85) -
     identical, so at cluster scale you checkpoint every few steps to
     cut lineage. Deterministic: rank rounded at the end only.
     """
-    edges = relations.select("source", "target").distinct()
+    # Loop invariants persist once — without this every iteration's
+    # lineage re-derives the edge distinct (5x the scan+shuffle).
+    edges = relations.select("source", "target").distinct().persist()
     nodes = (
         edges.select(F.col("source").alias("name"))
         .unionByName(edges.select(F.col("target").alias("name")))
         .distinct()
+        .persist()
     )
     out_deg = edges.groupBy(F.col("source").alias("name")).agg(
         F.count("*").alias("out_degree")
-    )
+    ).persist()
     n_nodes = nodes.count()  # scalar graph size — drives the teleport term
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0).cast("double"))
@@ -149,7 +152,7 @@ def connected_components(relations: DataFrame, max_iter: int = 8) -> DataFrame:
     localCheckpoint — the standard large-graph CC shape (HashMin)."""
     fwd = relations.select(F.col("source").alias("a"), F.col("target").alias("b"))
     bwd = relations.select(F.col("target").alias("a"), F.col("source").alias("b"))
-    edges = fwd.unionByName(bwd).distinct()
+    edges = fwd.unionByName(bwd).distinct().persist()
     labels = edges.select(F.col("a").alias("name")).distinct().withColumn(
         "component", F.col("name")
     )
@@ -559,7 +562,7 @@ def personalized_pagerank(
     Seeds outside the relation graph are ignored (they can neither
     receive nor forward walk mass).
     """
-    edges = relations.select("source", "target").distinct()
+    edges = relations.select("source", "target").distinct().persist()
     nodes = (
         edges.select(F.col("source").alias("name"))
         .unionByName(edges.select(F.col("target").alias("name")))
@@ -571,7 +574,7 @@ def personalized_pagerank(
         return nodes.withColumn("rank", F.lit(0.0).cast("double"))
     out_deg = edges.groupBy(F.col("source").alias("name")).agg(
         F.count("*").alias("out_degree")
-    )
+    ).persist()
     base = nodes.join(
         broadcast(seed_nodes.withColumn("_s", F.lit(1))), "name", "left"
     ).select("name", F.coalesce("_s", F.lit(0)).alias("is_seed"))
@@ -625,7 +628,7 @@ def label_propagation(relations: DataFrame, iterations: int = 4) -> DataFrame:
     """
     fwd = relations.select(F.col("source").alias("a"), F.col("target").alias("b"))
     bwd = relations.select(F.col("target").alias("a"), F.col("source").alias("b"))
-    edges = fwd.unionByName(bwd).distinct()
+    edges = fwd.unionByName(bwd).distinct().persist()
     labels = (
         edges.select(F.col("a").alias("name"))
         .distinct()
