@@ -363,3 +363,31 @@ def test_k_core_matches_reported_degree(spark, t):
     rel = kg_views.relations(t)
     rows = kg_traverse.k_core(rel, k=3).collect()
     assert all(r.core_degree >= 3 for r in rows)
+
+
+def test_graphstore_diff_tracks_upsert_and_delete(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)  # v1: A, B
+    v1 = store.current_version()
+    b_ent = spark.createDataFrame(
+        [("A", "human", 99), ("C", "thing", 30)],
+        "name string, entity_type string, created_at bigint",
+    )
+    b_obs = spark.createDataFrame(
+        [("A", "likes coffee", 99), ("C", "is new", 30)],
+        "entity_name string, content string, created_at bigint",
+    )
+    store.apply_upsert(b_ent, b_obs)
+    d = {
+        (r.table_name, r.change, r.row_key)
+        for r in store.diff(v1).collect()
+    }
+    # A's type changed (created_at preserved at 10) → removed+added;
+    # C is new; A's observations replaced by the upsert.
+    assert ("entities", "added", "A|human|10") in d
+    assert ("entities", "removed", "A|person|10") in d
+    assert ("entities", "added", "C|thing|30") in d
+    assert ("observations", "removed", "A|likes tea|10") in d
+    assert ("observations", "added", "A|likes coffee|99") in d
+    assert not any(t == "relations" for (t, _, _) in d)
+    # diff of a version against itself is empty
+    assert store.diff(v1, v1).count() == 0
