@@ -328,3 +328,36 @@ def scene_cuts(media: DataFrame, stride: int = 1) -> DataFrame:
         F.sum("is_cut").cast("bigint").alias("n_scenes"),
         F.round(F.sum("is_cut") / F.count("*"), 6).alias("cut_frac"),
     )
+
+
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact media dedup groups → (payload_md5, kind, n_copies,
+    keeper_id, total_bytes): byte-identical payloads collapsed by
+    content digest, keeper = min media_id. The first pass of any
+    image/audio corpus dedup (re-encoded near-dups need perceptual
+    hashing — the SimHash/LSH family over decoded features; exact
+    digest removes the bulk re-crawls first, exactly like
+    textops.dedup.exact_groups does for text).
+
+    Scale: md5 computes JVM-side in the scan (no Python touches the
+    payload), one shuffle on the digest; bytes never move — only the
+    16-byte digest and the tiny rollup columns."""
+    return (
+        media.groupBy(
+            F.md5(F.col("payload")).alias("payload_md5"),
+            F.col("kind"),
+        )
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("media_id").alias("keeper_id"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .select(
+            "payload_md5",
+            "kind",
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            F.col("keeper_id").cast("bigint").alias("keeper_id"),
+            F.col("total_bytes").cast("bigint").alias("total_bytes"),
+        )
+    )

@@ -391,3 +391,24 @@ ranked AS (
 SELECT q_id, q_label, vec_id, neg_label, cosine_sim, rank
 FROM ranked WHERE rank <= 5
 """
+
+ORACLES["mm_dedup"] = """
+WITH m0 AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         text
+  FROM documents
+),
+m AS (
+  SELECT * FROM m0
+  UNION ALL
+  SELECT media_id + 1000000, kind, text FROM m0 WHERE media_id % 10 = 0
+)
+SELECT md5(text) AS payload_md5, kind,
+  CAST(COUNT(*) AS BIGINT) AS n_copies,
+  CAST(MIN(media_id) AS BIGINT) AS keeper_id,
+  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+FROM m GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""

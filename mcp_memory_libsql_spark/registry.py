@@ -1560,3 +1560,17 @@ def q_kg_obs_duplicates(spark, sf_dir):
     # boilerplate-observation hygiene scan — full oracle
     g, _ = _kg(spark, sf_dir)
     return kg_traverse.observation_duplicates(g["observations"])
+
+
+@query("mm_dedup")
+def q_mm_dedup(spark, sf_dir):
+    # exact payload dedup; the testdata has no byte-identical docs,
+    # so the gate injects a deterministic "re-crawl" copy of every
+    # 10th media row (id-offset) — the oracle mirrors the injection,
+    # so the collapse logic is exercised on non-trivial groups
+    t = load_tables(spark, sf_dir)
+    media = mm.synthesize_media(t["documents"])
+    recrawl = media.where(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + F.lit(1000000)
+    )
+    return mm.media_dedup(media.unionByName(recrawl))
