@@ -26,6 +26,7 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 MAX_SEARCH_LIMIT = 50
 
@@ -216,3 +217,49 @@ def search_nodes_entities(
     """The entities half of ``search_nodes`` (client.ts:443-474):
     matched entities with observations attached."""
     return search_entities_full(entities, observations, query, limit)
+
+
+def context_pack(
+    entities: DataFrame,
+    observations: DataFrame,
+    query: str,
+    budget_chars: int = 2000,
+    limit: int = 50,
+) -> DataFrame:
+    """Char-budgeted LLM-context assembly over search results →
+    (rank, name, relevance_score, n_chars, cum_chars, context).
+
+    This is the step the reference's MCP payload feeds: search_nodes
+    returns entities + observations for the model's context window
+    (src/index.ts tool responses, client.ts:249-266); packing them
+    against a character budget in relevance order is the RAG-side
+    completion of that flow. Greedy prefix cut: keep the ranked
+    prefix whose running char total fits the budget.
+
+    The window is a single-partition running sum — correct HERE
+    because search output is ≤50 rows by the reference's own limit
+    cap (MAX_SEARCH_LIMIT); never use this shape on an unbounded
+    table (see events_lateness_profile's two-level prefix-max for
+    the distributed pattern).
+    """
+    full = search_entities_full(entities, observations, query, limit)
+    ctx = F.concat(
+        F.col("name"),
+        F.lit(" ("),
+        F.col("entity_type"),
+        F.lit("): "),
+        F.coalesce(F.col("observations"), F.lit("")),
+    )
+    ord_w = Window.orderBy(
+        F.col("relevance_score").desc(), F.col("created_at").desc(), F.col("name")
+    )
+    run_w = ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = (
+        full.withColumn("context", ctx)
+        .withColumn("n_chars", F.length("context").cast("int"))
+        .withColumn("rank", F.row_number().over(ord_w).cast("int"))
+        .withColumn("cum_chars", F.sum("n_chars").over(run_w).cast("bigint"))
+    )
+    return packed.where(F.col("cum_chars") <= budget_chars).select(
+        "rank", "name", "relevance_score", "n_chars", "cum_chars", "context"
+    )

@@ -816,3 +816,31 @@ ORDER BY n_entities DESC, content
 LIMIT 50
 """
 )
+
+# Char-budgeted context packing over the search_entities_full shape —
+# same matched CTE, then a single-window running sum (the packed set
+# is ≤50 rows by the reference's limit cap).
+ORACLES["kg_context_pack"] = f"""{KG_CTE},
+{_search_names('%economy%', 50).replace('e.name, e.created_at,',
+               'e.name, e.entity_type, e.created_at,')},
+packed AS (
+  SELECT m.name, m.entity_type, m.created_at,
+         CAST(m.relevance_score AS INTEGER) AS relevance_score,
+         m.name || ' (' || m.entity_type || '): ' ||
+           COALESCE((SELECT string_agg(o.content, '|' ORDER BY o.content)
+                     FROM observations o WHERE o.entity_name = m.name),
+                    '') AS context
+  FROM matched m
+),
+win AS (
+  SELECT name, relevance_score, context,
+    CAST(length(context) AS INTEGER) AS n_chars,
+    CAST(ROW_NUMBER() OVER ord AS INTEGER) AS rank,
+    CAST(SUM(length(context)) OVER
+           (ord ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+  FROM packed
+  WINDOW ord AS (ORDER BY relevance_score DESC, created_at DESC, name)
+)
+SELECT rank, name, relevance_score, n_chars, cum_chars, context
+FROM win WHERE cum_chars <= 2000
+"""

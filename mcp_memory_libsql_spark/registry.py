@@ -1574,3 +1574,14 @@ def q_mm_dedup(spark, sf_dir):
         "media_id", F.col("media_id") + F.lit(1000000)
     )
     return mm.media_dedup(media.unionByName(recrawl))
+
+
+@query("kg_context_pack")
+def q_kg_context_pack(spark, sf_dir):
+    # char-budgeted LLM-context packing of search results (the MCP
+    # payload shape, greedily cut to budget) — full oracle
+    g, _ = _kg(spark, sf_dir)
+    return kg_search.context_pack(
+        g["entities"], g["observations"], "economy",
+        budget_chars=2000, limit=50,
+    )
