@@ -120,3 +120,56 @@ def lang_centroid_outliers(
         ),
     )
     return scored.orderBy("centroid_cosine", "doc_id").limit(k)
+
+
+def centroid_drift(embeddings: DataFrame) -> DataFrame:
+    """Embedding-drift monitor → (label, n_a, n_b, drift_cosine):
+    cosine between each label's centroid in cohort A (even vec_id)
+    and cohort B (odd vec_id). In production the cohorts are
+    yesterday's batch vs today's — centroid cosine falling below ~1.0
+    flags an embedding-model change or upstream distribution shift
+    before it poisons ANN indexes built on the old geometry.
+
+    Per-pos centroids are rounded to 6 decimals BEFORE the cosine on
+    both engines (the bridge_centroid_outliers determinism trick), so
+    summation-order noise never reaches the compared value. One
+    posexplode + one (label, cohort, pos) rollup; centroid vectors
+    are label-count-sized — broadcast side."""
+    p = embeddings.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        "embedding",
+        "vec_id",
+    )
+    cent = (
+        p.select(
+            "label", "is_a", F.posexplode("embedding").alias("pos", "val")
+        )
+        .groupBy("label", "is_a", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c"))
+        .groupBy("label", "is_a")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+    )
+    counts = p.groupBy("label").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("n_b"),
+    )
+    ca = cent.where(F.col("is_a")).select("label", F.col("cvec").alias("va"))
+    cb = cent.where(~F.col("is_a")).select("label", F.col("cvec").alias("vb"))
+    from ..vector.similarity import cosine as _cos
+
+    return (
+        counts.join(ca, "label")
+        .join(cb, "label")
+        .select(
+            "label",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(_cos(F.col("va"), F.col("vb")), 6).alias("drift_cosine"),
+        )
+    )

@@ -412,3 +412,35 @@ SELECT md5(text) AS payload_md5, kind,
   CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
 FROM m GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
+
+ORACLES["vec_centroid_drift"] = """
+WITH e AS (
+  SELECT label, vec_id % 2 = 0 AS is_a, embedding FROM embeddings
+),
+cent AS (
+  SELECT label, is_a, pos,
+         ROUND(AVG(val), 6) AS c
+  FROM (
+    SELECT label, is_a,
+           generate_subscripts(embedding, 1) AS pos,
+           unnest(embedding)::DOUBLE AS val
+    FROM e
+  )
+  GROUP BY 1, 2, 3
+),
+vecs AS (
+  SELECT label, is_a, list(c ORDER BY pos) AS cvec
+  FROM cent GROUP BY 1, 2
+),
+counts AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM e GROUP BY 1
+)
+SELECT counts.label, n_a, n_b,
+  ROUND(list_cosine_similarity(va.cvec, vb.cvec), 6) AS drift_cosine
+FROM counts
+JOIN vecs va ON counts.label = va.label AND va.is_a
+JOIN vecs vb ON counts.label = vb.label AND NOT vb.is_a
+"""

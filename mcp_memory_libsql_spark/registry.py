@@ -1585,3 +1585,13 @@ def q_kg_context_pack(spark, sf_dir):
         g["entities"], g["observations"], "economy",
         budget_chars=2000, limit=50,
     )
+
+
+@query("vec_centroid_drift")
+def q_vec_centroid_drift(spark, sf_dir):
+    # embedding-drift monitor between vec_id-parity cohorts — full
+    # oracle (rounded-before-cosine determinism)
+    from .analytics import bridge
+
+    t = load_tables(spark, sf_dir)
+    return bridge.centroid_drift(t["embeddings"])
