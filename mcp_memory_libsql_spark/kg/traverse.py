@@ -758,3 +758,56 @@ def observation_duplicates(
         .orderBy(F.col("n_entities").desc(), "content")
         .limit(k)
     )
+
+
+def degree_delta(
+    prev_degree: DataFrame,
+    added: DataFrame,
+    removed: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental view maintenance for :func:`degree`: fold a
+    relations delta (added/removed edge rows) into a previously
+    computed degree rollup WITHOUT touching the base relations table
+    → same (name, out_degree, in_degree, degree) schema.
+
+    This is the aggregate twin of GraphStore's O(batch) delta log:
+    counts are addition-mergeable, so the update is
+    delta-rollup ∪ prev → sum, costing O(|delta| + |affected keys|).
+    At 100 TB the nightly degree refresh reads yesterday's rollup +
+    today's batch — never the full edge history. Rows whose degree
+    reaches 0 are dropped (matching a recompute over the merged edge
+    set, where such names no longer appear).
+    """
+    def _counts(rel: DataFrame, sign: int) -> DataFrame:
+        out_d = rel.groupBy(F.col("source").alias("name")).agg(
+            (F.count("*") * sign).alias("d_out")
+        )
+        in_d = rel.groupBy(F.col("target").alias("name")).agg(
+            (F.count("*") * sign).alias("d_in")
+        )
+        return out_d.join(in_d, "name", "full_outer").select(
+            "name",
+            F.coalesce("d_out", F.lit(0)).alias("d_out"),
+            F.coalesce("d_in", F.lit(0)).alias("d_in"),
+        )
+
+    delta = _counts(added, 1)
+    if removed is not None:
+        delta = delta.unionByName(_counts(removed, -1))
+    base = prev_degree.select(
+        "name",
+        F.col("out_degree").alias("d_out"),
+        F.col("in_degree").alias("d_in"),
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("name")
+        .agg(F.sum("d_out").alias("out_degree"), F.sum("d_in").alias("in_degree"))
+        .where((F.col("out_degree") > 0) | (F.col("in_degree") > 0))
+    )
+    return merged.select(
+        "name",
+        F.col("out_degree").cast("bigint").alias("out_degree"),
+        F.col("in_degree").cast("bigint").alias("in_degree"),
+        (F.col("out_degree") + F.col("in_degree")).cast("bigint").alias("degree"),
+    )

@@ -391,3 +391,20 @@ def test_graphstore_diff_tracks_upsert_and_delete(spark, tmp_path):
     assert not any(t == "relations" for (t, _, _) in d)
     # diff of a version against itself is empty
     assert store.diff(v1, v1).count() == 0
+
+
+def test_degree_delta_matches_recompute(spark, t):
+    """IVM: folding an add+remove delta into the degree rollup equals
+    recomputing degree over the merged edge set."""
+    from mcp_memory_libsql_spark.kg import views as kg_views
+    from mcp_memory_libsql_spark.kg.traverse import degree, degree_delta
+
+    rels = kg_views.kg(t)["relations"]
+    base = rels.where(F.col("relation_type") != "PART_OF")
+    added = rels.where(F.col("relation_type") == "PART_OF")
+    removed = base.limit(7)
+    got = degree_delta(degree(base), added, removed)
+    want = degree(base.exceptAll(removed).unionByName(added))
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
