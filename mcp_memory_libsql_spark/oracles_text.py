@@ -1126,3 +1126,22 @@ SELECT lang,
   ROUND(COUNT(DISTINCT shingle) / COUNT(*), 6) AS diversity
 FROM sh GROUP BY lang
 """
+
+ORACLES["text_dsir_scores"] = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, COUNT(*) AS tf_all,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tf_target
+  FROM toks GROUP BY 1
+),
+share AS (SELECT term, tf_target * 1000 // tf_all AS share_pm FROM tf)
+SELECT doc_id, lang,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  ROUND(SUM(share_pm) / COUNT(*), 6) AS mean_target_share
+FROM toks JOIN share USING (term)
+GROUP BY doc_id, lang
+"""

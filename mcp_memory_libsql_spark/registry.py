@@ -1595,3 +1595,12 @@ def q_vec_centroid_drift(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return bridge.centroid_drift(t["embeddings"])
+
+
+@query("text_dsir_scores")
+def q_text_dsir_scores(spark, sf_dir):
+    # DSIR-style target-affinity selection score, integer-exact
+    from .textops import sampling
+
+    t = load_tables(spark, sf_dir)
+    return sampling.dsir_scores(t["documents"], target_lang="en")
