@@ -444,3 +444,45 @@ FROM counts
 JOIN vecs va ON counts.label = va.label AND va.is_a
 JOIN vecs vb ON counts.label = vb.label AND NOT vb.is_a
 """
+
+
+def _rp_distortion_oracle() -> str:
+    """vec_rp_distortion mirrored: same md5-derived ±1 sign rows
+    embedded as literals, and list_reduce (left fold, exactly Spark's
+    aggregate order) rather than list_sum so every float add happens
+    in the same sequence."""
+    from .vector.rp import RP_DIM, rp_signs
+
+    signs = rp_signs(64, RP_DIM)
+
+    def arr(vals):
+        return "[" + ", ".join(f"{float(v):.1f}" for v in vals) + "]::DOUBLE[]"
+
+    proj = ", ".join(
+        f"list_reduce(list_transform(range(1, 65), "
+        f"i -> embedding[i]::DOUBLE * ({arr(signs[j])})[i]), "
+        f"(x, y) -> x + y) / 4.0 AS p{j}"
+        for j in range(RP_DIM)
+    )
+    d2p = " + ".join(
+        f"(a.p{j} - b.p{j}) * (a.p{j} - b.p{j})" for j in range(RP_DIM)
+    )
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT vec_id, embedding, {proj}
+  FROM embeddings WHERE vec_id < 300
+),
+pairs AS (
+  SELECT CAST(FLOOR(ROUND(({d2p}) /
+    list_reduce(list_transform(range(1, 65),
+      i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+           * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)),
+      (x, y) -> x + y), 6) * 10) AS BIGINT) AS ratio_bucket
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT ratio_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+"""
+
+
+ORACLES["vec_rp_distortion"] = _rp_distortion_oracle()

@@ -1604,3 +1604,13 @@ def q_text_dsir_scores(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return sampling.dsir_scores(t["documents"], target_lang="en")
+
+
+@query("vec_rp_distortion")
+def q_vec_rp_distortion(spark, sf_dir):
+    # JL random-projection distance-distortion histogram — full
+    # oracle (sign matrix embedded in SQL, left-fold float order)
+    from .vector import rp
+
+    t = load_tables(spark, sf_dir)
+    return rp.rp_distortion(t["embeddings"])

@@ -225,3 +225,19 @@ def test_recall_eval_floors(spark, sf_dir):
     # floors: LSH with recall-oriented defaults beats IVF at n_probe=3
     assert sum(by_method["lsh"]) / 5 >= 0.6
     assert sum(by_method["ivf"]) / 5 >= 0.3
+
+
+def test_rp_distortion_concentrates_near_one(spark, sf_dir):
+    """JL sanity: with k=16 the squared-distance ratio mass sits
+    around 1.0 (measured ~90% in [0.5, 1.6) at both SFs — assert a
+    loose 75% floor so the test survives data regeneration)."""
+    from mcp_memory_libsql_spark.vector import rp
+
+    from mcp_memory_libsql_spark.io.tables import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rows = rp.rp_distortion(emb).collect()
+    tot = sum(r.n_pairs for r in rows)
+    near = sum(r.n_pairs for r in rows if 5 <= r.ratio_bucket <= 15)
+    assert tot > 0
+    assert near / tot >= 0.75
