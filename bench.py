@@ -73,6 +73,11 @@ EXTENDED = [
     "text_diversity",
     "events_sample_est",
     "kg_obs_duplicates",
+    "mm_dedup",
+    "kg_context_pack",
+    "vec_centroid_drift",
+    "text_dsir_scores",
+    "vec_rp_distortion",
 ]
 
 
