@@ -811,3 +811,27 @@ def degree_delta(
         F.col("in_degree").cast("bigint").alias("in_degree"),
         (F.col("out_degree") + F.col("in_degree")).cast("bigint").alias("degree"),
     )
+
+
+def graph_as_of(
+    entities: DataFrame, observations: DataFrame, t: int
+) -> DataFrame:
+    """Point-in-time read → the (name, entity_type, content) facts
+    known at surrogate time ``t``: entities created at-or-before
+    ``t``, each with the observations whose SCD2 validity interval
+    (see :func:`observation_history`) covers ``t`` — "what did the
+    memory say about the world at time T", the row-level analog of
+    GraphStore's snapshot time travel.
+
+    Interval predicate is a scan filter (codegen) over the history
+    window's output; the entity filter pushes to the parquet scan.
+    """
+    hist = observation_history(observations)
+    live_obs = hist.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+    live_ent = entities.where(F.col("created_at") <= t)
+    return live_ent.join(
+        live_obs, live_ent["name"] == live_obs["entity_name"], "left"
+    ).select("name", "entity_type", "content")

@@ -844,3 +844,26 @@ win AS (
 SELECT rank, name, relevance_score, n_chars, cum_chars, context
 FROM win WHERE cum_chars <= 2000
 """
+
+# Point-in-time graph read at surrogate t=10500 (mid-customer range:
+# parts/suppliers/regions/nations and half the customers exist).
+ORACLES["kg_as_of"] = (
+    KG_CTE
+    + """,
+hist AS (
+  SELECT entity_name, content,
+    CAST(created_at AS BIGINT) AS valid_from,
+    CAST(lead(created_at) OVER (
+      PARTITION BY entity_name ORDER BY created_at, content
+    ) AS BIGINT) AS valid_to
+  FROM observations
+),
+live_obs AS (
+  SELECT entity_name, content FROM hist
+  WHERE valid_from <= 10500 AND (valid_to IS NULL OR valid_to > 10500)
+)
+SELECT e.name, e.entity_type, o.content
+FROM entities e LEFT JOIN live_obs o ON e.name = o.entity_name
+WHERE e.created_at <= 10500
+"""
+)

@@ -1145,3 +1145,22 @@ SELECT doc_id, lang,
 FROM toks JOIN share USING (term)
 GROUP BY doc_id, lang
 """
+
+ORACLES["text_bpe_pairs"] = """
+WITH wtf AS (
+  SELECT w, COUNT(*) AS tf FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+    FROM documents
+  ) GROUP BY w
+),
+pairs AS (
+  SELECT w, tf, substr(w, CAST(i AS INTEGER), 2) AS pair
+  FROM wtf, unnest(range(1, length(w))) AS u(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(tf) AS BIGINT) AS pair_count,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 50
+"""

@@ -1614,3 +1614,22 @@ def q_vec_rp_distortion(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return rp.rp_distortion(t["embeddings"])
+
+
+@query("kg_as_of")
+def q_kg_as_of(spark, sf_dir):
+    # point-in-time read over SCD2 observation intervals — full oracle
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.graph_as_of(
+        g["entities"], g["observations"], t=10500
+    )
+
+
+@query("text_bpe_pairs")
+def q_text_bpe_pairs(spark, sf_dir):
+    # one BPE-training merge step: TF-weighted adjacent char-pair
+    # counts over distinct words — full oracle
+    from .textops import tokenize as tkz
+
+    t = load_tables(spark, sf_dir)
+    return tkz.bpe_merge_candidates(t["documents"], k=50)

@@ -46,3 +46,46 @@ def md5_hash32(s: Column, seed: int | None = None) -> Column:
 def md5_hash60(s: Column) -> Column:
     """Portable 60-bit hash (15 hex chars → fits signed BIGINT)."""
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def bpe_merge_candidates(documents, k: int = 50):
+    """Top-k BPE merge candidates → (pair, pair_count, n_words): the
+    first step of byte-pair-encoding TOKENIZER TRAINING — corpus-wide
+    adjacent-character pair frequencies, exactly what the first BPE
+    merge maximizes (Sennrich et al.). Run iteratively (re-tokenize,
+    re-count) to learn a full vocab; one step is the hash-gateable
+    unit.
+
+    Scale shape: pair counts aggregate over DISTINCT WORDS weighted by
+    term frequency, not over raw tokens — the corpus may hold 10¹²
+    token instances but only ~10⁶ distinct words, so the char-pair
+    explode (the expensive part) touches each distinct word once.
+    That's two shuffles (word rollup, pair rollup), both map-side
+    combined.
+    """
+    from pyspark.sql import functions as F
+
+    words_tf = (
+        documents.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("tf"))
+    )
+    pairs = words_tf.where(F.length("w") >= 2).select(
+        "w",
+        "tf",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("tf").cast("bigint").alias("pair_count"),
+        F.countDistinct("w").cast("bigint").alias("n_words"),
+    )
+    return agg.orderBy(F.col("pair_count").desc(), "pair").limit(k)
