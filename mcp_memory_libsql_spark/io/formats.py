@@ -103,3 +103,41 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None):
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-media ingest via Spark's built-in ``binaryFile`` source →
+    (path, modificationTime, length, content binary) — the first hop
+    of the multimodal pipeline: crawl directories of image/audio
+    files into the (payload, metadata) shape ``multimodal.media``
+    processes, then write parquet and never touch small files again
+    (binary columns in parquet give columnar stats + pruning; a
+    million loose JPEGs give a million file-open round trips per
+    scan).
+
+    ``pathGlobFilter`` prunes by extension at listing time — no data
+    read for excluded files."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
+def binary_files_to_media(files: DataFrame, kind: str) -> DataFrame:
+    """Adapt a binaryFile scan to the multimodal media schema
+    (media_id from the path hash, payload = content, meta stub) —
+    hand the result to ``multimodal.media.extract_features``."""
+    return files.select(
+        F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            (F.length("content") % 10 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )

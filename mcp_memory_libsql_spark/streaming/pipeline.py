@@ -366,3 +366,34 @@ def read_topk_users(spark: SparkSession, sink_dir: str, k: int = 20) -> DataFram
         .orderBy(F.col("n_events").desc(), F.col("user_id"))
         .limit(k)
     )
+
+
+def session_window_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 minute"
+) -> DataFrame:
+    """Streaming twin of ``analytics.events.sessionize_native``: the
+    SAME ``session_window`` expression, now with watermark-bounded
+    state — Spark merges a user's open session in state and emits it
+    (append mode) once the watermark passes session end + gap, so
+    state size tracks OPEN sessions only, at any ingest rate.
+
+    Batch/stream equivalence is tested file-by-file with sentinel
+    events advancing the watermark (tests/test_streaming.py) — closed
+    sessions match the batch operator row-for-row."""
+    from pyspark.sql import functions as F
+
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", sw.alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").cast("bigint").alias("start_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -89,3 +89,28 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile ingest → media schema → feature extraction: the
+    crawl-to-parquet first hop of the multimodal pipeline, with
+    pathGlobFilter pruning non-matching extensions at listing time."""
+    from mcp_memory_libsql_spark.io import formats
+    from mcp_memory_libsql_spark.multimodal import media as mm
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "a.img").write_bytes(b"payload-a" * 10)
+    (d / "b.img").write_bytes(b"payload-b" * 20)
+    (d / "skip.txt").write_bytes(b"not media")
+
+    files = formats.read_binary_files(spark, str(d), glob="*.img")
+    assert files.count() == 2
+    assert set(files.columns) == {
+        "path", "modificationTime", "length", "content"
+    }
+    m = formats.binary_files_to_media(files, "image")
+    feats = mm.extract_features(m).collect()
+    assert len(feats) == 2
+    by_bytes = {r.n_bytes for r in feats}
+    assert by_bytes == {90, 180}

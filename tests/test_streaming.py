@@ -631,3 +631,68 @@ def test_classifier_scores_stream_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Native session_window on a stream (append mode, watermark
+    state) emits exactly the batch operator's sessions once the
+    watermark passes them — sentinel files push the watermark."""
+    import os
+
+    from mcp_memory_libsql_spark.analytics import events as ev_ops
+
+    events, src = _events_as_json_files(spark, sf_dir, tmp_path)
+    # two sentinel files far in the future: the first advances the
+    # watermark past every real session, the second triggers a batch
+    # in which those sessions are emitted
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    for j, days in enumerate((10, 20)):
+        ts = (max_ts + __import__("datetime").timedelta(days=days)).isoformat()
+        p = src / f"sentinel{j}.json"
+        with open(p, "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": -1 - j,
+                        "ts": ts,
+                        "user_id": -1,
+                        "event_type": "x",
+                        "value": 0.0,
+                        "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+    # file order = modification time; space them out explicitly
+    for i, name in enumerate(sorted(os.listdir(src))):
+        os.utime(src / name, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    agg = pipeline.session_window_stream(stream, gap_minutes=30)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sw_stream")
+        .outputMode("append")
+        .start()
+    )
+    _wait(q)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        tuple(r)
+        for r in spark.table("sw_stream").where("user_id >= 0").collect()
+    }
+    want = {
+        tuple(r)
+        for r in ev_ops.sessionize_native(
+            {"events": events}, gap_minutes=30
+        ).collect()
+    }
+    assert got == want
