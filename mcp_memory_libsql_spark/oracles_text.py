@@ -1164,3 +1164,24 @@ FROM pairs GROUP BY pair
 ORDER BY pair_count DESC, pair
 LIMIT 50
 """
+
+ORACLES["text_readability"] = """
+WITH base AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+    list_sum(list_transform(
+      regexp_extract_all(lower(text), '[a-z0-9]+'),
+      w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))
+    )) AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  CAST(n_syllables AS BIGINT) AS n_syllables,
+  ROUND(0.39 * (n_words::DOUBLE / n_sentences::DOUBLE)
+        + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE)
+        - 15.59, 4) AS fk_grade
+FROM base WHERE n_words > 0
+"""

@@ -1633,3 +1633,11 @@ def q_text_bpe_pairs(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return tkz.bpe_merge_candidates(t["documents"], k=50)
+
+
+@query("text_readability")
+def q_text_readability(spark, sf_dir):
+    # Flesch-Kincaid grade (education-level curation axis) — full
+    # oracle, integer counts + fixed IEEE formula
+    t = load_tables(spark, sf_dir)
+    return tq.readability(t["documents"])

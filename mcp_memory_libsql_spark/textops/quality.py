@@ -498,3 +498,51 @@ def shingle_diversity(documents: DataFrame, n: int = 3) -> DataFrame:
             F.col("n_distinct_shingles") / F.col("n_shingle_occurrences"), 6
         ).alias("diversity"),
     )
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """Flesch-Kincaid grade level → (doc_id, n_words, n_sentences,
+    n_syllables, fk_grade): the education-level curation signal
+    (FineWeb-Edu selects by a learned version of exactly this axis;
+    the formula is its century-old closed-form twin).
+
+    Syllables ≈ vowel-group runs per word (min 1), sentences ≈
+    [.!?]+ runs (min 1) — both integer counts summed order-
+    independently, so the only floats are the final fixed-shape
+    formula 0.39·(W/S) + 11.8·(Syl/W) − 15.59, written identically
+    in the oracle (same literals, same operation tree → same IEEE
+    doubles). Pure column expressions: zero shuffle.
+    """
+    ws = words(F.col("text"))
+    syl = F.aggregate(
+        F.transform(
+            ws,
+            lambda w: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0))
+    )
+    base = documents.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        sent.alias("n_sentences"),
+        syl.alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    return base.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.col("n_syllables").cast("bigint").alias("n_syllables"),
+        F.round(
+            F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w) - F.lit(15.59), 4
+        ).alias("fk_grade"),
+    )
