@@ -835,3 +835,54 @@ def graph_as_of(
     return live_ent.join(
         live_obs, live_ent["name"] == live_obs["entity_name"], "left"
     ).select("name", "entity_type", "content")
+
+
+def metapath_census(entities: DataFrame, relations: DataFrame) -> DataFrame:
+    """Typed 2-hop metapath census → (type_a, rel_ab, type_b, rel_bc,
+    type_c, n_paths): how many directed paths follow each type
+    pattern (customer −LOCATED_IN→ nation −PART_OF→ region, …) — the
+    composition layer over :func:`schema_profile`'s single-triple
+    view, and the schema signal metapath-based embeddings
+    (metapath2vec-style) start from.
+
+    NEVER materializes paths: per middle node, count incoming edges
+    by (type_a, rel_ab) and outgoing by (rel_bc, type_c); n_paths =
+    Σ_b in_count·out_count. The join carries one row per (node,
+    pattern) — path count can be quadratic in degree, the rollup
+    never is. Exact BIGINT arithmetic throughout.
+    """
+    types = entities.select("name", "entity_type")
+    ta = types.select(
+        F.col("name").alias("source"), F.col("entity_type").alias("type_a")
+    )
+    tb = types.select(
+        F.col("name").alias("mid"), F.col("entity_type").alias("type_b")
+    )
+    tc = types.select(
+        F.col("name").alias("target"), F.col("entity_type").alias("type_c")
+    )
+    inc = (
+        relations.join(broadcast(ta), "source")
+        .groupBy(
+            F.col("target").alias("mid"),
+            "type_a",
+            F.col("relation_type").alias("rel_ab"),
+        )
+        .agg(F.count("*").alias("n_in"))
+    )
+    out = (
+        relations.select(
+            F.col("source").alias("mid"),
+            F.col("relation_type").alias("rel_bc"),
+            "target",
+        )
+        .join(broadcast(tc), "target")
+        .groupBy("mid", "rel_bc", "type_c")
+        .agg(F.count("*").alias("n_out"))
+    )
+    return (
+        inc.join(out, "mid")
+        .join(broadcast(tb), "mid")
+        .groupBy("type_a", "rel_ab", "type_b", "rel_bc", "type_c")
+        .agg(F.sum(F.col("n_in") * F.col("n_out")).cast("bigint").alias("n_paths"))
+    )

@@ -867,3 +867,29 @@ FROM entities e LEFT JOIN live_obs o ON e.name = o.entity_name
 WHERE e.created_at <= 10500
 """
 )
+
+ORACLES["kg_metapaths"] = (
+    KG_CTE
+    + """,
+ty AS (SELECT name, entity_type FROM entities),
+inc AS (
+  SELECT r.target AS mid, ta.entity_type AS type_a,
+         r.relation_type AS rel_ab, COUNT(*) AS n_in
+  FROM relations r JOIN ty ta ON r.source = ta.name
+  GROUP BY 1, 2, 3
+),
+outc AS (
+  SELECT r.source AS mid, r.relation_type AS rel_bc,
+         tc.entity_type AS type_c, COUNT(*) AS n_out
+  FROM relations r JOIN ty tc ON r.target = tc.name
+  GROUP BY 1, 2, 3
+)
+SELECT inc.type_a, inc.rel_ab, tb.entity_type AS type_b,
+       outc.rel_bc, outc.type_c,
+       CAST(SUM(n_in * n_out) AS BIGINT) AS n_paths
+FROM inc
+JOIN outc ON inc.mid = outc.mid
+JOIN ty tb ON inc.mid = tb.name
+GROUP BY 1, 2, 3, 4, 5
+"""
+)

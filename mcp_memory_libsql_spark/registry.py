@@ -1641,3 +1641,11 @@ def q_text_readability(spark, sf_dir):
     # oracle, integer counts + fixed IEEE formula
     t = load_tables(spark, sf_dir)
     return tq.readability(t["documents"])
+
+
+@query("kg_metapaths")
+def q_kg_metapaths(spark, sf_dir):
+    # typed 2-hop metapath census via in×out count products — full
+    # oracle, never materializes paths
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.metapath_census(g["entities"], g["relations"])
