@@ -968,3 +968,58 @@ def monthly_trend(t) -> DataFrame:
             "mom_delta"
         ),
     )
+
+
+def cohort_ltv(t) -> DataFrame:
+    """Customer-cohort lifetime value → (cohort_year, age_years,
+    n_customers, revenue, cum_revenue_per_customer): revenue of each
+    first-order-year cohort by order age, cumulated per customer —
+    the money-side cohort matrix (events_cohorts is the activity-side
+    twin). Answers "do newer cohorts monetize faster".
+
+    DECIMAL-exact money; the cumulative divide is one double division
+    of exact decimals per (cohort, age) cell. Two shuffles on
+    o_custkey (first-order rollup, then the fact join reuses it) +
+    a window over the tiny cohort×age rollup."""
+    from pyspark.sql.window import Window
+
+    orders = t["orders"].select(
+        "o_custkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.min("o_year").alias("cohort_year")
+    )
+    sizes = first.groupBy("cohort_year").agg(
+        F.count("*").alias("n_customers")
+    )
+    cells = (
+        orders.join(first, "o_custkey")
+        .groupBy("cohort_year", (F.col("o_year") - F.col("cohort_year")).alias("age_years"))
+        .agg(F.sum("price").alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_year")
+        .orderBy("age_years")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_year")
+        .select(
+            "cohort_year",
+            F.col("age_years").cast("int").alias("age_years"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.col("revenue").cast("decimal(28,2)").alias("revenue"),
+            # exact decimal running sum → ONE double division (cast
+            # both operands first: decimal/bigint division promotes
+            # differently across engines)
+            F.round(
+                F.sum(F.col("revenue").cast("decimal(28,2)"))
+                .over(w)
+                .cast("double")
+                / F.col("n_customers").cast("double"),
+                2,
+            ).alias("cum_revenue_per_customer"),
+        )
+    )

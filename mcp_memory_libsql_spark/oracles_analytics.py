@@ -1414,3 +1414,28 @@ SELECT x.event_type,
   CAST(exact_value_sum AS DECIMAL(28,2)) AS exact_value_sum
 FROM x LEFT JOIN s ON x.event_type = s.event_type
 """
+
+ORACLES["orders_cohort_ltv"] = """
+WITH o AS (
+  SELECT o_custkey, year(o_orderdate) AS o_year,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+first AS (SELECT o_custkey, MIN(o_year) AS cohort_year FROM o GROUP BY 1),
+sizes AS (SELECT cohort_year, COUNT(*) AS n_customers FROM first GROUP BY 1),
+cells AS (
+  SELECT f.cohort_year, o.o_year - f.cohort_year AS age_years,
+         SUM(price) AS revenue
+  FROM o JOIN first f USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_year,
+  CAST(c.age_years AS INTEGER) AS age_years,
+  CAST(s.n_customers AS BIGINT) AS n_customers,
+  CAST(c.revenue AS DECIMAL(28,2)) AS revenue,
+  ROUND(CAST(SUM(CAST(c.revenue AS DECIMAL(28,2))) OVER (
+          PARTITION BY c.cohort_year ORDER BY c.age_years
+          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        / CAST(s.n_customers AS DOUBLE), 2) AS cum_revenue_per_customer
+FROM cells c JOIN sizes s USING (cohort_year)
+"""

@@ -1649,3 +1649,9 @@ def q_kg_metapaths(spark, sf_dir):
     # oracle, never materializes paths
     g, _ = _kg(spark, sf_dir)
     return kg_traverse.metapath_census(g["entities"], g["relations"])
+
+
+@query("orders_cohort_ltv")
+def q_orders_cohort_ltv(spark, sf_dir):
+    # money-side cohort matrix, decimal-exact — full oracle
+    return tpch.cohort_ltv(load_tables(spark, sf_dir))
