@@ -114,15 +114,19 @@ def pagerank(relations: DataFrame, iterations: int = 5, damping: float = 0.85) -
     )
     out_deg = edges.groupBy(F.col("source").alias("name")).agg(
         F.count("*").alias("out_degree")
-    ).persist()
+    )
+    # out_degree rides ON the edge rows (joined once, persisted) so
+    # each iteration is ONE join + one aggregation, not two joins
+    edges_w = edges.join(
+        out_deg, edges["source"] == out_deg["name"]
+    ).select("source", "target", "out_degree").persist()
     n_nodes = nodes.count()  # scalar graph size — drives the teleport term
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0).cast("double"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
         contribs = (
-            edges.join(ranks, edges["source"] == ranks["name"])
-            .join(out_deg, "name")
+            edges_w.join(ranks, edges_w["source"] == ranks["name"])
             .select(
                 F.col("target").alias("name"),
                 (F.col("rank") / F.col("out_degree")).alias("contrib"),
@@ -574,7 +578,10 @@ def personalized_pagerank(
         return nodes.withColumn("rank", F.lit(0.0).cast("double"))
     out_deg = edges.groupBy(F.col("source").alias("name")).agg(
         F.count("*").alias("out_degree")
-    ).persist()
+    )
+    edges_w = edges.join(
+        out_deg, edges["source"] == out_deg["name"]
+    ).select("source", "target", "out_degree").persist()
     base = nodes.join(
         broadcast(seed_nodes.withColumn("_s", F.lit(1))), "name", "left"
     ).select("name", F.coalesce("_s", F.lit(0)).alias("is_seed"))
@@ -591,8 +598,7 @@ def personalized_pagerank(
     )
     for _ in range(iterations):
         contribs = (
-            edges.join(ranks, edges["source"] == ranks["name"])
-            .join(out_deg, "name")
+            edges_w.join(ranks, edges_w["source"] == ranks["name"])
             .select(
                 F.col("target").alias("name"),
                 (F.col("rank") / F.col("out_degree")).alias("contrib"),
@@ -634,17 +640,24 @@ def label_propagation(relations: DataFrame, iterations: int = 4) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("name"))
     )
-    w = Window.partitionBy("name").orderBy(F.col("c").desc(), F.col("label"))
     for _ in range(iterations):
         counts = (
             edges.join(labels, edges["a"] == labels["name"])
             .groupBy(F.col("b").alias("name"), "label")
             .agg(F.count("*").alias("c"))
         )
+        # argmax by (count DESC, label ASC) as ONE aggregation:
+        # min(struct(-c, label)) — struct ordering is field-
+        # lexicographic, so this is exactly the window's top-1 with
+        # half the shuffles per round
         labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("name", "label")
+            counts.groupBy("name")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("s")
+            )
+            .select("name", F.col("s.label").alias("label"))
             .localCheckpoint(eager=False)
         )
     sizes = labels.groupBy(F.col("label").alias("community")).agg(

@@ -1655,3 +1655,13 @@ def q_kg_metapaths(spark, sf_dir):
 def q_orders_cohort_ltv(spark, sf_dir):
     # money-side cohort matrix, decimal-exact — full oracle
     return tpch.cohort_ltv(load_tables(spark, sf_dir))
+
+
+@query("vec_ivfpq_ann")
+def q_vec_ivfpq_ann(spark, sf_dir):
+    # composed IVF+PQ+rescore (FAISS IVFADC shape) — rows-only gate;
+    # recall and rescore exactness pytest-bounded
+    from .vector import pq
+
+    t = load_tables(spark, sf_dir)
+    return pq.ann_ivfpq(t["embeddings"], query_vec_id=0, k=10, dim=64)

@@ -148,3 +148,89 @@ def ann_pq(
         .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
     )
     return scored.orderBy("adc_dist", "vec_id").limit(k)
+
+
+def ann_ivfpq(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    dim: int = 64,
+    m: int = M_SUB,
+    n_probe: int = 3,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Composed IVF+PQ serve path — the canonical billion-scale index
+    (FAISS IVFADC, Jégou et al. 2011) in DataFrame algebra →
+    (vec_id, label, cosine_sim):
+
+    1. IVF cells prune the SCAN (probe the n_probe nearest cells —
+       touches ~n_probe/K of the corpus);
+    2. PQ codes make the probed cells cheap to SCORE (M-term LUT sum
+       over 8-byte codes instead of 256-byte vectors);
+    3. exact cosine RESCORES only the PQ shortlist.
+
+    At 100 TB: step 1 is partition pruning (cells are the partition
+    key), step 2 reads the codes column only (32× less bandwidth),
+    step 3 fetches `shortlist` full vectors — per query the full-
+    vector traffic is O(shortlist), independent of corpus size.
+
+    Rows-only gate (learned structures are engine-specific); recall
+    vs exact kNN is pytest-bounded like the IVF and PQ paths.
+    """
+    from .ivf import assign_cells, kmeans_refine, label_centroids
+
+    cents = kmeans_refine(
+        embeddings, label_centroids(embeddings, dim), dim, 1
+    )
+    assigned = assign_cells(embeddings, cents)
+    q_full = broadcast(
+        embeddings.where(F.col("vec_id") == query_vec_id).select(
+            F.col("embedding").alias("q_embedding")
+        )
+    )
+    probe_cells = broadcast(
+        cents.crossJoin(q_full)
+        .select(
+            "cell",
+            _sq_dist(
+                F.transform(F.col("q_embedding"), lambda x: x.cast("double")),
+                F.col("centroid"),
+            ).alias("d"),
+        )
+        .orderBy("d", "cell")
+        .limit(n_probe)
+        .select("cell")
+    )
+    probed = assigned.join(probe_cells, "cell", "leftsemi").where(
+        F.col("vec_id") != query_vec_id
+    )
+    books = train_codebooks(embeddings, dim, m)
+    codes = encode(probed, books, dim, m)
+    q_sub = subvectors(
+        embeddings.where(F.col("vec_id") == query_vec_id), dim, m
+    ).select("sub", F.col("subvec").alias("q_sub"))
+    lut = books.join(broadcast(q_sub), "sub").select(
+        "sub", "code", _sq_dist(F.col("q_sub"), F.col("centroid")).alias("d")
+    )
+    short = (
+        codes.select("vec_id", F.posexplode("codes").alias("sub", "code"))
+        .join(broadcast(lut), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(shortlist)
+    )
+    from .similarity import cosine
+
+    rescored = (
+        embeddings.join(broadcast(short.select("vec_id")), "vec_id")
+        .crossJoin(q_full)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    return rescored.orderBy(F.col("cosine_sim").desc(), "vec_id").limit(k)

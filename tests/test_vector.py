@@ -241,3 +241,33 @@ def test_rp_distortion_concentrates_near_one(spark, sf_dir):
     near = sum(r.n_pairs for r in rows if 5 <= r.ratio_bucket <= 15)
     assert tot > 0
     assert near / tot >= 0.75
+
+
+def test_ivfpq_recall_vs_brute_cosine(emb, emb_np):
+    """Composed IVF+PQ (prune → LUT-score → exact rescore) top-10
+    must substantially overlap the exact cosine top-20."""
+    import numpy as np
+
+    from mcp_memory_libsql_spark.vector import pq
+
+    ids, mat = emb_np
+    q = mat[ids == 0][0]
+    sims = (mat @ q) / (
+        np.linalg.norm(mat, axis=1) * np.linalg.norm(q) + 1e-12
+    )
+    exact20 = {
+        i
+        for _, i in sorted(
+            [(-s, i) for s, i in zip(sims, ids) if i != 0],
+            key=lambda t: (t[0], t[1]),
+        )[:20]
+    }
+    rows = pq.ann_ivfpq(emb, 0, k=10, dim=64).collect()
+    got = {r.vec_id for r in rows}
+    assert len(got) == 10
+    assert len(got & exact20) >= 4
+    # rescore column is the EXACT cosine for returned rows
+    by_id = {r.vec_id: r.cosine_sim for r in rows}
+    for i, s in zip(ids, sims):
+        if i in by_id:
+            assert abs(by_id[i] - s) < 1e-4
