@@ -1023,3 +1023,61 @@ def cohort_ltv(t) -> DataFrame:
             ).alias("cum_revenue_per_customer"),
         )
     )
+
+
+def supplier_scorecard(t, late_days: int = 60, min_lines: int = 5) -> DataFrame:
+    """Supplier reliability scorecard → (s_name, n_lines, n_late,
+    late_rate, n_returned, return_rate, avg_delay_days): late- and
+    return-rates per supplier (late = shipped more than ``late_days``
+    after the order date; the marketplace seller-quality staple, and
+    the per-supplier drill-down of q12's delay buckets / q21's
+    late-supplier filter).
+
+    Rates are one double division of exact BIGINT counts; the delay
+    average is integer epoch-day arithmetic (the orders_ship_latency
+    portability rule). One orderkey shuffle joins the two fact
+    tables; the supplier dim broadcasts onto the rollup."""
+    li = t["lineitem"].select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_returnflag",
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+    )
+    orders = t["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate").cast("date").alias("order_d"),
+    )
+    delay = F.datediff("ship_d", "order_d")
+    rolled = (
+        li.join(orders, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(delay > late_days, 1).otherwise(0)).alias("n_late"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("n_returned"),
+            F.sum(delay.cast("bigint")).alias("delay_sum"),
+        )
+        .where(F.col("n_lines") >= min_lines)
+    )
+    sup = t["supplier"].select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return rolled.join(F.broadcast(sup), "l_suppkey").select(
+        "s_name",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_late").cast("bigint").alias("n_late"),
+        F.round(
+            F.col("n_late").cast("double") / F.col("n_lines").cast("double"), 6
+        ).alias("late_rate"),
+        F.col("n_returned").cast("bigint").alias("n_returned"),
+        F.round(
+            F.col("n_returned").cast("double") / F.col("n_lines").cast("double"),
+            6,
+        ).alias("return_rate"),
+        F.round(
+            F.col("delay_sum").cast("double") / F.col("n_lines").cast("double"),
+            4,
+        ).alias("avg_delay_days"),
+    )

@@ -1439,3 +1439,29 @@ SELECT c.cohort_year,
         / CAST(s.n_customers AS DOUBLE), 2) AS cum_revenue_per_customer
 FROM cells c JOIN sizes s USING (cohort_year)
 """
+
+ORACLES["supplier_scorecard"] = """
+WITH j AS (
+  SELECT l_suppkey, l_returnflag,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS delay
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+r AS (
+  SELECT l_suppkey, COUNT(*) AS n_lines,
+         SUM(CASE WHEN delay > 60 THEN 1 ELSE 0 END) AS n_late,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+         SUM(delay) AS delay_sum
+  FROM j GROUP BY 1 HAVING COUNT(*) >= 5
+)
+SELECT s_name,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_late AS BIGINT) AS n_late,
+  ROUND(CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS late_rate,
+  CAST(n_returned AS BIGINT) AS n_returned,
+  ROUND(CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+    AS return_rate,
+  ROUND(CAST(delay_sum AS DOUBLE) / CAST(n_lines AS DOUBLE), 4)
+    AS avg_delay_days
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+"""

@@ -1665,3 +1665,9 @@ def q_vec_ivfpq_ann(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return pq.ann_ivfpq(t["embeddings"], query_vec_id=0, k=10, dim=64)
+
+
+@query("supplier_scorecard")
+def q_supplier_scorecard(spark, sf_dir):
+    # per-supplier late/return scorecard — full oracle
+    return tpch.supplier_scorecard(load_tables(spark, sf_dir))
