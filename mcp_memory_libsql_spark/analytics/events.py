@@ -990,3 +990,68 @@ def sample_estimates(t, pct: int = 10) -> DataFrame:
             ),
         )
     )
+
+
+def conversion_windows(t, windows_days=(1, 3, 7)) -> DataFrame:
+    """Attribution-window sensitivity sweep → (window_days,
+    n_signups, n_converted, conversion_rate): signup→purchase
+    conversion under several candidate windows, ALL from one pass —
+    the sweep that justifies the 7-day choice hard-coded in
+    events_funnel (a conversion count that keeps climbing with the
+    window means attribution is leaking organic purchases).
+
+    Per-user first-signup and first-purchase-after-signup come from
+    one user_id rollup (two conditional MINs joined on the same
+    shuffle key); each window is then a COUNT over the same tiny
+    per-user frame — adding a candidate window adds one column, not
+    one scan."""
+    ev = t["events"].select("user_id", "event_type", "ts")
+    su = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    pu = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.sort_array(F.collect_list("ts")).alias("purchases")
+    )
+    j = su.join(pu, "user_id", "left").select(
+        "user_id",
+        "signup_ts",
+        # first purchase at-or-after signup (array is sorted; filter
+        # + element_at keeps it one pass, no re-shuffle)
+        F.element_at(
+            F.filter(
+                F.coalesce("purchases", F.array().cast("array<timestamp>")),
+                lambda x: x >= F.col("signup_ts"),
+            ),
+            1,
+        ).alias("first_purchase"),
+    )
+    delta = F.unix_timestamp("first_purchase") - F.unix_timestamp("signup_ts")
+    aggs = []
+    for w in windows_days:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("first_purchase").isNotNull()
+                    & (delta <= w * 86400),
+                    1,
+                ).otherwise(0)
+            ).alias(f"conv_{w}")
+        )
+    one = j.agg(F.count("*").alias("n_signups"), *aggs)
+    parts = [
+        one.select(
+            F.lit(w).cast("int").alias("window_days"),
+            F.col("n_signups").cast("bigint").alias("n_signups"),
+            F.col(f"conv_{w}").cast("bigint").alias("n_converted"),
+            F.round(
+                F.col(f"conv_{w}").cast("double")
+                / F.col("n_signups").cast("double"),
+                6,
+            ).alias("conversion_rate"),
+        )
+        for w in windows_days
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

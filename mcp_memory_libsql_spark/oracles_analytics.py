@@ -1465,3 +1465,37 @@ SELECT s_name,
     AS avg_delay_days
 FROM r JOIN supplier ON l_suppkey = s_suppkey
 """
+
+ORACLES["events_conversion_windows"] = """
+WITH su AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+fp AS (
+  SELECT s.user_id, s.signup_ts, MIN(e.ts) AS first_purchase
+  FROM su s LEFT JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND e.ts >= s.signup_ts
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT COUNT(*) AS n_signups,
+    SUM(CASE WHEN first_purchase IS NOT NULL AND
+      epoch(first_purchase) - epoch(signup_ts) <= 1 * 86400
+      THEN 1 ELSE 0 END) AS c1,
+    SUM(CASE WHEN first_purchase IS NOT NULL AND
+      epoch(first_purchase) - epoch(signup_ts) <= 3 * 86400
+      THEN 1 ELSE 0 END) AS c3,
+    SUM(CASE WHEN first_purchase IS NOT NULL AND
+      epoch(first_purchase) - epoch(signup_ts) <= 7 * 86400
+      THEN 1 ELSE 0 END) AS c7
+  FROM fp
+)
+SELECT CAST(w AS INTEGER) AS window_days,
+  CAST(n_signups AS BIGINT) AS n_signups,
+  CAST(CASE w WHEN 1 THEN c1 WHEN 3 THEN c3 ELSE c7 END AS BIGINT)
+    AS n_converted,
+  ROUND(CAST(CASE w WHEN 1 THEN c1 WHEN 3 THEN c3 ELSE c7 END AS DOUBLE)
+        / CAST(n_signups AS DOUBLE), 6) AS conversion_rate
+FROM base, unnest([1, 3, 7]) AS t(w)
+"""

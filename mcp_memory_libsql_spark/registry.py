@@ -1671,3 +1671,9 @@ def q_vec_ivfpq_ann(spark, sf_dir):
 def q_supplier_scorecard(spark, sf_dir):
     # per-supplier late/return scorecard — full oracle
     return tpch.supplier_scorecard(load_tables(spark, sf_dir))
+
+
+@query("events_conversion_windows")
+def q_events_conversion_windows(spark, sf_dir):
+    # attribution-window sensitivity sweep, one scan — full oracle
+    return ev_ops.conversion_windows(load_tables(spark, sf_dir))
