@@ -78,6 +78,14 @@ EXTENDED = [
     "vec_centroid_drift",
     "text_dsir_scores",
     "vec_rp_distortion",
+    "supplier_scorecard",
+    "orders_cohort_ltv",
+    "events_conversion_windows",
+    "kg_as_of",
+    "text_readability",
+    "text_bpe_pairs",
+    "kg_metapaths",
+    "vec_ivfpq_ann",
 ]
 
 
