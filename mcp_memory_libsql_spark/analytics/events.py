@@ -1055,3 +1055,42 @@ def conversion_windows(t, windows_days=(1, 3, 7)) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def type_audience_overlap(t) -> DataFrame:
+    """Audience-overlap matrix → (type_a, type_b, n_a, n_b, n_both,
+    jaccard): which event types share users — the audience-overlap
+    readout behind "do purchasers also click" segmentation, computed
+    as a self-join of the distinct (type, user) set on user_id.
+
+    The distinct set and the pair join share one user_id shuffle;
+    type count is tiny (T² pairs ≤ 25 rows out). Jaccard is one
+    double division of exact BIGINT counts."""
+    tu = t["events"].select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        both.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1499,3 +1499,24 @@ SELECT CAST(w AS INTEGER) AS window_days,
         / CAST(n_signups AS DOUBLE), 6) AS conversion_rate
 FROM base, unnest([1, 3, 7]) AS t(w)
 """
+
+ORACLES["events_type_overlap"] = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+ovl AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+  CAST(sa.n AS BIGINT) AS n_a,
+  CAST(sb.n AS BIGINT) AS n_b,
+  CAST(n_both AS BIGINT) AS n_both,
+  ROUND(CAST(n_both AS DOUBLE)
+        / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard
+FROM ovl
+JOIN sizes sa ON type_a = sa.event_type
+JOIN sizes sb ON type_b = sb.event_type
+"""

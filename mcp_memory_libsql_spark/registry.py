@@ -1677,3 +1677,9 @@ def q_supplier_scorecard(spark, sf_dir):
 def q_events_conversion_windows(spark, sf_dir):
     # attribution-window sensitivity sweep, one scan — full oracle
     return ev_ops.conversion_windows(load_tables(spark, sf_dir))
+
+
+@query("events_type_overlap")
+def q_events_type_overlap(spark, sf_dir):
+    # audience-overlap Jaccard matrix between event types
+    return ev_ops.type_audience_overlap(load_tables(spark, sf_dir))
