@@ -102,3 +102,37 @@ def test_empty_relations_graph_ops(spark):
     assert traverse.degree(rel).count() == 0
     assert traverse.k_core(rel, k=2).count() == 0
     assert traverse.pagerank(rel, iterations=2).count() == 0
+
+
+def test_empty_graph_new_ops(spark):
+    from pyspark.sql import functions as F
+
+    from mcp_memory_libsql_spark.kg import traverse
+
+    rel = spark.createDataFrame(
+        [], "source string, target string, relation_type string"
+    )
+    ents = spark.createDataFrame(
+        [], "name string, entity_type string, created_at bigint"
+    )
+    seeds = spark.createDataFrame([("X",)], "name string")
+    assert traverse.personalized_pagerank(rel, seeds, iterations=2).count() == 0
+    assert traverse.label_propagation(rel, iterations=2).count() == 0
+    assert traverse.community_modularity(rel, iterations=2).count() == 0
+    assert traverse.metapath_census(ents, rel).count() == 0
+
+
+def test_ppr_no_seeds_all_zero(spark):
+    from mcp_memory_libsql_spark.kg import traverse
+
+    rel = spark.createDataFrame(
+        [("A", "B", "r"), ("B", "C", "r")],
+        "source string, target string, relation_type string",
+    )
+    empty_seeds = spark.createDataFrame([], "name string")
+    rows = traverse.personalized_pagerank(rel, empty_seeds).collect()
+    assert {r.rank for r in rows} == {0.0}
+    # seeds outside the graph behave like no seeds
+    outside = spark.createDataFrame([("ZZZ",)], "name string")
+    rows2 = traverse.personalized_pagerank(rel, outside).collect()
+    assert {r.rank for r in rows2} == {0.0}
