@@ -35,3 +35,25 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert df.columns
+
+
+ROWS_ONLY = {
+    # approximate / learned / iterative-serve ops, each with pytest
+    # recall or invariant coverage instead of a SQL oracle
+    "ann_recall_eval",
+    "events_approx_percentiles",
+    "events_approx_users",
+    "text_quality_classifier",
+    "text_semantic_search",
+    "vec_ivf_ann",
+    "vec_ivfpq_ann",
+    "vec_pca",
+    "vec_pq_ann",
+}
+
+
+def test_rows_only_set_is_exactly_the_documented_one():
+    """Every registered query MUST have an oracle unless it is on the
+    documented rows-only list — a new operator that forgets its
+    oracle fails here instead of silently weakening the gate."""
+    assert set(QUERIES) - set(ORACLES) == ROWS_ONLY
