@@ -703,7 +703,8 @@ def community_modularity(
     lb = comms.select(
         F.col("name").alias("b"), F.col("community").alias("cb")
     )
-    edges = und.join(broadcast(la), "a").join(broadcast(lb), "b")
+    # label map is O(V): no broadcast hint — AQE decides
+    edges = und.join(la, "a").join(lb, "b")
     m_total = edges.agg(F.count("*").alias("m"))  # 1 row, stays in-plan
     internal = (
         edges.where(F.col("ca") == F.col("cb"))
@@ -862,7 +863,9 @@ def metapath_census(entities: DataFrame, relations: DataFrame) -> DataFrame:
     by (type_a, rel_ab) and outgoing by (rel_bc, type_c); n_paths =
     Σ_b in_count·out_count. The join carries one row per (node,
     pattern) — path count can be quadratic in degree, the rollup
-    never is. Exact BIGINT arithmetic throughout.
+    never is. Exact BIGINT arithmetic throughout. The type map is
+    O(V) so it joins WITHOUT a broadcast hint — AQE broadcasts it
+    when it measures small, shuffles on the node key when it isn't.
     """
     types = entities.select("name", "entity_type")
     ta = types.select(
@@ -875,7 +878,7 @@ def metapath_census(entities: DataFrame, relations: DataFrame) -> DataFrame:
         F.col("name").alias("target"), F.col("entity_type").alias("type_c")
     )
     inc = (
-        relations.join(broadcast(ta), "source")
+        relations.join(ta, "source")
         .groupBy(
             F.col("target").alias("mid"),
             "type_a",
@@ -889,13 +892,13 @@ def metapath_census(entities: DataFrame, relations: DataFrame) -> DataFrame:
             F.col("relation_type").alias("rel_bc"),
             "target",
         )
-        .join(broadcast(tc), "target")
+        .join(tc, "target")
         .groupBy("mid", "rel_bc", "type_c")
         .agg(F.count("*").alias("n_out"))
     )
     return (
         inc.join(out, "mid")
-        .join(broadcast(tb), "mid")
+        .join(tb, "mid")
         .groupBy("type_a", "rel_ab", "type_b", "rel_bc", "type_c")
         .agg(F.sum(F.col("n_in") * F.col("n_out")).cast("bigint").alias("n_paths"))
     )
