@@ -1185,3 +1185,22 @@ SELECT doc_id,
         - 15.59, 4) AS fk_grade
 FROM base WHERE n_words > 0
 """
+
+# ANALYZE-style profile of the documents table (bigint/varchar
+# columns only in the gate: double/timestamp → string rendering is
+# engine-specific, so those columns stay in the pytest surface).
+_STATS_COL = """
+SELECT 'documents' AS table_name, '{c}' AS column_name,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  ROUND(CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS null_frac,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(MIN({c}) AS VARCHAR) AS min_value,
+  CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM documents"""
+
+ORACLES["table_stats"] = "\nUNION ALL\n".join(
+    _STATS_COL.format(c=c)
+    for c in ("doc_id", "text", "lang", "source", "n_chars")
+)

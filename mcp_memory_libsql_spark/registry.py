@@ -1683,3 +1683,13 @@ def q_events_conversion_windows(spark, sf_dir):
 def q_events_type_overlap(spark, sf_dir):
     # audience-overlap Jaccard matrix between event types
     return ev_ops.type_audience_overlap(load_tables(spark, sf_dir))
+
+
+@query("table_stats")
+def q_table_stats(spark, sf_dir):
+    # ANALYZE-style column profile (one aggregation pass) — full
+    # oracle over the string/bigint table
+    from .io import stats
+
+    t = load_tables(spark, sf_dir)
+    return stats.column_stats(t["documents"], "documents")

@@ -114,3 +114,30 @@ def test_binary_file_source_feeds_multimodal(spark, tmp_path):
     assert len(feats) == 2
     by_bytes = {r.n_bytes for r in feats}
     assert by_bytes == {90, 180}
+
+
+def test_sql_views_surface(spark, sf_dir):
+    """Raw spark.sql over registered views matches the DataFrame API
+    (same plans, same data) — the notebook/BI entry point."""
+    from mcp_memory_libsql_spark.sql import register_views
+
+    names = register_views(spark, sf_dir)
+    assert set(names) >= {"lineitem", "kg_entities", "kg_relations"}
+    got = {
+        (r.entity_type, r.n)
+        for r in spark.sql(
+            "SELECT entity_type, COUNT(*) AS n FROM kg_entities GROUP BY 1"
+        ).collect()
+    }
+    from mcp_memory_libsql_spark.registry import QUERIES
+
+    want = {
+        (r.entity_type, r.n_entities)
+        for r in QUERIES["kg_entity_type_counts"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # pushdown reaches the parquet scan through the view too
+    plan = spark.sql(
+        "SELECT l_orderkey FROM lineitem WHERE l_shipdate > '1997-01-01'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
