@@ -486,3 +486,19 @@ FROM pairs GROUP BY 1
 
 
 ORACLES["vec_rp_distortion"] = _rp_distortion_oracle()
+
+
+def _semantic_keep_oracle() -> str:
+    """dedup_semantic_keep: documents minus the vec_b side of the
+    LSH near-dup pair set (same generated SQL as dedup_embedding_lsh,
+    wrapped as a drop-list anti-join)."""
+    pairs_sql = _neardup_lsh_oracle(0.4)
+    return f"""
+WITH pairs AS MATERIALIZED ({pairs_sql})
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT DISTINCT vec_b FROM pairs)
+"""
+
+
+ORACLES["dedup_semantic_keep"] = _semantic_keep_oracle()

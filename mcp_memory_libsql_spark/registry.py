@@ -1693,3 +1693,18 @@ def q_table_stats(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return stats.column_stats(t["documents"], "documents")
+
+
+@query("dedup_semantic_keep")
+def q_dedup_semantic_keep(spark, sf_dir):
+    # SEMANTIC corpus dedup end-to-end: embedding-LSH near-dup pairs
+    # (the 100 TB path) → drop the higher id of each pair → surviving
+    # documents. The embedding twin of dedup_keep_docs; vec_id is the
+    # doc_id (the bridge key every bridge_* op uses).
+    t = load_tables(spark, sf_dir)
+    drops = lsh.near_dup_pairs_lsh(t["embeddings"], threshold=0.4).select(
+        F.col("vec_b").alias("doc_id")
+    )
+    return t["documents"].join(
+        F.broadcast(drops.distinct()), "doc_id", "left_anti"
+    ).select("doc_id", "lang", "n_chars")
