@@ -1094,3 +1094,33 @@ def type_audience_overlap(t) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def bounce_rate(t, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Daily bounce rate → (day, n_sessions, n_bounces, bounce_rate):
+    share of sessions with exactly one event, per session-start day —
+    the engagement-health staple computed over the SAME sessionizer
+    the gate already verifies (sessionize), so the metric and the
+    session definition cannot drift apart. One extra tiny rollup on
+    the per-session frame."""
+    s = sessionize(t, gap_minutes)
+    day = F.date_format(F.timestamp_seconds(F.col("start_epoch")), "yyyy-MM-dd")
+    return (
+        s.groupBy(day.alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+                "n_bounces"
+            ),
+        )
+        .select(
+            "day",
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            F.col("n_bounces").cast("bigint").alias("n_bounces"),
+            F.round(
+                F.col("n_bounces").cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("bounce_rate"),
+        )
+    )

@@ -385,3 +385,38 @@ def merge_candidates(
         F.col("component").alias("canonical"),
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
     )
+
+
+def suggest_relations(
+    relations: DataFrame,
+    threshold: float = 0.1,
+    k: int = 25,
+    cap: int = NEIGHBOR_CAP,
+) -> DataFrame:
+    """Actionable link prediction → (entity_a, entity_b, jaccard):
+    the top-k MOST-similar entity pairs that are NOT already directly
+    connected — the "you might want to relate these memories"
+    suggestion feed over the reference's relationship-exploration
+    surface (README.md:109). similar_entities finds the candidates;
+    the anti-join against the (undirected) existing edge set leaves
+    only genuinely new suggestions; deterministic top-k.
+
+    Scale: adds exactly one broadcast-able anti-join (distinct edge
+    pairs, canonicalized a<b) over the bounded similar-pair stream.
+    """
+    sims = similar_entities(relations, threshold, cap).select(
+        "entity_a", "entity_b", "jaccard"
+    )
+    existing = (
+        relations.where(F.col("source") != F.col("target"))
+        .select(
+            F.least("source", "target").alias("entity_a"),
+            F.greatest("source", "target").alias("entity_b"),
+        )
+        .distinct()
+    )
+    return (
+        sims.join(existing, ["entity_a", "entity_b"], "left_anti")
+        .orderBy(F.col("jaccard").desc(), "entity_a", "entity_b")
+        .limit(k)
+    )

@@ -1520,3 +1520,33 @@ FROM ovl
 JOIN sizes sa ON type_a = sa.event_type
 JOIN sizes sb ON type_b = sb.event_type
 """
+
+ORACLES["events_bounce_rate"] = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR FLOOR(epoch(ts)) - FLOOR(epoch(lag(ts) OVER w)) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+),
+sess AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, value
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         MIN(FLOOR(epoch(ts))) AS start_epoch
+  FROM sess GROUP BY 1, 2
+)
+SELECT strftime(make_timestamp(CAST(start_epoch * 1000000 AS BIGINT)),
+                '%Y-%m-%d') AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bounces,
+  ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+FROM per_sess GROUP BY 1
+"""

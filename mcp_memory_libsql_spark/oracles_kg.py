@@ -893,3 +893,29 @@ JOIN ty tb ON inc.mid = tb.name
 GROUP BY 1, 2, 3, 4, 5
 """
 )
+
+# Link-prediction suggestions: the similar-pairs SQL minus already-
+# connected pairs, deterministic top-k.
+ORACLES["kg_suggest_relations"] = (
+    ORACLES["kg_similar_entities"].replace(
+        "SELECT entity_a, entity_b, inter_size, sa.sz AS size_a,"
+        " sb.sz AS size_b,",
+        "SELECT entity_a, entity_b,",
+    ).replace(
+        "       ROUND(CAST(inter_size AS DOUBLE)\n"
+        "             / (sa.sz + sb.sz - inter_size), 6) AS jaccard",
+        "       ROUND(CAST(inter_size AS DOUBLE)\n"
+        "             / (sa.sz + sb.sz - inter_size), 6) AS jaccard",
+    )
+    + """
+AND NOT EXISTS (
+  SELECT 1 FROM (
+    SELECT DISTINCT least(source, target) AS a,
+                    greatest(source, target) AS b
+    FROM relations WHERE source <> target
+  ) e WHERE e.a = entity_a AND e.b = entity_b
+)
+ORDER BY jaccard DESC, entity_a, entity_b
+LIMIT 25
+"""
+)

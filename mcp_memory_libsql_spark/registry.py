@@ -1708,3 +1708,18 @@ def q_dedup_semantic_keep(spark, sf_dir):
     return t["documents"].join(
         F.broadcast(drops.distinct()), "doc_id", "left_anti"
     ).select("doc_id", "lang", "n_chars")
+
+
+@query("kg_suggest_relations")
+def q_kg_suggest_relations(spark, sf_dir):
+    # link-prediction suggestion feed (similar but unconnected pairs)
+    from .kg import similarity
+
+    g, _ = _kg(spark, sf_dir)
+    return similarity.suggest_relations(g["relations"], threshold=0.1, k=25)
+
+
+@query("events_bounce_rate")
+def q_events_bounce_rate(spark, sf_dir):
+    # daily bounce rate over the verified sessionizer — full oracle
+    return ev_ops.bounce_rate(load_tables(spark, sf_dir))
