@@ -1124,3 +1124,22 @@ def bounce_rate(t, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
             ).alias("bounce_rate"),
         )
     )
+
+
+def user_activity_histogram(t) -> DataFrame:
+    """Log2-bucketed events-per-user distribution → (bucket,
+    n_users, min_events, max_events): the heavy-tail readout that
+    sizes sessionization skew and per-user state (the user-side twin
+    of kg_degree_histogram). Integer bucket keys — hash-exact."""
+    per_user = t["events"].groupBy("user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    bucket = F.floor(F.log2("n_events")).cast("bigint")
+    return (
+        per_user.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("n_events").cast("bigint").alias("min_events"),
+            F.max("n_events").cast("bigint").alias("max_events"),
+        )
+    )

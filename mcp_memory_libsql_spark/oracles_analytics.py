@@ -1550,3 +1550,12 @@ SELECT strftime(make_timestamp(CAST(start_epoch * 1000000 AS BIGINT)),
         / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
 FROM per_sess GROUP BY 1
 """
+
+ORACLES["events_user_histogram"] = """
+WITH pu AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1)
+SELECT CAST(FLOOR(log2(n_events)) AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(MIN(n_events) AS BIGINT) AS min_events,
+  CAST(MAX(n_events) AS BIGINT) AS max_events
+FROM pu GROUP BY 1
+"""

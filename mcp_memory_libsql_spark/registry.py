@@ -1723,3 +1723,9 @@ def q_kg_suggest_relations(spark, sf_dir):
 def q_events_bounce_rate(spark, sf_dir):
     # daily bounce rate over the verified sessionizer — full oracle
     return ev_ops.bounce_rate(load_tables(spark, sf_dir))
+
+
+@query("events_user_histogram")
+def q_events_user_histogram(spark, sf_dir):
+    # heavy-tail activity distribution (log2 buckets) — full oracle
+    return ev_ops.user_activity_histogram(load_tables(spark, sf_dir))
