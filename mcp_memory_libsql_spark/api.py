@@ -275,3 +275,88 @@ class MemoryClient:
             "entities": self._entities_payload(ents, self._obs_for(g, names)),
             "relations": self._relations_payload(g, names),
         }
+
+    # -------------------------------------------- historical vector API
+
+    def search_similar(self, query_text: str, k: int = 5) -> list[dict]:
+        """The reference's HISTORICAL vector search (≤ v0.0.15 stored
+        F32_BLOB embeddings and served cosine top-k; dropped in
+        v0.0.16, CHANGELOG bb71f9c) — restored Spark-side: each
+        entity's observations concatenate into a pseudo-document,
+        TF-IDF-embedded in one batch (MLlib, feature hashing — no
+        vocab shuffle), the query embeds through the SAME fitted
+        pipeline, and entities rank by cosine →
+        [{name, entityType, observations, score}].
+
+        The embed step is a per-call fit here because the store
+        mutates between calls; a serving deployment fits at ingest
+        and reuses the index exactly like text_semantic_search's
+        fit-once contract."""
+        if not query_text or not query_text.strip():
+            raise ValueError("Text query cannot be empty")
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import broadcast
+        from pyspark.sql.window import Window
+
+        from .vector import embed as vembed
+
+        g = self.store.read()
+        o = g["observations"]
+        pseudo = (
+            o.groupBy("entity_name")
+            .agg(
+                F.concat_ws(
+                    " ", F.sort_array(F.collect_list("content"))
+                ).alias("text")
+            )
+            .select(
+                F.row_number()
+                .over(Window.orderBy("entity_name"))
+                .cast("bigint")
+                .alias("doc_id"),
+                F.col("entity_name"),
+                "text",
+            )
+        )
+        docs = pseudo.select(
+            "doc_id", "text",
+            F.lit("").alias("lang"), F.lit("").alias("source"),
+            F.length("text").alias("n_chars"),
+        )
+        pipeline = vembed.fit_tfidf(docs)
+        vecs = vembed.embed_documents(docs, pipeline).join(
+            pseudo.select("doc_id", "entity_name"), "doc_id"
+        )
+        q = vembed.embed_query(self.spark, pipeline, query_text)
+        from .vector.similarity import cosine as _cos
+
+        scored = (
+            vecs.crossJoin(broadcast(q))
+            .select(
+                "entity_name",
+                F.round(
+                    _cos(F.col("embedding"), F.col("q_embedding")), 6
+                ).alias("score"),
+            )
+            .where(F.col("score").isNotNull())
+            .orderBy(F.col("score").desc(), "entity_name")
+            .limit(k)
+            .collect()
+        )
+        names = [r.entity_name for r in scored]
+        obs = self._obs_for(g, names)
+        ents = {
+            r.name: r
+            for r in g["entities"]
+            .where(g["entities"]["name"].isin(names))
+            .collect()
+        }
+        return [
+            {
+                "name": n,
+                "entityType": ents[n].entity_type,
+                "observations": obs.get(n, []),
+                "score": s.score,
+            }
+            for n, s in zip(names, scored)
+        ]

@@ -179,3 +179,24 @@ def test_recency_ordering_preserved_across_upserts(client):
     )
     names = [e["name"] for e in client.get_recent_entities(2)]
     assert names == ["new", "old"]
+
+
+def test_search_similar_restores_historical_vector_api(client):
+    # the reference's ≤v0.0.15 vector search (CHANGELOG bb71f9c):
+    # topical similarity over observations, not substring match
+    client.create_entities(
+        [
+            {"name": "coffee-notes", "entityType": "topic",
+             "observations": ["espresso roast brewing grinder beans"]},
+            {"name": "space-notes", "entityType": "topic",
+             "observations": ["rocket orbit launch satellite mars"]},
+            {"name": "cooking-notes", "entityType": "topic",
+             "observations": ["recipe oven baking flour sugar"]},
+        ]
+    )
+    out = client.search_similar("brewing the perfect espresso beans", k=2)
+    assert out[0]["name"] == "coffee-notes"
+    assert out[0]["score"] > out[-1]["score"] or len(out) == 1
+    assert out[0]["observations"]
+    with pytest.raises(ValueError):
+        client.search_similar("   ")
