@@ -902,3 +902,43 @@ def metapath_census(entities: DataFrame, relations: DataFrame) -> DataFrame:
         .groupBy("type_a", "rel_ab", "type_b", "rel_bc", "type_c")
         .agg(F.sum(F.col("n_in") * F.col("n_out")).cast("bigint").alias("n_paths"))
     )
+
+
+def observation_staleness(
+    entities: DataFrame, observations: DataFrame
+) -> DataFrame:
+    """Memory-staleness profile → (staleness_bucket, n_entities,
+    min_staleness, max_staleness): per entity, age of its NEWEST
+    observation relative to the store's latest write (surrogate
+    clock), log2-bucketed; entities with no observations bucket at
+    -1. "How stale is what the assistant remembers" — the hygiene
+    readout that schedules re-ingestion.
+
+    One obs rollup + a 1-row max joined in-plan (cross join, no
+    driver scalar), then a tiny bucket rollup."""
+    latest = observations.agg(
+        F.max("created_at").alias("_now")
+    )  # 1 row, stays in-plan
+    per_ent = (
+        entities.join(
+            observations.groupBy("entity_name").agg(
+                F.max("created_at").alias("last_obs")
+            ),
+            entities["name"] == F.col("entity_name"),
+            "left",
+        )
+        .crossJoin(F.broadcast(latest))
+        .select(
+            (F.col("_now") - F.col("last_obs")).alias("staleness"),
+        )
+    )
+    bucket = F.when(F.col("staleness").isNull(), F.lit(-1)).otherwise(
+        F.when(F.col("staleness") <= 0, F.lit(0)).otherwise(
+            F.floor(F.log2(F.col("staleness"))) + 1
+        )
+    )
+    return per_ent.groupBy(bucket.cast("bigint").alias("staleness_bucket")).agg(
+        F.count("*").cast("bigint").alias("n_entities"),
+        F.min("staleness").cast("bigint").alias("min_staleness"),
+        F.max("staleness").cast("bigint").alias("max_staleness"),
+    )

@@ -919,3 +919,26 @@ ORDER BY jaccard DESC, entity_a, entity_b
 LIMIT 25
 """
 )
+
+ORACLES["kg_obs_staleness"] = (
+    KG_CTE
+    + """,
+latest AS (SELECT MAX(created_at) AS now_t FROM observations),
+per_ent AS (
+  SELECT now_t - lo.last_obs AS staleness
+  FROM entities e
+  LEFT JOIN (
+    SELECT entity_name, MAX(created_at) AS last_obs
+    FROM observations GROUP BY 1
+  ) lo ON e.name = lo.entity_name, latest
+)
+SELECT CAST(CASE WHEN staleness IS NULL THEN -1
+            WHEN staleness <= 0 THEN 0
+            ELSE FLOOR(log2(staleness)) + 1 END AS BIGINT)
+  AS staleness_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_entities,
+  CAST(MIN(staleness) AS BIGINT) AS min_staleness,
+  CAST(MAX(staleness) AS BIGINT) AS max_staleness
+FROM per_ent GROUP BY 1
+"""
+)

@@ -1729,3 +1729,12 @@ def q_events_bounce_rate(spark, sf_dir):
 def q_events_user_histogram(spark, sf_dir):
     # heavy-tail activity distribution (log2 buckets) — full oracle
     return ev_ops.user_activity_histogram(load_tables(spark, sf_dir))
+
+
+@query("kg_obs_staleness")
+def q_kg_obs_staleness(spark, sf_dir):
+    # memory-staleness histogram — full oracle
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.observation_staleness(
+        g["entities"], g["observations"]
+    )
