@@ -86,6 +86,13 @@ EXTENDED = [
     "text_bpe_pairs",
     "kg_metapaths",
     "vec_ivfpq_ann",
+    "dedup_semantic_keep",
+    "kg_suggest_relations",
+    "events_bounce_rate",
+    "table_stats",
+    "events_type_overlap",
+    "events_user_histogram",
+    "kg_obs_staleness",
 ]
 
 
