@@ -397,3 +397,70 @@ def session_window_stream(
             "sum_value",
         )
     )
+
+
+def stats_stream(events: DataFrame, sink_dir: str, checkpoint_dir: str):
+    """Streaming column-stats maintenance — the nightly ANALYZE job
+    (io.stats.column_stats) kept fresh per micro-batch: each batch
+    appends its PARTIAL stats (count, nulls, min, max per column —
+    all addition/extremum-mergeable) to a parquet delta log;
+    ``read_stats`` merges on read. Exact distincts are NOT mergeable,
+    so the streaming profile carries the mergeable subset — the
+    HLL-sketch trade (events_approx_users) covers distincts when a
+    stream needs them."""
+    cols = ["event_id", "user_id", "event_type", "value"]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in cols:
+            col = F.col(c)
+            # partials stay NATIVELY typed — merging string-rendered
+            # minima would order "10" < "9"; rendering happens once
+            # at read time
+            aggs += [
+                F.sum(col.isNull().cast("bigint")).alias(f"{c}__nulls"),
+                F.min(col).alias(f"{c}__min"),
+                F.max(col).alias(f"{c}__max"),
+            ]
+        batch_df.agg(*aggs).write.mode("append").parquet(sink_dir)
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_stats(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Merge-on-read over streamed stat partials → (column_name,
+    n_rows, n_nulls, min_value, max_value)."""
+    cols = ["event_id", "user_id", "event_type", "value"]
+    p = spark.read.parquet(sink_dir)
+    merged = p.agg(
+        F.sum("_rows").alias("_rows"),
+        *[
+            a
+            for c in cols
+            for a in (
+                F.sum(f"{c}__nulls").alias(f"{c}__nulls"),
+                F.min(f"{c}__min").alias(f"{c}__min"),
+                F.max(f"{c}__max").alias(f"{c}__max"),
+            )
+        ],
+    )
+    parts = []
+    for c in cols:
+        parts.append(
+            merged.select(
+                F.lit(c).alias("column_name"),
+                F.col("_rows").cast("bigint").alias("n_rows"),
+                F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"{c}__min").cast("string").alias("min_value"),
+                F.col(f"{c}__max").cast("string").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out

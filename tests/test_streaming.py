@@ -696,3 +696,29 @@ def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stats_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed column-stat partials merge to the batch profiler's
+    values for the mergeable subset (count/nulls/min/max)."""
+    from mcp_memory_libsql_spark.io.stats import column_stats
+
+    events, src = _events_as_json_files(spark, sf_dir, tmp_path)
+    stream = pipeline.read_event_stream(spark, str(src))
+    sink = str(tmp_path / "stats_sink")
+    q = pipeline.stats_stream(stream, sink, str(tmp_path / "stats_ckpt"))
+    _wait(q)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.column_name: (r.n_rows, r.n_nulls, r.min_value, r.max_value)
+        for r in pipeline.read_stats(spark, sink).collect()
+    }
+    want = {
+        r.column_name: (r.n_rows, r.n_nulls, r.min_value, r.max_value)
+        for r in column_stats(
+            events.select("event_id", "user_id", "event_type", "value"),
+            "events",
+        ).collect()
+    }
+    assert got == want
