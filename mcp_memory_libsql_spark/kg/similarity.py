@@ -420,3 +420,31 @@ def suggest_relations(
         .orderBy(F.col("jaccard").desc(), "entity_a", "entity_b")
         .limit(k)
     )
+
+
+def suggest_relations_minhash(
+    relations: DataFrame, min_est: float = 0.25, k: int = 25
+) -> DataFrame:
+    """Scale-path twin of :func:`suggest_relations`: candidates from
+    the MinHash signature index (64-byte signatures, band buckets —
+    width-independent) instead of the exact postings join. Same
+    anti-join against existing edges, same deterministic top-k →
+    (entity_a, entity_b, est_jaccard). The exact/sketch duality every
+    similarity surface here ships (dedup_ngram_jaccard ↔
+    dedup_minhash_lsh)."""
+    sims = similar_entities_minhash(relations, min_est).select(
+        "entity_a", "entity_b", "est_jaccard"
+    )
+    existing = (
+        relations.where(F.col("source") != F.col("target"))
+        .select(
+            F.least("source", "target").alias("entity_a"),
+            F.greatest("source", "target").alias("entity_b"),
+        )
+        .distinct()
+    )
+    return (
+        sims.join(existing, ["entity_a", "entity_b"], "left_anti")
+        .orderBy(F.col("est_jaccard").desc(), "entity_a", "entity_b")
+        .limit(k)
+    )

@@ -942,3 +942,20 @@ SELECT CAST(CASE WHEN staleness IS NULL THEN -1
 FROM per_ent GROUP BY 1
 """
 )
+
+# MinHash suggestion feed: the kg_similar_minhash SQL minus
+# already-connected pairs, deterministic top-k.
+ORACLES["kg_suggest_minhash"] = (
+    ORACLES["kg_similar_minhash"]
+    + """
+AND NOT EXISTS (
+  SELECT 1 FROM (
+    SELECT DISTINCT least(source, target) AS a,
+                    greatest(source, target) AS b
+    FROM relations WHERE source <> target
+  ) e WHERE e.a = cand.entity_a AND e.b = cand.entity_b
+)
+ORDER BY est_jaccard DESC, cand.entity_a, cand.entity_b
+LIMIT 25
+"""
+)

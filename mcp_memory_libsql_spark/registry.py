@@ -1738,3 +1738,14 @@ def q_kg_obs_staleness(spark, sf_dir):
     return kg_traverse.observation_staleness(
         g["entities"], g["observations"]
     )
+
+
+@query("kg_suggest_minhash")
+def q_kg_suggest_minhash(spark, sf_dir):
+    # suggestion feed on the MinHash signature index (scale path)
+    from .kg import similarity
+
+    g, _ = _kg(spark, sf_dir)
+    return similarity.suggest_relations_minhash(
+        g["relations"], min_est=0.25, k=25
+    )
