@@ -502,3 +502,27 @@ WHERE d.doc_id NOT IN (SELECT DISTINCT vec_b FROM pairs)
 
 
 ORACLES["dedup_semantic_keep"] = _semantic_keep_oracle()
+
+ORACLES["vec_knn_outliers"] = """
+WITH s AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 300
+),
+pairs AS (
+  SELECT a.vec_id AS va, a.label AS la,
+    ROUND(sqrt(list_reduce(list_transform(range(1, 65),
+      i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+           * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)),
+      (x, y) -> x + y)), 6) AS dist
+  FROM s a JOIN s b ON a.vec_id <> b.vec_id
+),
+kth AS (
+  SELECT va AS vec_id, la AS label, dist AS knn_dist
+  FROM (
+    SELECT va, la, dist,
+      ROW_NUMBER() OVER (PARTITION BY va ORDER BY dist, la) AS rn
+    FROM pairs
+  ) WHERE rn = 5
+)
+SELECT vec_id, label, knn_dist FROM kth
+ORDER BY knn_dist DESC, vec_id LIMIT 20
+"""

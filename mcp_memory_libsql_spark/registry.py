@@ -1749,3 +1749,10 @@ def q_kg_suggest_minhash(spark, sf_dir):
     return similarity.suggest_relations_minhash(
         g["relations"], min_est=0.25, k=25
     )
+
+
+@query("vec_knn_outliers")
+def q_vec_knn_outliers(spark, sf_dir):
+    # k-NN-distance outlier mining over a deterministic sample
+    t = load_tables(spark, sf_dir)
+    return knn.knn_outliers(t["embeddings"])

@@ -222,3 +222,60 @@ def hard_negatives(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).where(F.col("rank") <= k)
+
+
+def knn_outliers(
+    embeddings: DataFrame,
+    k: int = 5,
+    top: int = 20,
+    sample_max_id: int = 300,
+) -> DataFrame:
+    """Embedding outliers by k-NN distance → (vec_id, label,
+    knn_dist): the ``top`` vectors whose distance to their k-th
+    nearest neighbor is largest — far-from-everything points are
+    mislabel/misembed/junk candidates (the distance-based cousin of
+    bridge_centroid_outliers' centroid test, catching outliers that
+    sit far from ALL mass, not just their own label's).
+
+    All-pairs is quadratic, so the scan caps to a deterministic id
+    sample (the vec_cosine_distribution pattern); at 100 TB the
+    candidate pairs come from the ANN index instead and the ranking
+    logic is unchanged."""
+    s = embeddings.where(F.col("vec_id") < sample_max_id).select(
+        "vec_id", "label", "embedding"
+    )
+    a = s.select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = s.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    d = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("ea"),
+                    F.col("eb"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    pairs = a.join(b, F.col("va") != F.col("vb")).select(
+        "va", "la", d.alias("dist")
+    )
+    w = Window.partitionBy("va").orderBy("dist", "la")
+    kth = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == k)
+        .select(
+            F.col("va").alias("vec_id"),
+            F.col("la").alias("label"),
+            F.col("dist").alias("knn_dist"),
+        )
+    )
+    return kth.orderBy(F.col("knn_dist").desc(), "vec_id").limit(top)
