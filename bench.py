@@ -45,6 +45,11 @@ HEADLINE = [
 # NOT part of the headline total, so the headline stays comparable
 # round-over-round. Set SPARK_GRAFT_BENCH_EXTENDED=0 to skip.
 EXTENDED = [
+    "kg_hits",
+    "kg_suggest_weighted",
+    "dedup_winnowing",
+    "vec_lsh_bucket_profile",
+    "events_time_to_convert",
     "events_asof_attribution",
     "events_range_attribution",
     "events_hypertable",

@@ -1143,3 +1143,55 @@ def user_activity_histogram(t) -> DataFrame:
             F.max("n_events").cast("bigint").alias("max_events"),
         )
     )
+
+
+def time_to_convert(
+    t,
+    from_type: str = "signup",
+    to_type: str = "purchase",
+    within_secs: int = 2592000,
+) -> DataFrame:
+    """Conversion-delay distribution → (delay_bucket_s, n_users,
+    min_delay_s, max_delay_s): log2-bucketed seconds between each
+    user's FIRST ``from_type`` event and their first ``to_type`` event
+    at-or-after it within ``within_secs`` — the "how long does the
+    funnel take" readout next to events_funnel's "how many convert"
+    (same first-touch attribution rule). Same-second conversions land
+    in bucket 0 (log2(0) is undefined), mirroring gap_histogram.
+
+    Scale: two per-user conditional-min rollups + one histogram over
+    per-user rows; the raw scan is pruned to the two event types at
+    the parquet scan, and the bucket key space is ~40 values at any
+    scale."""
+    ev = t["events"].select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("epoch")
+    )
+    first_from = (
+        ev.where(F.col("event_type") == from_type)
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t0"))
+    )
+    delays = (
+        ev.where(F.col("event_type") == to_type)
+        .join(first_from, "user_id")
+        .where(
+            (F.col("epoch") >= F.col("t0"))
+            & (F.col("epoch") <= F.col("t0") + within_secs)
+        )
+        .groupBy("user_id")
+        .agg((F.min("epoch") - F.min("t0")).alias("delay_s"))
+    )
+    bucket = F.when(F.col("delay_s") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), "
+            "CAST(floor(log2(delay_s)) AS INT)) AS BIGINT)"
+        )
+    )
+    return (
+        delays.groupBy(bucket.alias("delay_bucket_s"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("delay_s").cast("bigint").alias("min_delay_s"),
+            F.max("delay_s").cast("bigint").alias("max_delay_s"),
+        )
+    )

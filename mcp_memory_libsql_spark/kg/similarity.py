@@ -444,6 +444,98 @@ def suggest_relations(
     )
 
 
+def suggest_relations_weighted(
+    relations: DataFrame,
+    k: int = 25,
+    cap: int = NEIGHBOR_CAP,
+) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009) →
+    top-k unconnected pairs by RA index: score(a,b) =
+    Σ_{z ∈ Γ(a)∩Γ(b)} 1/deg(z). Rare shared neighbors carry more
+    signal than popular ones — the inverse-degree-weighted upgrade of
+    the Jaccard feed in :func:`suggest_relations` (same
+    relationship-exploration surface, reference README.md:109), and
+    the exact-rational cousin of Adamic-Adar (whose 1/ln(deg) weights
+    would hash-differently across engines' libm).
+
+    Determinism: deg(z) is the width of z's postings list, so the
+    weight travels IN-ROW with each pair (no extra join), and the
+    per-pair score folds the SORTED weight list left-to-right — the
+    identical IEEE sequence the DuckDB oracle's list_reduce computes.
+    Hub neighbors past ``cap`` are dropped (hub-suppressed RA, the
+    same skew bound as :func:`similar_entities` — they contribute
+    ≤ 1/cap each anyway).
+
+    Scale: one postings shuffle + one bounded pair rollup
+    (Σ C(w,2) ≤ cap·|edges|) + a broadcast-able anti-join; top-k via
+    TakeOrdered. Never N².
+    """
+    und = undirected_neighbors(relations)
+    nid = md5_hash60(F.col("name"))
+    enc = und.select(nid.alias("nid"), "name", "nbr")
+    postings = (
+        enc.groupBy("nbr")
+        .agg(F.sort_array(F.collect_list("nid")).alias("ids"))
+        .where(F.size("ids") <= cap)
+        .persist()
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        postings.select(F.size("ids").alias("w"), F.explode(combos).alias("p"))
+        .groupBy(F.col("p.a").alias("na"), F.col("p.b").alias("nb"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sort_array(F.collect_list("w")).alias("ws"),
+        )
+        .withColumn(
+            "ra_score",
+            F.round(
+                F.aggregate(
+                    "ws",
+                    F.lit(0.0),
+                    lambda acc, w: acc + F.lit(1.0) / w,
+                ),
+                6,
+            ),
+        )
+        .drop("ws")
+    )
+    names = enc.select("nid", "name").distinct()
+    da = names.select(F.col("nid").alias("na"), F.col("name").alias("name_a"))
+    db = names.select(F.col("nid").alias("nb"), F.col("name").alias("name_b"))
+    decoded = (
+        pairs.join(F.broadcast(da), "na")
+        .join(F.broadcast(db), "nb")
+        .select(
+            F.least("name_a", "name_b").alias("entity_a"),
+            F.greatest("name_a", "name_b").alias("entity_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            "ra_score",
+        )
+    )
+    existing = (
+        relations.where(F.col("source") != F.col("target"))
+        .select(
+            F.least("source", "target").alias("entity_a"),
+            F.greatest("source", "target").alias("entity_b"),
+        )
+        .distinct()
+    )
+    return (
+        decoded.join(existing, ["entity_a", "entity_b"], "left_anti")
+        .orderBy(F.col("ra_score").desc(), "entity_a", "entity_b")
+        .limit(k)
+    )
+
+
 def suggest_relations_minhash(
     relations: DataFrame, min_est: float = 0.25, k: int = 25
 ) -> DataFrame:

@@ -148,6 +148,68 @@ def pagerank(relations: DataFrame, iterations: int = 5, damping: float = 0.85) -
     return ranks.select("name", F.round("rank", 8).alias("rank"))
 
 
+def hits(relations: DataFrame, iterations: int = 2) -> DataFrame:
+    """Kleinberg HITS → (name, hub_score, authority_score): which
+    entities point at the graph's information centers (hubs) and which
+    ARE the centers (authorities) — the directed complement of
+    :func:`pagerank` over the same relation edges ("Explore entity
+    relationships", reference README.md:109).
+
+    This is the UNNORMALIZED integer variant: with all-ones init,
+    iteration t's scores are exact BIGINT path counts (authority_t(v)
+    = # of alternating back-forth paths of length 2t-1 ending at v),
+    so every value is a deterministic integer and the oracle unrolls
+    the identical rounds in SQL — no engine-ordered double sums.
+    Per-iteration L2 normalization (the convergent variant) only
+    rescales each round's ranking, which the integer variant preserves
+    round-for-round. 2 rounds of BIGINT headroom bounds
+    max_degree^4·|V|; at larger graphs normalize with doubles and gate
+    on rank order instead.
+
+    Scale: each half-step is one join + one groupBy on a node key —
+    identical shuffle shape to a PageRank step; edge table persisted
+    once.
+    """
+    edges = relations.select("source", "target").distinct().persist()
+    nodes = (
+        edges.select(F.col("source").alias("name"))
+        .unionByName(edges.select(F.col("target").alias("name")))
+        .distinct()
+        .persist()
+    )
+    hubs = nodes.withColumn("h", F.lit(1).cast("bigint"))
+    auths = None
+    for _ in range(iterations):
+        # authority(v) = Σ h(u) over in-edges (u, v)
+        auths = (
+            edges.join(hubs, edges["source"] == hubs["name"])
+            .groupBy(F.col("target").alias("name"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auths = nodes.alias("n").join(auths, "name", "left").select(
+            "name", F.coalesce("a", F.lit(0)).cast("bigint").alias("a")
+        )
+        # hub(u) = Σ a(v) over out-edges (u, v), from THIS round's a
+        hubs = (
+            edges.join(auths, edges["target"] == auths["name"])
+            .groupBy(F.col("source").alias("name"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hubs = nodes.join(hubs, "name", "left").select(
+            "name", F.coalesce("h", F.lit(0)).cast("bigint").alias("h")
+        )
+        hubs = hubs.localCheckpoint(eager=False)
+        auths = auths.localCheckpoint(eager=False)
+    return (
+        hubs.join(auths.select("name", "a"), "name")
+        .select(
+            "name",
+            F.col("h").alias("hub_score"),
+            F.col("a").alias("authority_score"),
+        )
+    )
+
+
 def connected_components(relations: DataFrame, max_iter: int = 8) -> DataFrame:
     """Undirected connected components via min-label propagation
     → (name, component) where component = lexicographic min name

@@ -1559,3 +1559,29 @@ SELECT CAST(FLOOR(log2(n_events)) AS BIGINT) AS bucket,
   CAST(MAX(n_events) AS BIGINT) AS max_events
 FROM pu GROUP BY 1
 """
+
+ORACLES["events_time_to_convert"] = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch
+  FROM events
+),
+s AS (SELECT user_id, MIN(epoch) AS t0 FROM ev
+      WHERE event_type = 'signup' GROUP BY user_id),
+d AS (
+  SELECT p.user_id, MIN(p.epoch) - MIN(t0) AS delay_s
+  FROM ev p JOIN s ON p.user_id = s.user_id
+  WHERE p.event_type = 'purchase'
+    AND p.epoch >= t0 AND p.epoch <= t0 + 2592000
+  GROUP BY p.user_id
+)
+SELECT CAST(0 AS BIGINT) AS delay_bucket_s,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(delay_s) AS BIGINT) AS min_delay_s,
+       CAST(MAX(delay_s) AS BIGINT) AS max_delay_s
+FROM d WHERE delay_s = 0 HAVING COUNT(*) > 0
+UNION ALL
+SELECT CAST(1::BIGINT << CAST(floor(log2(delay_s)) AS INTEGER) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(MIN(delay_s) AS BIGINT), CAST(MAX(delay_s) AS BIGINT)
+FROM d WHERE delay_s > 0 GROUP BY 1
+"""

@@ -959,3 +959,86 @@ ORDER BY est_jaccard DESC, cand.entity_a, cand.entity_b
 LIMIT 25
 """
 )
+
+# Unnormalized integer HITS, 2 rounds unrolled: with all-ones init
+# every score is an exact BIGINT alternating-path count, so no
+# engine-ordered double summation exists anywhere (see
+# kg.traverse.hits). Round t: a_t = Σ h_{t-1} over in-edges, then
+# h_t = Σ a_t over out-edges (hub update uses THIS round's a).
+ORACLES["kg_hits"] = (
+    KG_CTE
+    + """,
+e AS (SELECT DISTINCT source, target FROM relations),
+nodes AS (SELECT source AS name FROM e UNION SELECT target FROM e),
+h0 AS (SELECT name, CAST(1 AS BIGINT) AS h FROM nodes),
+a1 AS (
+  SELECT n.name, CAST(COALESCE(s.a, 0) AS BIGINT) AS a
+  FROM nodes n LEFT JOIN (
+    SELECT e.target AS name, SUM(h0.h) AS a
+    FROM e JOIN h0 ON e.source = h0.name GROUP BY 1
+  ) s ON n.name = s.name),
+h1 AS (
+  SELECT n.name, CAST(COALESCE(s.h, 0) AS BIGINT) AS h
+  FROM nodes n LEFT JOIN (
+    SELECT e.source AS name, SUM(a1.a) AS h
+    FROM e JOIN a1 ON e.target = a1.name GROUP BY 1
+  ) s ON n.name = s.name),
+a2 AS (
+  SELECT n.name, CAST(COALESCE(s.a, 0) AS BIGINT) AS a
+  FROM nodes n LEFT JOIN (
+    SELECT e.target AS name, SUM(h1.h) AS a
+    FROM e JOIN h1 ON e.source = h1.name GROUP BY 1
+  ) s ON n.name = s.name),
+h2 AS (
+  SELECT n.name, CAST(COALESCE(s.h, 0) AS BIGINT) AS h
+  FROM nodes n LEFT JOIN (
+    SELECT e.source AS name, SUM(a2.a) AS h
+    FROM e JOIN a2 ON e.target = a2.name GROUP BY 1
+  ) s ON n.name = s.name)
+SELECT h2.name, h2.h AS hub_score, a2.a AS authority_score
+FROM h2 JOIN a2 ON h2.name = a2.name
+"""
+)
+
+# Resource-Allocation link prediction: per-pair Σ 1/deg(z) over
+# shared neighbors, the weight list SORTED then left-folded — the
+# identical IEEE sequence Spark's aggregate() computes (see
+# kg.similarity.suggest_relations_weighted). list_prepend supplies
+# the 0.0 accumulator (list_reduce uses element 1 as init).
+ORACLES["kg_suggest_weighted"] = (
+    KG_CTE
+    + """,
+und AS (
+  SELECT source AS name, target AS nbr FROM relations
+  UNION
+  SELECT target, source FROM relations
+),
+und2 AS (SELECT name, nbr FROM und WHERE name <> nbr),
+widths AS (
+  SELECT nbr, COUNT(*) AS w FROM und2 GROUP BY nbr
+  HAVING COUNT(*) <= 256
+),
+p AS (SELECT u.name, u.nbr, widths.w FROM und2 u JOIN widths USING (nbr)),
+pairs AS (
+  SELECT x.name AS entity_a, y.name AS entity_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         ROUND(list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+                          list_sort(list(CAST(x.w AS DOUBLE)))),
+             (acc, v) -> acc + CAST(1.0 AS DOUBLE) / v), 6) AS ra_score
+  FROM p x JOIN p y ON x.nbr = y.nbr AND x.name < y.name
+  GROUP BY 1, 2
+)
+SELECT entity_a, entity_b, n_common, ra_score
+FROM pairs
+WHERE NOT EXISTS (
+  SELECT 1 FROM (
+    SELECT DISTINCT least(source, target) AS a,
+                    greatest(source, target) AS b
+    FROM relations WHERE source <> target
+  ) e WHERE e.a = entity_a AND e.b = entity_b
+)
+ORDER BY ra_score DESC, entity_a, entity_b
+LIMIT 25
+"""
+)

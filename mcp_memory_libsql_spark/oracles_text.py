@@ -1204,3 +1204,37 @@ ORACLES["table_stats"] = "\nUNION ALL\n".join(
     _STATS_COL.format(c=c)
     for c in ("doc_id", "text", "lang", "source", "n_chars")
 )
+
+# Winnowing (MOSS) fingerprint pairs: the identical per-doc selection
+# — dense k-gram md5 hashes, per-window min with rightmost tie — as
+# textops.dedup.winnowing_fingerprints, rebuilt with list lambdas
+# (list_reduce left-folds from the prepended sentinel exactly like
+# Spark's aggregate init), then the capped postings pair join.
+ORACLES["dedup_winnowing"] = """
+WITH hs AS (
+  SELECT doc_id,
+    list_transform(range(1, length(text) - 25 + 2),
+      p -> struct_pack(
+             h := ('0x' || substr(md5(substr(text, p::INTEGER, 25)), 1, 8))::BIGINT,
+             p := p::BIGINT)) AS hps
+  FROM documents WHERE length(text) >= 25
+),
+sel AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(1::BIGINT, len(hps)::BIGINT - 8 + 2)),
+      j -> list_reduce(
+             list_prepend(struct_pack(h := 8589934592::BIGINT, p := 0::BIGINT),
+                          list_slice(hps, j, j + 7)),
+             (acc, x) -> CASE WHEN x.h < acc.h OR (x.h = acc.h AND x.p > acc.p)
+                         THEN x ELSE acc END).h)) AS fps
+  FROM hs
+),
+fp AS (SELECT doc_id, unnest(fps) AS h FROM sel),
+kept AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 100),
+p AS (SELECT fp.doc_id, fp.h FROM fp JOIN kept USING (h))
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM p x JOIN p y ON x.h = y.h AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+"""

@@ -526,3 +526,46 @@ kth AS (
 SELECT vec_id, label, knn_dist FROM kth
 ORDER BY knn_dist DESC, vec_id LIMIT 20
 """
+
+
+def _bucket_profile_oracle() -> str:
+    """vec_lsh_bucket_profile: the identical md5-seeded sign-bit
+    index rebuilt in SQL (same plane constants as vector.lsh, so the
+    two engines cannot drift), then pure integer occupancy rollups."""
+    from .vector.lsh import N_BITS, N_TABLES, planes
+
+    ps = planes(64, N_TABLES, N_BITS)
+
+    def arr(vals):
+        return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+    sig_selects = []
+    for t in range(N_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> embedding[i]::DOUBLE * ({arr(ps[t][j])})[i])) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(N_BITS)
+        )
+        sig_selects.append(
+            f"SELECT vec_id, {t} AS table_id, ({bits}) AS sig"
+            " FROM embeddings"
+        )
+    sigs_sql = "\nUNION ALL\n".join(sig_selects)
+    return f"""
+WITH sigs AS (
+{sigs_sql}
+),
+widths AS (
+  SELECT table_id, sig, COUNT(*) AS w FROM sigs GROUP BY 1, 2
+)
+SELECT table_id,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+  CAST(SUM(w) AS BIGINT) AS n_vectors,
+  CAST(MIN(w) AS BIGINT) AS min_width,
+  CAST(MAX(w) AS BIGINT) AS max_width
+FROM widths GROUP BY table_id
+"""
+
+
+ORACLES["vec_lsh_bucket_profile"] = _bucket_profile_oracle()

@@ -393,6 +393,14 @@ from .multimodal import media as mm  # noqa: E402
 from .vector import lsh  # noqa: E402
 
 
+@query("vec_lsh_bucket_profile")
+def q_vec_lsh_bucket_profile(spark, sf_dir):
+    # LSH index-health occupancy readout — full oracle (identical
+    # md5-seeded index rebuilt in SQL, integer counts only)
+    t = load_tables(spark, sf_dir)
+    return lsh.bucket_profile(t["embeddings"], dim=64)
+
+
 @query("ann_lsh_cosine")
 def q_ann_lsh_cosine(spark, sf_dir):
     # approximate, but DETERMINISTIC (md5-seeded planes) — fully
@@ -1173,6 +1181,14 @@ def q_dedup_substring_docs(spark, sf_dir):
     return dd.substring_dup_coverage(t["documents"])
 
 
+@query("dedup_winnowing")
+def q_dedup_winnowing(spark, sf_dir):
+    # MOSS winnowing fingerprint pairs — full oracle (identical
+    # per-window min selection rebuilt with DuckDB list lambdas)
+    t = load_tables(spark, sf_dir)
+    return dd.winnowing_pairs(t["documents"])
+
+
 @query("mm_audio_windows")
 def q_mm_audio_windows(spark, sf_dir):
     from .multimodal import media as mm
@@ -1719,6 +1735,24 @@ def q_kg_suggest_relations(spark, sf_dir):
     return similarity.suggest_relations(g["relations"], threshold=0.1, k=25)
 
 
+@query("kg_suggest_weighted")
+def q_kg_suggest_weighted(spark, sf_dir):
+    # Resource-Allocation (inverse-degree) link prediction — full
+    # oracle (sorted-weight fold order mirrored in SQL)
+    from .kg import similarity
+
+    g, _ = _kg(spark, sf_dir)
+    return similarity.suggest_relations_weighted(g["relations"], k=25)
+
+
+@query("kg_hits")
+def q_kg_hits(spark, sf_dir):
+    # integer-exact unnormalized HITS, 2 rounds unrolled in the
+    # oracle — full oracle (BIGINT path counts, no double sums)
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.hits(g["relations"], iterations=2)
+
+
 @query("events_bounce_rate")
 def q_events_bounce_rate(spark, sf_dir):
     # daily bounce rate over the verified sessionizer — full oracle
@@ -1729,6 +1763,12 @@ def q_events_bounce_rate(spark, sf_dir):
 def q_events_user_histogram(spark, sf_dir):
     # heavy-tail activity distribution (log2 buckets) — full oracle
     return ev_ops.user_activity_histogram(load_tables(spark, sf_dir))
+
+
+@query("events_time_to_convert")
+def q_events_time_to_convert(spark, sf_dir):
+    # signup→purchase conversion-delay histogram — full oracle
+    return ev_ops.time_to_convert(load_tables(spark, sf_dir))
 
 
 @query("kg_obs_staleness")

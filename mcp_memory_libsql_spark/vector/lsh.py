@@ -231,3 +231,31 @@ def near_dup_pairs_lsh(
         )
     )
     return scored.where(F.col("cosine_sim") >= threshold)
+
+
+def bucket_profile(
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_tables: int = N_TABLES,
+    n_bits: int = N_BITS,
+) -> DataFrame:
+    """LSH index-health readout → (table_id, n_buckets, n_vectors,
+    min_width, max_width): per-table bucket occupancy — the tuning
+    harness that shows whether the signature width actually spreads
+    the corpus (a table whose max_width ≈ n_vectors is the N²/buckets
+    blowup the bucket cap exists to stop; the vector-side twin of
+    dedup_shingle_profile's DF_CAP readout). All values are exact
+    BIGINT counts over the deterministic md5-seeded index, so the
+    oracle rebuilds the identical index in SQL.
+
+    Scale: one embeddings scan (bucketize explodes all tables from a
+    single pass) + one (table, sig) rollup + one per-table rollup —
+    output is n_tables rows at any corpus size."""
+    idx = bucketize(embeddings, dim, n_tables, n_bits)
+    widths = idx.groupBy("table_id", "sig").agg(F.count("*").alias("w"))
+    return widths.groupBy("table_id").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("w").cast("bigint").alias("n_vectors"),
+        F.min("w").cast("bigint").alias("min_width"),
+        F.max("w").cast("bigint").alias("max_width"),
+    )

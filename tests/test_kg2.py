@@ -408,3 +408,62 @@ def test_degree_delta_matches_recompute(spark, t):
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in want.collect()
     }
+
+
+def test_hits_toy_graph_exact_counts(spark):
+    # a->c, b->c, c->d: after round 1 a(c)=2 (a,b point at it with
+    # h0=1), a(d)=1; h(a)=h(b)=2, h(c)=1. Round 2: a(c)=h(a)+h(b)=4,
+    # a(d)=h(c)=1; h(a)=h(b)=a(c)=4, h(c)=a(d)=1, h(d)=0.
+    rel = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "d")], "source string, target string"
+    )
+    out = {r.name: (r.hub_score, r.authority_score)
+           for r in kg_traverse.hits(rel, iterations=2).collect()}
+    assert out == {"a": (4, 0), "b": (4, 0), "c": (1, 4), "d": (0, 1)}
+
+
+def test_hits_relation_graph_nonnegative_and_deterministic(spark, t):
+    rel = kg_views.relations(t)
+    a = sorted(map(tuple, kg_traverse.hits(rel, 2).collect()))
+    b = sorted(map(tuple, kg_traverse.hits(rel, 2).collect()))
+    assert a == b
+    assert all(h >= 0 and au >= 0 for _, h, au in a)
+    # someone must accumulate mass
+    assert max(h for _, h, _au in a) > 0
+
+
+def test_suggest_weighted_ra_scores(spark):
+    from mcp_memory_libsql_spark.kg import similarity
+
+    # x and y share neighbors m (deg 2) and n (deg 3) and are not
+    # connected: RA = 1/2 + 1/3. z-n edge gives n its third neighbor.
+    rel = spark.createDataFrame(
+        [("x", "m"), ("y", "m"), ("x", "n"), ("y", "n"), ("z", "n")],
+        "source string, target string",
+    )
+    out = similarity.suggest_relations_weighted(rel, k=5).collect()
+    by_pair = {(r.entity_a, r.entity_b): r for r in out}
+    assert ("x", "y") in by_pair
+    r = by_pair[("x", "y")]
+    assert r.n_common == 2
+    assert abs(r.ra_score - round(1 / 2 + 1 / 3, 6)) < 1e-9
+    # connected pairs never appear
+    assert ("x", "m") not in by_pair and ("m", "x") not in by_pair
+
+
+def test_time_to_convert_buckets(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "signup", "2024-01-01 00:00:00"),
+            (2, 10, "purchase", "2024-01-01 00:00:05"),  # delay 5 -> bucket 4
+            (3, 11, "signup", "2024-01-01 00:00:00"),
+            (4, 11, "purchase", "2024-01-01 00:00:00"),  # delay 0 -> bucket 0
+            (5, 12, "signup", "2024-01-01 00:00:00"),   # never converts
+            (6, 13, "purchase", "2024-01-01 00:00:00"),  # no signup
+        ],
+        "event_id long, user_id long, event_type string, ts_s string",
+    ).select("event_id", "user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {r.delay_bucket_s: r for r in ev_ops.time_to_convert({"events": ev}).collect()}
+    assert set(out) == {0, 4}
+    assert out[0].n_users == 1 and out[0].min_delay_s == 0
+    assert out[4].n_users == 1 and out[4].min_delay_s == 5 and out[4].max_delay_s == 5

@@ -149,3 +149,38 @@ def test_quality_classifier_learns_weak_rule(spark, docs):
     pos = [r.score for r in rows if r.weak_label == 1]
     neg = [r.score for r in rows if r.weak_label == 0]
     assert pos and neg and (sum(pos) / len(pos)) > (sum(neg) / len(neg)) + 0.2
+
+
+def test_winnowing_guarantee_and_robustness(spark):
+    from mcp_memory_libsql_spark.textops import dedup as dd
+
+    base = "The quick brown fox jumps over the lazy dog while the band plays on."
+    # same long span embedded at DIFFERENT offsets with an inserted
+    # char — strided windows desynchronize, winnowing must still
+    # share fingerprints (guarantee: shared span >= w+k-1 = 32 chars)
+    docs = spark.createDataFrame(
+        [(1, "PREFIX! " + base), (2, "x" + base + " SUFFIX")],
+        "doc_id long, text string",
+    )
+    fp = dd.winnowing_fingerprints(docs)
+    a = {r.h for r in fp.where("doc_id = 1").collect()}
+    b = {r.h for r in fp.where("doc_id = 2").collect()}
+    assert len(a & b) >= 2
+    # pair join surfaces the pair
+    pairs = dd.winnowing_pairs(docs, min_shared=2).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+
+
+def test_winnowing_density(spark):
+    from mcp_memory_libsql_spark.textops import dedup as dd
+
+    # fully distinct random-ish docs share nothing
+    docs = spark.createDataFrame(
+        [(i, f"totally unique document number {i} " * 3) for i in range(5)],
+        "doc_id long, text string",
+    )
+    # identical-template docs DO collide (the boilerplate case):
+    # the shared " totally unique document number " span is exactly
+    # w+k-1 = 32 chars, so the winnowing guarantee promises >= 1
+    # shared fingerprint for every pair
+    assert dd.winnowing_pairs(docs, min_shared=1).count() == 10

@@ -271,3 +271,18 @@ def test_ivfpq_recall_vs_brute_cosine(emb, emb_np):
     for i, s in zip(ids, sims):
         if i in by_id:
             assert abs(by_id[i] - s) < 1e-4
+
+
+def test_lsh_bucket_profile_accounting(spark, sf_dir):
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.vector import lsh
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.count()
+    prof = lsh.bucket_profile(emb, dim=64).collect()
+    assert len(prof) == lsh.N_TABLES
+    for r in prof:
+        # every vector lands in exactly one bucket per table
+        assert r.n_vectors == n
+        assert 1 <= r.n_buckets <= 1 << lsh.N_BITS
+        assert r.min_width >= 1 and r.max_width <= n
