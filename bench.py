@@ -50,6 +50,8 @@ EXTENDED = [
     "dedup_winnowing",
     "vec_lsh_bucket_profile",
     "events_time_to_convert",
+    "events_ewma",
+    "orders_backlog",
     "events_asof_attribution",
     "events_range_attribution",
     "events_hypertable",

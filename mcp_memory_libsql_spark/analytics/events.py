@@ -1195,3 +1195,115 @@ def time_to_convert(
             F.max("delay_s").cast("bigint").alias("max_delay_s"),
         )
     )
+
+
+def daily_ewma(t, alpha: float = 0.25) -> DataFrame:
+    """EWMA anomaly scan per event type → (event_type, day, n_events,
+    ewma, residual): exponentially-weighted moving average of the
+    daily count series (s₁ = x₁, sₜ = sₜ₋₁ + α·(xₜ − sₜ₋₁)) with the
+    one-step-ahead residual xₜ − sₜ₋₁ — the adaptive-baseline
+    complement to daily_cusum (which detects sustained shifts; this
+    scores each day against the recent past). α = 0.25 is exactly
+    representable in binary, and every fold runs over the
+    chronologically-sorted prefix, so the IEEE sequence is identical
+    to the oracle's list_reduce — bit-exact cross-engine.
+
+    Scale: the raw scan collapses to a (type, day) rollup first; the
+    per-type series (a few thousand days at most) folds IN-ROW —
+    O(T²) on a tiny T, zero extra shuffle, no global window."""
+    daily = (
+        t["events"]
+        .groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    per = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("xs")
+    )
+
+    def build(xs):
+        nsd = F.transform(xs, lambda s: s["n"].cast("double"))
+
+        def fold_to(tpos):
+            # s over prefix 1..tpos: init = x₁, fold x₂..xₜ
+            return F.aggregate(
+                F.slice(nsd, 2, tpos - 1),
+                F.element_at(nsd, 1),
+                lambda a, x: a + F.lit(alpha) * (x - a),
+            )
+
+        def row(tpos):
+            x = F.element_at(xs, tpos)
+            return F.struct(
+                x["day"].alias("day"),
+                x["n"].cast("bigint").alias("n_events"),
+                F.round(fold_to(tpos), 4).alias("ewma"),
+                F.when(tpos == 1, F.lit(None).cast("double"))
+                .otherwise(
+                    F.round(
+                        F.element_at(nsd, tpos) - fold_to(tpos - F.lit(1)), 4
+                    )
+                )
+                .alias("residual"),
+            )
+
+        return F.transform(F.sequence(F.lit(1), F.size(xs)), row)
+
+    # bind xs as a lambda variable (single-element transform) so the
+    # sorted series is evaluated once per row, not once per fold —
+    # the same projection-collapse guard as winnowing_fingerprints
+    rows = per.select(
+        "event_type", F.explode(F.transform(F.array("xs"), build)[0]).alias("r")
+    )
+    return rows.select(
+        "event_type",
+        F.col("r.day").alias("day"),
+        F.col("r.n_events").alias("n_events"),
+        F.col("r.ewma").alias("ewma"),
+        F.col("r.residual").alias("residual"),
+    )
+
+
+def orders_backlog(t) -> DataFrame:
+    """Open-order backlog sweep → (day, n_opened, n_closed, backlog):
+    how many orders are open (placed but not fully shipped) on each
+    calendar day an order event occurs — the operational twin of
+    events_peak_concurrency's ±1 interval sweep, over order
+    lifespans (o_orderdate .. max lineitem shipdate).
+
+    Scale: per-order close dates are one orderkey rollup; ±1 deltas
+    aggregate to day grain (map-side combined) BEFORE the ordered
+    prefix sum, so the single-partition window runs over a few
+    thousand calendar days at any SF — never over raw orders."""
+    closes = (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.max("l_shipdate").alias("close_date"))
+    )
+    spans = t["orders"].select("o_orderkey", "o_orderdate").join(
+        closes, "o_orderkey"
+    )
+    deltas = spans.select(
+        F.to_date("o_orderdate").alias("day"), F.lit(1).alias("d")
+    ).unionByName(
+        # closed orders leave the backlog the day AFTER the last ship
+        spans.select(
+            F.date_add(F.to_date("close_date"), 1).alias("day"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    day = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("n_opened"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0)).alias("n_closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_opened").cast("bigint").alias("n_opened"),
+        F.col("n_closed").cast("bigint").alias("n_closed"),
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(w)
+        .cast("bigint")
+        .alias("backlog"),
+    )

@@ -1585,3 +1585,64 @@ SELECT CAST(1::BIGINT << CAST(floor(log2(delay_s)) AS INTEGER) AS BIGINT),
        CAST(MIN(delay_s) AS BIGINT), CAST(MAX(delay_s) AS BIGINT)
 FROM d WHERE delay_s > 0 GROUP BY 1
 """
+
+# EWMA anomaly scan: α=0.25 (exactly binary-representable), every
+# smoothed value re-folded over the chronological prefix — the
+# identical IEEE sequence Spark's aggregate() computes (list_reduce
+# inits from element 1 = s₁ = x₁, exactly the Spark init).
+ORACLES["events_ewma"] = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type,
+         list(day ORDER BY day) AS days,
+         list_transform(list(n ORDER BY day), x -> x::DOUBLE) AS nsd,
+         list(n ORDER BY day) AS ns
+  FROM daily GROUP BY 1
+),
+rows_ AS (
+  SELECT event_type,
+    unnest(list_transform(range(1, len(ns) + 1), t -> struct_pack(
+      day := days[t],
+      n_events := ns[t],
+      ewma := round(list_reduce(list_slice(nsd, 1, t),
+                                (a, x) -> a + 0.25 * (x - a)), 4),
+      residual := CASE WHEN t = 1 THEN NULL
+                  ELSE round(nsd[t] - list_reduce(list_slice(nsd, 1, t - 1),
+                                                  (a, x) -> a + 0.25 * (x - a)),
+                             4)
+                  END))) AS r
+  FROM per
+)
+SELECT event_type, r.day AS day, r.n_events AS n_events,
+       r.ewma AS ewma, r.residual AS residual
+FROM rows_
+"""
+
+ORACLES["orders_backlog"] = """
+WITH closes AS (
+  SELECT l_orderkey AS o_orderkey, MAX(l_shipdate) AS close_date
+  FROM lineitem GROUP BY 1
+),
+spans AS (
+  SELECT o.o_orderkey, o.o_orderdate, close_date
+  FROM orders o JOIN closes USING (o_orderkey)
+),
+deltas AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS opened, 0 AS closed
+  FROM spans
+  UNION ALL
+  SELECT CAST(close_date AS DATE) + 1, 0, 1 FROM spans
+),
+d AS (
+  SELECT day, CAST(SUM(opened) AS BIGINT) AS n_opened,
+         CAST(SUM(closed) AS BIGINT) AS n_closed
+  FROM deltas GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_opened, n_closed,
+  CAST(SUM(n_opened - n_closed) OVER (ORDER BY day) AS BIGINT) AS backlog
+FROM d
+"""

@@ -1771,6 +1771,19 @@ def q_events_time_to_convert(spark, sf_dir):
     return ev_ops.time_to_convert(load_tables(spark, sf_dir))
 
 
+@query("events_ewma")
+def q_events_ewma(spark, sf_dir):
+    # EWMA adaptive-baseline anomaly scan — full oracle (chronological
+    # prefix folds, bit-identical across engines)
+    return ev_ops.daily_ewma(load_tables(spark, sf_dir))
+
+
+@query("orders_backlog")
+def q_orders_backlog(spark, sf_dir):
+    # open-order backlog ±1 sweep — full oracle
+    return ev_ops.orders_backlog(load_tables(spark, sf_dir))
+
+
 @query("kg_obs_staleness")
 def q_kg_obs_staleness(spark, sf_dir):
     # memory-staleness histogram — full oracle

@@ -464,3 +464,42 @@ def read_stats(spark: SparkSession, sink_dir: str) -> DataFrame:
     for q in parts[1:]:
         out = out.unionByName(q)
     return out
+
+
+def cms_stream(events: DataFrame, sink_dir: str, checkpoint_dir: str):
+    """Streaming count-min-sketch maintenance — the frequency sketch
+    behind events_heavy_hitters_cms kept fresh on a firehose: each
+    micro-batch appends its PARTIAL (seed, bucket, c) counter rows to
+    a parquet delta log. Counters are addition-mergeable (the defining
+    sketch property), so ``read_cms`` merges on read with one tiny
+    groupBy — the identical merge the batch operator's partial
+    aggregation applies within a single pass, which is what makes the
+    streamed sketch provably equal to the batch one (tested).
+
+    Scale: per-batch state is O(d·w) counter rows regardless of batch
+    size; the log grows one sketch per micro-batch and compacts by
+    re-summing (same checkpoint pattern as hypertable_stream)."""
+    from ..analytics.sketches import cms_counters
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.select(
+            F.col("user_id").cast("string").alias("key")
+        )
+        cms_counters(keyed).write.mode("append").parquet(sink_dir)
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_cms(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Merge-on-read over streamed sketch partials → (seed, bucket,
+    c): sum the counters — the sketch's native merge."""
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

@@ -192,7 +192,13 @@ def near_dup_pairs_lsh(
     """
     if n_bits is None:
         n_bits = n_bits_for_threshold(threshold)
-    index = bucketize(embeddings, dim, n_tables, n_bits)
+    # The signature index feeds TWO consumers (the bucket-count pass
+    # and the capped semi-join); without persist each re-evaluates the
+    # n_tables·n_bits plane-dot HOF pipeline — the expensive part of
+    # the whole operator (measured ~1.7× end-to-end at sf0.1). The
+    # cluster analog is the docstring's "write the index once,
+    # partitioned by (table_id, sig)".
+    index = bucketize(embeddings, dim, n_tables, n_bits).persist()
     ok = (
         index.groupBy("table_id", "sig")
         .count()

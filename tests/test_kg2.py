@@ -467,3 +467,27 @@ def test_time_to_convert_buckets(spark):
     assert set(out) == {0, 4}
     assert out[0].n_users == 1 and out[0].min_delay_s == 0
     assert out[4].n_users == 1 and out[4].min_delay_s == 5 and out[4].max_delay_s == 5
+
+
+def test_daily_ewma_exact_fold(spark):
+    ev = spark.createDataFrame(
+        [(i, 1, "click", f"2024-01-0{d} 00:00:00")
+         for i, d in enumerate([1, 1, 1, 1, 2, 3])],  # day1:4, day2:1, day3:1
+        "event_id long, user_id long, event_type string, ts_s string",
+    ).select("event_id", "user_id", "event_type",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    out = sorted(
+        ev_ops.daily_ewma({"events": ev}).collect(), key=lambda r: r.day
+    )
+    # s1=4; s2=4+0.25*(1-4)=3.25; s3=3.25+0.25*(1-3.25)=2.6875
+    assert [r.ewma for r in out] == [4.0, 3.25, 2.6875]
+    assert out[0].residual is None
+    assert [r.residual for r in out[1:]] == [1 - 4.0, 1 - 3.25]
+
+
+def test_orders_backlog_conservation(spark, t):
+    out = ev_ops.orders_backlog(t).collect()
+    assert all(r.backlog >= 0 for r in out)
+    assert sum(r.n_opened for r in out) == sum(r.n_closed for r in out)
+    final = max(out, key=lambda r: r.day)
+    assert final.backlog == 0

@@ -722,3 +722,25 @@ def test_stats_stream_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_cms_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed count-min partials merge to the EXACT batch sketch —
+    counters are addition-mergeable, so micro-batch boundaries must
+    not change a single cell."""
+    from mcp_memory_libsql_spark.analytics.sketches import cms_counters
+
+    events, src = _events_as_json_files(spark, sf_dir, tmp_path)
+    stream = pipeline.read_event_stream(spark, str(src))
+    sink = str(tmp_path / "cms_sink")
+    q = pipeline.cms_stream(stream, sink, str(tmp_path / "cms_ckpt"))
+    _wait(q)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.seed, r.bucket): r.c
+        for r in pipeline.read_cms(spark, sink).collect()
+    }
+    keyed = events.select(F.col("user_id").cast("string").alias("key"))
+    want = {(r.seed, r.bucket): r.c for r in cms_counters(keyed).collect()}
+    assert got == want
