@@ -200,3 +200,97 @@ def test_search_similar_restores_historical_vector_api(client):
     assert out[0]["observations"]
     with pytest.raises(ValueError):
         client.search_similar("   ")
+
+
+class TestMcpTools:
+    """The MCP dispatch layer mirrors src/index.ts tool-for-tool:
+    names/schemas, success strings, JSON read payloads, internal_error
+    envelope."""
+
+    @pytest.fixture()
+    def client(self, spark, tmp_path):
+        from mcp_memory_libsql_spark.api import MemoryClient
+
+        return MemoryClient(spark, str(tmp_path / "mcp_store"))
+
+    def test_tool_list_matches_reference(self):
+        from mcp_memory_libsql_spark import mcp_tools
+
+        names = [t["name"] for t in mcp_tools.list_tools()]
+        assert names == [
+            "create_entities", "search_nodes", "read_graph",
+            "create_relations", "delete_entity", "delete_relation",
+        ]
+        by = {t["name"]: t for t in mcp_tools.TOOLS}
+        assert by["delete_entity"]["annotations"]["destructiveHint"]
+        assert by["search_nodes"]["annotations"]["readOnlyHint"]
+
+    def test_round_trip(self, client):
+        import json
+
+        from mcp_memory_libsql_spark import mcp_tools as mt
+
+        r = mt.dispatch(client, "create_entities", {"entities": [
+            {"name": "alpha", "entityType": "person",
+             "observations": ["likes spark"]},
+            {"name": "beta", "entityType": "person",
+             "observations": ["likes sql"]},
+        ]})
+        assert r["content"][0]["text"] == (
+            "Successfully processed 2 entities (created new or updated existing)"
+        )
+        r = mt.dispatch(client, "create_relations", {"relations": [
+            {"source": "alpha", "target": "beta", "type": "knows"},
+        ]})
+        assert r["content"][0]["text"] == "Created 1 relations"
+        r = mt.dispatch(client, "search_nodes", {"query": "spark"})
+        body = json.loads(r["content"][0]["text"])
+        assert [e["name"] for e in body["entities"]] == ["alpha"]
+        assert body["relations"] == [
+            {"from": "alpha", "to": "beta", "relationType": "knows"}
+        ]
+        r = mt.dispatch(client, "read_graph", {})
+        body = json.loads(r["content"][0]["text"])
+        assert {e["name"] for e in body["entities"]} == {"alpha", "beta"}
+        r = mt.dispatch(client, "delete_relation", {
+            "source": "alpha", "target": "beta", "type": "knows"})
+        assert r["content"][0]["text"] == (
+            "Successfully deleted relation: alpha -> beta (knows)"
+        )
+        r = mt.dispatch(client, "delete_entity", {"name": "alpha"})
+        assert r["content"][0]["text"] == (
+            'Successfully deleted entity "alpha" and its associated data'
+        )
+        body = json.loads(
+            mt.dispatch(client, "read_graph", {})["content"][0]["text"]
+        )
+        assert {e["name"] for e in body["entities"]} == {"beta"}
+
+    def test_handler_error_becomes_internal_error_payload(self, client):
+        import json
+
+        from mcp_memory_libsql_spark import mcp_tools as mt
+
+        # empty search query: the db layer raises, the tool layer wraps
+        r = mt.dispatch(client, "search_nodes", {"query": "   "})
+        assert r["isError"] is True
+        body = json.loads(r["content"][0]["text"])
+        assert body["error"] == "internal_error"
+        assert body["message"]
+
+    def test_schema_rejections_raise(self, client):
+        from mcp_memory_libsql_spark import mcp_tools as mt
+
+        with pytest.raises(ValueError, match="unknown tool"):
+            mt.dispatch(client, "nope", {})
+        with pytest.raises(ValueError, match="required"):
+            mt.dispatch(client, "create_entities", {})
+        with pytest.raises(ValueError, match="256"):
+            mt.dispatch(client, "delete_entity", {"name": "x" * 257})
+        with pytest.raises(ValueError, match="at most 50"):
+            mt.dispatch(client, "search_nodes", {"query": "q", "limit": 99})
+        with pytest.raises(ValueError, match="at most 50 items"):
+            mt.dispatch(client, "create_entities", {"entities": [
+                {"name": f"e{i}", "entityType": "t", "observations": []}
+                for i in range(51)
+            ]})
