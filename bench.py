@@ -48,6 +48,7 @@ EXTENDED = [
     "kg_hits",
     "kg_suggest_weighted",
     "dedup_winnowing",
+    "dedup_bloom",
     "vec_lsh_bucket_profile",
     "events_time_to_convert",
     "events_ewma",

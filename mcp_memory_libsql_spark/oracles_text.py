@@ -1238,3 +1238,44 @@ SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
 FROM p x JOIN p y ON x.h = y.h AND x.doc_id < y.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= 3
 """
+
+# Bloom-filter incremental dedup: the IDENTICAL md5-positioned filter
+# (m=4096 bits as 60-bit BIGINT words, j=3 seeds) built and probed in
+# SQL — maybe_dup is the filter verdict, is_dup the exact truth, so
+# the gate re-proves "no false negatives" on every run.
+ORACLES["dedup_bloom"] = """
+WITH fps AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           regexp_extract_all(lower(text), '[a-z0-9]+')[1:6], ' ')) AS fp
+  FROM documents
+),
+existing AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+bloom AS (
+  SELECT CAST(floor(pos / 60) AS BIGINT) AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS mask
+  FROM (
+    SELECT (('0x' || substr(md5(s.seed || ':' || fp), 1, 8))::BIGINT
+            % 4096) AS pos
+    FROM existing CROSS JOIN unnest(['0','1','2']) AS s(seed)
+  ) GROUP BY 1
+),
+incoming AS (
+  SELECT fp, MIN(doc_id) AS keep_id FROM fps WHERE doc_id % 2 = 1 GROUP BY 1
+),
+probes AS (
+  SELECT i.fp, i.keep_id,
+    (('0x' || substr(md5(s.seed || ':' || i.fp), 1, 8))::BIGINT
+     % 4096) AS pos
+  FROM incoming i CROSS JOIN unnest(['0','1','2']) AS s(seed)
+),
+hits AS (
+  SELECT fp, keep_id,
+    MIN(COALESCE((w.mask >> CAST(pos % 60 AS INTEGER)) & 1, 0)) AS allhit
+  FROM probes LEFT JOIN bloom w
+    ON CAST(floor(pos / 60) AS BIGINT) = w.word_idx
+  GROUP BY 1, 2
+)
+SELECT h.fp, h.keep_id, allhit = 1 AS maybe_dup, e.fp IS NOT NULL AS is_dup
+FROM hits h LEFT JOIN existing e ON h.fp = e.fp
+"""

@@ -1181,6 +1181,14 @@ def q_dedup_substring_docs(spark, sf_dir):
     return dd.substring_dup_coverage(t["documents"])
 
 
+@query("dedup_bloom")
+def q_dedup_bloom(spark, sf_dir):
+    # Bloom-filter membership audit vs exact truth — full oracle
+    # (bit-identical md5-positioned filter; proves no false negatives)
+    t = load_tables(spark, sf_dir)
+    return dd.bloom_incremental(t["documents"])
+
+
 @query("dedup_winnowing")
 def q_dedup_winnowing(spark, sf_dir):
     # MOSS winnowing fingerprint pairs — full oracle (identical

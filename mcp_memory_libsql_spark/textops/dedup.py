@@ -915,3 +915,86 @@ def winnowing_pairs(
         .agg(F.count("*").cast("bigint").alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
+
+
+BLOOM_BITS = 4096  # filter size m
+BLOOM_HASHES = 3  # hash count j
+BLOOM_WORD = 60  # bits per BIGINT word — masks stay positive (simhash discipline)
+
+
+def bloom_incremental(
+    documents: DataFrame,
+    prefix_words: int = 6,
+    m_bits: int = BLOOM_BITS,
+    j: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Bloom-filter incremental dedup audit → (fp, keep_id,
+    maybe_dup, is_dup): the membership-sketch twin of
+    :func:`dedup_incremental`. The already-ingested corpus (even
+    doc_ids, same gate split) compresses to an m-bit Bloom filter
+    stored as ⌈m/60⌉ BIGINT bit-words — ~34 bytes per 4096 bits vs
+    O(corpus) digests — and the incoming batch probes it:
+    ``maybe_dup`` is the filter's verdict (all j bits set), ``is_dup``
+    the exact anti-join truth alongside, so rows with
+    maybe_dup ∧ ¬is_dup ARE the measured false-positive set (never
+    the reverse — Bloom filters have no false negatives, which the
+    parity gate re-proves on every run).
+
+    Scale: the filter build is one groupBy over j·|corpus| bit
+    positions collapsing to ≤ ⌈m/60⌉ rows; bit-words merge by OR, so
+    shards/micro-batches combine exactly like the CMS counters
+    (streaming twin: cms_stream). Probing broadcasts the ≤ 69-row
+    word table — the incoming batch never shuffles against the
+    corpus. Hashes are md5-derived (portable; the oracle builds the
+    bit-identical filter in SQL).
+    """
+    toks = words(F.col("text"))
+    fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_words)))
+    base = documents.select("doc_id", fp.alias("fp"))
+    existing = base.where(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(j - 1))).alias("seed")
+    pos = md5_hash32(F.concat_ws(":", F.col("seed"), F.col("fp"))) % m_bits
+    bloom = (
+        existing.select("fp", seeds)
+        .select(
+            F.floor(pos / BLOOM_WORD).cast("bigint").alias("word_idx"),
+            (pos % BLOOM_WORD).cast("int").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).alias("mask")
+        )
+    )
+    incoming = (
+        base.where(F.col("doc_id") % 2 == 1)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    probes = incoming.select("fp", "keep_id", seeds).select(
+        "fp",
+        "keep_id",
+        F.floor(pos / BLOOM_WORD).cast("bigint").alias("word_idx"),
+        (pos % BLOOM_WORD).cast("int").alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "fp",
+            "keep_id",
+            F.coalesce(
+                F.expr("shiftright(mask, bit) & 1"), F.lit(0).cast("bigint")
+            ).alias("hit"),
+        )
+        .groupBy("fp", "keep_id")
+        .agg((F.min("hit") == 1).alias("maybe_dup"))
+    )
+    return hits.join(
+        existing.withColumn("_e", F.lit(1)), "fp", "left"
+    ).select(
+        "fp",
+        "keep_id",
+        "maybe_dup",
+        F.col("_e").isNotNull().alias("is_dup"),
+    )

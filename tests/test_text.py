@@ -184,3 +184,24 @@ def test_winnowing_density(spark):
     # w+k-1 = 32 chars, so the winnowing guarantee promises >= 1
     # shared fingerprint for every pair
     assert dd.winnowing_pairs(docs, min_shared=1).count() == 10
+
+
+def test_bloom_incremental_no_false_negatives(spark):
+    from mcp_memory_libsql_spark.textops import dedup as dd
+
+    # even ids = corpus, odd ids = incoming; doc 1 duplicates doc 0's
+    # 6-word prefix, doc 3 is new
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta tail-a"),
+            (2, "one two three four five six tail-b"),
+            (1, "alpha beta gamma delta epsilon zeta other-tail"),
+            (3, "totally fresh words never seen before anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.keep_id: r for r in dd.bloom_incremental(docs).collect()}
+    assert out[1].is_dup and out[1].maybe_dup  # true dup MUST be flagged
+    assert not out[3].is_dup
+    # the invariant, not a probability: is_dup implies maybe_dup
+    assert all((not r.is_dup) or r.maybe_dup for r in out.values())
