@@ -46,7 +46,9 @@ HEADLINE = [
 # round-over-round. Set SPARK_GRAFT_BENCH_EXTENDED=0 to skip.
 EXTENDED = [
     "kg_hits",
+    "kg_walks",
     "kg_suggest_weighted",
+    "data_quality_checks",
     "dedup_winnowing",
     "dedup_bloom",
     "vec_lsh_bucket_profile",

@@ -51,3 +51,85 @@ def column_stats(df: DataFrame, table_name: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def data_quality_checks(t) -> DataFrame:
+    """Data-contract validation report → (check_name, n_checked,
+    n_violations, passed): the dbt-test / Great-Expectations layer of
+    a pipeline — declarative row-level rules evaluated as ONE
+    aggregation per table plus key-level rules as rollups, emitted as
+    a fixed small report.
+
+    Checks: range (l_quantity 1..50, l_discount 0..0.1), enum
+    (l_returnflag ∈ {A,N,R}, o_orderstatus ∈ {F,O,P}), non-null
+    (o_custkey), referential integrity (lineitem.l_orderkey must
+    exist in orders — an aggregated anti-join), and key uniqueness
+    (o_orderkey). Every count is an exact BIGINT.
+
+    Scale: row-level rules ride one scan per table (all counted in a
+    single agg — adding a rule adds a column, not a pass); the FK
+    check is a key-rollup anti-join (shuffles key widths, never raw
+    rows); uniqueness is one groupBy on the key.
+    """
+    from pyspark.sql import functions as F
+
+    li, od = t["lineitem"], t["orders"]
+
+    def rowcheck(df, name, cond):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("bigint").alias("n_checked"),
+            F.sum((~cond).cast("bigint")).cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        rowcheck(
+            li,
+            "lineitem.quantity_in_1_50",
+            (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+        ),
+        rowcheck(
+            li,
+            "lineitem.discount_in_0_0.1",
+            (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+        ),
+        rowcheck(
+            li,
+            "lineitem.returnflag_enum",
+            F.col("l_returnflag").isin("A", "N", "R"),
+        ),
+        rowcheck(
+            od,
+            "orders.orderstatus_enum",
+            F.col("o_orderstatus").isin("F", "O", "P"),
+        ),
+        rowcheck(od, "orders.custkey_not_null", F.col("o_custkey").isNotNull()),
+    ]
+    # referential integrity: distinct lineitem order keys missing from
+    # orders — key-width shuffle only
+    li_keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    od_keys = od.select(F.col("o_orderkey").alias("k")).distinct()
+    orphans = li_keys.join(od_keys, "k", "left_anti")
+    fk = li_keys.crossJoin(
+        orphans.agg(F.count("*").alias("_v"))
+    ).agg(
+        F.lit("lineitem.orderkey_fk_orders").alias("check_name"),
+        F.count("*").cast("bigint").alias("n_checked"),
+        F.min("_v").cast("bigint").alias("n_violations"),
+    )
+    # key uniqueness: orders.o_orderkey
+    dup_keys = (
+        od.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.lit("orders.orderkey_unique").alias("check_name"),
+            F.count("*").cast("bigint").alias("n_checked"),
+            F.sum((F.col("c") > 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+    )
+    out = checks[0]
+    for c in checks[1:] + [fk, dup_keys]:
+        out = out.unionByName(c)
+    return out.withColumn("passed", F.col("n_violations") == 0)

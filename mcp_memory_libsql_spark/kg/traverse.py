@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from ..textops.tokenize import md5_hash32
+
 
 def degree(relations: DataFrame) -> DataFrame:
     """(name, out_degree, in_degree, degree) per entity appearing in
@@ -1004,3 +1006,74 @@ def observation_staleness(
         F.min("staleness").cast("bigint").alias("min_staleness"),
         F.max("staleness").cast("bigint").alias("max_staleness"),
     )
+
+
+def random_walks(
+    relations: DataFrame,
+    length: int = 4,
+    start_mod: int = 50,
+) -> DataFrame:
+    """Deterministic random-walk corpus → (start, path): the data-gen
+    step of DeepWalk/node2vec (Perozzi et al.) — walk sequences that
+    downstream skip-gram training consumes as sentences — made fully
+    reproducible: the "random" step from node v at step t of the walk
+    started at s picks sorted-neighbor index
+    ``md5(s:t:v) % degree(v)``, so the whole corpus is a pure function
+    of the graph and the oracle replays the identical walks in SQL.
+    Walks start at the md5 hash-sample ``hash(name) % start_mod == 0``
+    (deterministic ~1/start_mod of nodes); a node with no out-edges
+    absorbs the walk (self-stay), the standard dead-end rule.
+
+    Scale: one groupBy builds the sorted adjacency (neighbor lists
+    capped only by true out-degree — hub lists are one row each), then
+    ``length`` broadcast-able equi-joins of the walk frontier against
+    it; the frontier never exceeds the start sample size. At 100 TB
+    the adjacency is a bucketed table and every step reuses its
+    partitioning.
+    """
+    edges = relations.select("source", "target").distinct()
+    adj = (
+        edges.groupBy(F.col("source").alias("node"))
+        .agg(F.sort_array(F.collect_list("target")).alias("nbrs"))
+        .persist()
+    )
+    starts = (
+        edges.select(F.col("source").alias("name"))
+        .unionByName(edges.select(F.col("target").alias("name")))
+        .distinct()
+        .where(md5_hash32(F.col("name")) % start_mod == 0)
+    )
+    cur = starts.select(
+        F.col("name").alias("start"),
+        F.col("name").alias("cur"),
+        F.col("name").alias("path"),
+    )
+    for t in range(1, length + 1):
+        pick = F.concat_ws(":", F.col("start"), F.lit(str(t)), F.col("cur"))
+        cur = (
+            cur.join(adj, cur["cur"] == adj["node"], "left")
+            .select(
+                "start",
+                F.coalesce(
+                    F.element_at(
+                        "nbrs",
+                        (md5_hash32(pick) % F.size("nbrs") + 1).cast("int"),
+                    ),
+                    F.col("cur"),
+                ).alias("cur"),
+                F.concat_ws(
+                    "->",
+                    F.col("path"),
+                    F.coalesce(
+                        F.element_at(
+                            "nbrs",
+                            (md5_hash32(pick) % F.size("nbrs") + 1).cast(
+                                "int"
+                            ),
+                        ),
+                        F.col("cur"),
+                    ),
+                ).alias("path"),
+            )
+        )
+    return cur.select("start", "path")

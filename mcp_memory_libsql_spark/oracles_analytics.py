@@ -1646,3 +1646,54 @@ SELECT strftime(day, '%Y-%m-%d') AS day, n_opened, n_closed,
   CAST(SUM(n_opened - n_closed) OVER (ORDER BY day) AS BIGINT) AS backlog
 FROM d
 """
+
+ORACLES["data_quality_checks"] = """
+SELECT 'lineitem.quantity_in_1_50' AS check_name,
+  CAST(COUNT(*) AS BIGINT) AS n_checked,
+  CAST(SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+            THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+  SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+      THEN 0 ELSE 1 END) = 0 AS passed
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.discount_in_0_0.1', CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+            THEN 0 ELSE 1 END) AS BIGINT),
+  SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+      THEN 0 ELSE 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.returnflag_enum', CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R')
+            THEN 0 ELSE 1 END) AS BIGINT),
+  SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'orders.orderstatus_enum', CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P')
+            THEN 0 ELSE 1 END) AS BIGINT),
+  SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'orders.custkey_not_null', CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+  SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'lineitem.orderkey_fk_orders',
+  CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS BIGINT),
+  CAST((SELECT COUNT(*) FROM (
+     SELECT DISTINCT l_orderkey FROM lineitem
+     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  )) AS BIGINT),
+  (SELECT COUNT(*) FROM (
+     SELECT DISTINCT l_orderkey FROM lineitem
+     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  )) = 0
+UNION ALL
+SELECT 'orders.orderkey_unique',
+  CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+  SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0
+FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY 1)
+"""

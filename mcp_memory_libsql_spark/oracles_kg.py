@@ -1042,3 +1042,34 @@ ORDER BY ra_score DESC, entity_a, entity_b
 LIMIT 25
 """
 )
+
+# Deterministic random-walk corpus (DeepWalk data-gen): the identical
+# md5-indexed neighbor pick replayed step-by-step — walk step t from
+# node v in the walk started at s picks sorted-neighbor index
+# md5(s:t:v) % degree(v); dead ends self-absorb (see
+# kg.traverse.random_walks).
+_WALK_STEP = """
+w{t} AS (
+  SELECT start,
+    COALESCE(a.nbrs[CAST(('0x' || substr(md5(start || ':{t}:' || cur), 1, 8))::BIGINT
+                         % len(a.nbrs) + 1 AS INTEGER)], cur) AS cur,
+    path || '->' ||
+    COALESCE(a.nbrs[CAST(('0x' || substr(md5(start || ':{t}:' || cur), 1, 8))::BIGINT
+                         % len(a.nbrs) + 1 AS INTEGER)], cur) AS path
+  FROM w{p} LEFT JOIN adj a ON w{p}.cur = a.node
+),"""
+
+_WALK_BODY = """,
+e AS (SELECT DISTINCT source, target FROM relations),
+adj AS (SELECT source AS node, list(target ORDER BY target) AS nbrs
+        FROM e GROUP BY 1),
+nodes AS (SELECT source AS name FROM e UNION SELECT target FROM e),
+w0 AS (
+  SELECT name AS start, name AS cur, name AS path FROM nodes
+  WHERE ('0x' || substr(md5(name), 1, 8))::BIGINT % 50 = 0
+),"""
+for _t in range(1, 5):
+    _WALK_BODY += _WALK_STEP.format(t=_t, p=_t - 1)
+_WALK_BODY = _WALK_BODY.rstrip(",")
+
+ORACLES["kg_walks"] = KG_CTE + _WALK_BODY + "\nSELECT start, path FROM w4"

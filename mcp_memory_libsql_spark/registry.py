@@ -1753,6 +1753,14 @@ def q_kg_suggest_weighted(spark, sf_dir):
     return similarity.suggest_relations_weighted(g["relations"], k=25)
 
 
+@query("kg_walks")
+def q_kg_walks(spark, sf_dir):
+    # deterministic DeepWalk corpus generation — full oracle (4 md5-
+    # indexed steps unrolled in SQL)
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.random_walks(g["relations"], length=4)
+
+
 @query("kg_hits")
 def q_kg_hits(spark, sf_dir):
     # integer-exact unnormalized HITS, 2 rounds unrolled in the
@@ -1784,6 +1792,15 @@ def q_events_ewma(spark, sf_dir):
     # EWMA adaptive-baseline anomaly scan — full oracle (chronological
     # prefix folds, bit-identical across engines)
     return ev_ops.daily_ewma(load_tables(spark, sf_dir))
+
+
+@query("data_quality_checks")
+def q_data_quality_checks(spark, sf_dir):
+    # declarative data-contract report (range/enum/null/FK/uniqueness)
+    # — full oracle, one agg pass per table + key-rollup FK check
+    from .io.stats import data_quality_checks
+
+    return data_quality_checks(load_tables(spark, sf_dir))
 
 
 @query("orders_backlog")

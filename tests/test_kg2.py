@@ -491,3 +491,40 @@ def test_orders_backlog_conservation(spark, t):
     assert sum(r.n_opened for r in out) == sum(r.n_closed for r in out)
     final = max(out, key=lambda r: r.day)
     assert final.backlog == 0
+
+
+def test_random_walks_deterministic_and_valid(spark, t):
+    rel = kg_views.relations(t)
+    a = sorted(map(tuple, kg_traverse.random_walks(rel, length=4).collect()))
+    b = sorted(map(tuple, kg_traverse.random_walks(rel, length=4).collect()))
+    assert a == b and a
+    edges = {
+        (r.source, r.target)
+        for r in rel.select("source", "target").distinct().collect()
+    }
+    out_nodes = {s for s, _ in edges}
+    for start, path in a:
+        hops = path.split("->")
+        assert hops[0] == start and len(hops) == 5
+        for u, v in zip(hops, hops[1:]):
+            # every hop is a real edge, or a self-stay at a dead end
+            assert (u, v) in edges or (u == v and u not in out_nodes)
+
+
+def test_data_quality_checks_all_pass_on_testdata(spark, t):
+    from mcp_memory_libsql_spark.io.stats import data_quality_checks
+
+    rows = {r.check_name: r for r in data_quality_checks(t).collect()}
+    assert len(rows) == 7
+    assert all(r.passed for r in rows.values()), rows
+    # and the checker actually detects violations on corrupted input
+    bad = dict(t)
+    bad["orders"] = t["orders"].withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 100 == 0, None).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    got = {r.check_name: r for r in data_quality_checks(bad).collect()}
+    assert not got["orders.custkey_not_null"].passed
+    assert got["orders.custkey_not_null"].n_violations > 0

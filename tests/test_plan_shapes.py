@@ -114,3 +114,38 @@ def test_sample_est_no_python_and_bounded_shuffles(spark, sf_dir):
     plan = _plan(QUERIES["events_sample_est"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert _shuffles(plan) <= 3, plan
+
+
+def test_winnowing_selection_is_shuffle_free(spark, sf_dir):
+    """The whole fingerprint SELECTION (dense hash + window-min) is
+    in-row; the only shuffles are the postings groupBy and the pair
+    rollup."""
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.textops import dedup as dd
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    plan = _plan(dd.winnowing_fingerprints(docs))
+    assert _shuffles(plan) == 0, plan
+    pair_plan = _plan(QUERIES["dedup_winnowing"](spark, sf_dir))
+    assert _shuffles(pair_plan) <= 2, pair_plan
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    """The incoming batch joins the ~69-row bit-word table by
+    broadcast — probing never shuffles against the corpus side."""
+    plan = _plan(QUERIES["dedup_bloom"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ewma_no_global_window(spark, sf_dir):
+    """Per-type series folds happen in-row after the rollup — no
+    single-partition window over the raw events."""
+    plan = _plan(QUERIES["events_ewma"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_bucket_profile_bounded_shuffles(spark, sf_dir):
+    plan = _plan(QUERIES["vec_lsh_bucket_profile"](spark, sf_dir))
+    assert _shuffles(plan) <= 2, plan
+    assert "Python" not in plan, plan
