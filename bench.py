@@ -49,6 +49,8 @@ EXTENDED = [
     "kg_walks",
     "kg_suggest_weighted",
     "data_quality_checks",
+    "events_user_features",
+    "nation_supplier_hhi",
     "dedup_winnowing",
     "dedup_bloom",
     "vec_lsh_bucket_profile",

@@ -1307,3 +1307,38 @@ def orders_backlog(t) -> DataFrame:
         .cast("bigint")
         .alias("backlog"),
     )
+
+
+def user_features(t) -> DataFrame:
+    """Per-user behavioral feature vector → (user_id, n_events,
+    n_active_days, n_click, n_view, n_purchase, n_signup, n_error,
+    total_value, first_day, last_day): the feature-store layer of an
+    events pipeline — one row per user, ready to join as ML features
+    or feed the KNN/quantile ops. Typed counts use a FIXED event-type
+    set (schema-by-contract, never schema-by-scan — the PIVOT
+    discipline of events_type_pivot).
+
+    Scale: ONE user_id shuffle computes every feature (conditional
+    aggregation, map-side combined); adding a feature adds a column,
+    not a pass. total_value is DECIMAL-exact before the final
+    rendering round."""
+    ev = t["events"].select(
+        "user_id",
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    counts = [
+        F.sum((F.col("event_type") == et).cast("bigint"))
+        .cast("bigint")
+        .alias(f"n_{et}")
+        for et in ("click", "view", "purchase", "signup", "error")
+    ]
+    return ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("d").cast("bigint").alias("n_active_days"),
+        *counts,
+        F.round(F.sum("v").cast("double"), 4).alias("total_value"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("last_day"),
+    )

@@ -1081,3 +1081,57 @@ def supplier_scorecard(t, late_days: int = 60, min_lines: int = 5) -> DataFrame:
             4,
         ).alias("avg_delay_days"),
     )
+
+
+def nation_supplier_hhi(t) -> DataFrame:
+    """Supplier market concentration per nation → (nation,
+    n_suppliers, revenue, hhi, equiv_suppliers): the
+    Herfindahl-Hirschman index Σ share_i² over each nation's supplier
+    revenue shares — the procurement-risk readout (hhi → 1 means one
+    supplier owns the nation's volume; equiv_suppliers = 1/hhi is the
+    "effective number of suppliers").
+
+    Determinism: per-supplier revenue is rounded to exact DECIMAL
+    cents FIRST, squares and sums stay in exact decimal (the square
+    multiplies DECIMAL(18,2) by DECIMAL(19,2): 18+19+1 = exactly
+    Spark's 38-digit cap so no precision truncation, and the 19-width
+    side forces DuckDB onto hugeint storage instead of an overflowing
+    int64 multiply), and the only floating-point ops
+    are two exact-decimal→double casts, one multiply, one divide, one
+    round — a fixed IEEE expression tree, never an engine-ordered
+    double sum.
+
+    Scale: one suppkey rollup (map-side combined), one broadcast dim
+    join, one nation rollup. Never wider than the supplier table.
+    """
+    li = t["lineitem"]
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.expr("CAST(ROUND(SUM(" + _REV + "), 2) AS DECIMAL(18,2))").alias(
+            "r"
+        )
+    )
+    sup = t["supplier"].select("s_suppkey", "s_nationkey")
+    nat = t["nation"].select("n_nationkey", "n_name")
+    joined = (
+        per_supp.join(
+            broadcast(sup), per_supp["l_suppkey"] == sup["s_suppkey"]
+        )
+        .join(broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "r")
+    )
+    agg = joined.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.expr("CAST(SUM(r) AS DOUBLE)").alias("_total"),
+        F.expr(
+            "CAST(SUM(CAST(r AS DECIMAL(18,2)) * CAST(r AS DECIMAL(19,2)))"
+            " AS DOUBLE)"
+        ).alias("_sumsq"),
+    )
+    hhi = F.round(F.col("_sumsq") / (F.col("_total") * F.col("_total")), 6)
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        F.round("_total", 2).alias("revenue"),
+        hhi.alias("hhi"),
+        F.round(F.lit(1.0) / hhi, 2).alias("equiv_suppliers"),
+    )

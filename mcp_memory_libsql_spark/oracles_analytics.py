@@ -1697,3 +1697,49 @@ SELECT 'orders.orderkey_unique',
   SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0
 FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY 1)
 """
+
+ORACLES["events_user_features"] = """
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_click,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_signup,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_error,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+    AS total_value,
+  strftime(MIN(CAST(ts AS DATE)), '%Y-%m-%d') AS first_day,
+  strftime(MAX(CAST(ts AS DATE)), '%Y-%m-%d') AS last_day
+FROM events GROUP BY user_id
+"""
+
+ORACLES["nation_supplier_hhi"] = f"""
+WITH per_supp AS (
+  SELECT l_suppkey, CAST(ROUND(SUM({_REV}), 2) AS DECIMAL(18,2)) AS r
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT n_name AS nation, r
+  FROM per_supp
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+),
+agg AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+    CAST(SUM(r) AS DOUBLE) AS _total,
+    CAST(SUM(CAST(r AS DECIMAL(18,2)) * CAST(r AS DECIMAL(19,2)))
+         AS DOUBLE) AS _sumsq
+  FROM j GROUP BY 1
+)
+SELECT nation, n_suppliers,
+  ROUND(_total, 2) AS revenue,
+  ROUND(_sumsq / (_total * _total), 6) AS hhi,
+  ROUND(1.0 / ROUND(_sumsq / (_total * _total), 6), 2) AS equiv_suppliers
+FROM agg
+"""

@@ -1803,6 +1803,20 @@ def q_data_quality_checks(spark, sf_dir):
     return data_quality_checks(load_tables(spark, sf_dir))
 
 
+@query("nation_supplier_hhi")
+def q_nation_supplier_hhi(spark, sf_dir):
+    # Herfindahl supplier-concentration per nation — full oracle
+    # (decimal-exact squares, fixed IEEE expression tree)
+    return tpch.nation_supplier_hhi(load_tables(spark, sf_dir))
+
+
+@query("events_user_features")
+def q_events_user_features(spark, sf_dir):
+    # per-user feature-store row (one shuffle, fixed type set) —
+    # full oracle
+    return ev_ops.user_features(load_tables(spark, sf_dir))
+
+
 @query("orders_backlog")
 def q_orders_backlog(spark, sf_dir):
     # open-order backlog ±1 sweep — full oracle

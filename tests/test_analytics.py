@@ -243,3 +243,32 @@ def test_cms_never_undercounts_and_merges(spark, sf_dir):
     whole = sketches.cms_counters(keyed)
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_user_features_consistency(spark, sf_dir):
+    from mcp_memory_libsql_spark.analytics import events as ev_ops
+    from mcp_memory_libsql_spark.io.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    rows = ev_ops.user_features(t).collect()
+    total = t["events"].count()
+    assert sum(r.n_events for r in rows) == total
+    for r in rows:
+        assert (
+            r.n_click + r.n_view + r.n_purchase + r.n_signup + r.n_error
+            == r.n_events
+        )
+        assert 1 <= r.n_active_days <= r.n_events
+        assert r.first_day <= r.last_day
+
+
+def test_nation_hhi_bounds(spark, sf_dir):
+    from mcp_memory_libsql_spark.analytics import tpch
+    from mcp_memory_libsql_spark.io.tables import load_tables
+
+    rows = tpch.nation_supplier_hhi(load_tables(spark, sf_dir)).collect()
+    assert rows
+    for r in rows:
+        # HHI of n equal shares is 1/n; bounds: 1/n <= hhi <= 1
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-6
+        assert 1.0 <= r.equiv_suppliers <= r.n_suppliers + 1e-6
