@@ -503,3 +503,64 @@ def read_cms(spark: SparkSession, sink_dir: str) -> DataFrame:
         .groupBy("seed", "bucket")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def bloom_stream(documents: DataFrame, sink_dir: str, checkpoint_dir: str):
+    """Streaming Bloom-filter maintenance — the membership filter
+    behind dedup_bloom kept fresh on a document firehose: each
+    micro-batch appends its PARTIAL (word_idx, mask) bit-words to a
+    parquet delta log. Bit-words merge by OR (the filter's native
+    merge), so ``read_bloom`` collapses the log with one tiny groupBy
+    and the streamed filter is provably identical to the batch one
+    (tested cell-for-cell). A dedup consumer joins the ≤ ⌈m/60⌉-row
+    merged filter as a broadcast, exactly like the batch probe.
+
+    Expects a ``text`` column; fingerprints the 6-word lead prefix
+    (the dedup_bloom contract)."""
+    from ..textops.dedup import BLOOM_BITS, BLOOM_HASHES, BLOOM_WORD
+    from ..textops.tokenize import md5_hash32, words
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        toks = words(F.col("text"))
+        fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, 6)))
+        seeds = F.explode(
+            F.sequence(F.lit(0), F.lit(BLOOM_HASHES - 1))
+        ).alias("seed")
+        pos = (
+            md5_hash32(F.concat_ws(":", F.col("seed"), F.col("fp")))
+            % BLOOM_BITS
+        )
+        (
+            batch_df.select(fp.alias("fp"))
+            .distinct()
+            .select("fp", seeds)
+            .select(
+                F.floor(pos / BLOOM_WORD).cast("bigint").alias("word_idx"),
+                (pos % BLOOM_WORD).cast("int").alias("bit"),
+            )
+            .groupBy("word_idx")
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                ).alias("mask")
+            )
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    return (
+        documents.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_bloom(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Merge-on-read over streamed filter partials → (word_idx, mask):
+    OR the bit-words — the Bloom filter's native merge."""
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("mask"))
+    )

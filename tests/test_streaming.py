@@ -744,3 +744,60 @@ def test_cms_stream_matches_batch(spark, sf_dir, tmp_path):
     keyed = events.select(F.col("user_id").cast("string").alias("key"))
     want = {(r.seed, r.bucket): r.c for r in cms_counters(keyed).collect()}
     assert got == want
+
+
+def test_bloom_stream_matches_batch_filter(spark, sf_dir, tmp_path):
+    """Streamed Bloom bit-word partials OR-merge to the EXACT batch
+    filter built over the same documents."""
+    from pyspark.sql import functions as F
+
+    from mcp_memory_libsql_spark.textops.dedup import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        BLOOM_WORD,
+    )
+    from mcp_memory_libsql_spark.textops.tokenize import md5_hash32, words
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    src = tmp_path / "bloom_src"
+    src.mkdir()
+    pdf = docs.select("doc_id", "text").toPandas()
+    for i in range(3):
+        chunk = pdf.iloc[i * len(pdf) // 3 : (i + 1) * len(pdf) // 3]
+        with open(src / f"p{i}.json", "w") as f:
+            for _, row in chunk.iterrows():
+                f.write(json.dumps({"doc_id": int(row.doc_id), "text": row.text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sink = str(tmp_path / "bloom_sink")
+    q = pipeline.bloom_stream(stream, sink, str(tmp_path / "bloom_ckpt"))
+    _wait(q)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.word_idx: r.mask for r in pipeline.read_bloom(spark, sink).collect()
+    }
+    # batch filter over the same corpus
+    toks = words(F.col("text"))
+    fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, 6)))
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_HASHES - 1))).alias("seed")
+    pos = md5_hash32(F.concat_ws(":", F.col("seed"), F.col("fp"))) % BLOOM_BITS
+    want = {
+        r.word_idx: r.mask
+        for r in (
+            docs.select(fp.alias("fp"))
+            .distinct()
+            .select("fp", seeds)
+            .select(
+                F.floor(pos / BLOOM_WORD).cast("bigint").alias("word_idx"),
+                (pos % BLOOM_WORD).cast("int").alias("bit"),
+            )
+            .groupBy("word_idx")
+            .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"))
+            .collect()
+        )
+    }
+    assert got == want
