@@ -1329,7 +1329,9 @@ def user_features(t) -> DataFrame:
         F.col("value").cast("decimal(18,4)").alias("v"),
     )
     counts = [
-        F.sum((F.col("event_type") == et).cast("bigint"))
+        # eqNullSafe: a NULL event_type counts 0 in every typed
+        # bucket (the oracle's CASE ... ELSE 0), not NULL-skipped
+        F.sum(F.col("event_type").eqNullSafe(et).cast("bigint"))
         .cast("bigint")
         .alias(f"n_{et}")
         for et in ("click", "view", "purchase", "signup", "error")

@@ -64,22 +64,26 @@ def data_quality_checks(t) -> DataFrame:
     (l_returnflag ∈ {A,N,R}, o_orderstatus ∈ {F,O,P}), non-null
     (o_custkey), referential integrity (lineitem.l_orderkey must
     exist in orders — an aggregated anti-join), and key uniqueness
-    (o_orderkey). Every count is an exact BIGINT.
+    (o_orderkey). Every count is an exact BIGINT. A NULL in a
+    range/enum column COUNTS AS A VIOLATION (a NULL quantity is
+    exactly what a contract check must flag — and three-valued
+    logic would otherwise let it slip through the negated filter).
 
     Scale: row-level rules ride one scan per table (all counted in a
     single agg — adding a rule adds a column, not a pass); the FK
     check is a key-rollup anti-join (shuffles key widths, never raw
     rows); uniqueness is one groupBy on the key.
     """
-    from pyspark.sql import functions as F
-
     li, od = t["lineitem"], t["orders"]
 
     def rowcheck(df, name, cond):
+        # NULL cond → violation (NOT the SQL-filter semantics where
+        # NULL silently passes both cond and ~cond)
+        violated = cond.isNull() | ~cond
         return df.agg(
             F.lit(name).alias("check_name"),
             F.count("*").cast("bigint").alias("n_checked"),
-            F.sum((~cond).cast("bigint")).cast("bigint").alias("n_violations"),
+            F.sum(violated.cast("bigint")).cast("bigint").alias("n_violations"),
         )
 
     checks = [

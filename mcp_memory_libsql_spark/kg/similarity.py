@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..textops.tokenize import md5_hash60
+from ..textops.tokenize import md5_hash60, pair_combos
 
 # Drop neighbors with more incident entities than this: a hub neighbor
 # contributes C(width, 2) candidate pairs, so the cap is the skew /
@@ -199,15 +199,7 @@ def similar_entities_minhash(
         ]
     )
     banded = sig.select("nid", F.explode(keys).alias("band_key"))
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    combos = pair_combos("ids")
     cand = (
         banded.groupBy("band_key")
         .agg(F.sort_array(F.collect_list("nid")).alias("ids"))
@@ -479,15 +471,7 @@ def suggest_relations_weighted(
         .where(F.size("ids") <= cap)
         .persist()
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    combos = pair_combos("ids")
     pairs = (
         postings.select(F.size("ids").alias("w"), F.explode(combos).alias("p"))
         .groupBy(F.col("p.a").alias("na"), F.col("p.b").alias("nb"))

@@ -172,6 +172,8 @@ def hits(relations: DataFrame, iterations: int = 2) -> DataFrame:
     identical shuffle shape to a PageRank step; edge table persisted
     once.
     """
+    if iterations < 1:
+        raise ValueError("hits() needs at least 1 iteration")
     edges = relations.select("source", "target").distinct().persist()
     nodes = (
         edges.select(F.col("source").alias("name"))

@@ -1222,7 +1222,7 @@ WITH hs AS (
 sel AS (
   SELECT doc_id,
     list_distinct(list_transform(
-      range(1, greatest(1::BIGINT, len(hps)::BIGINT - 8 + 2)),
+      range(1, greatest(2::BIGINT, len(hps)::BIGINT - 8 + 2)),
       j -> list_reduce(
              list_prepend(struct_pack(h := 8589934592::BIGINT, p := 0::BIGINT),
                           list_slice(hps, j, j + 7)),

@@ -517,36 +517,11 @@ def bloom_stream(documents: DataFrame, sink_dir: str, checkpoint_dir: str):
 
     Expects a ``text`` column; fingerprints the 6-word lead prefix
     (the dedup_bloom contract)."""
-    from ..textops.dedup import BLOOM_BITS, BLOOM_HASHES, BLOOM_WORD
-    from ..textops.tokenize import md5_hash32, words
+    from ..textops.dedup import bloom_bit_words, lead_prefix_fp
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        toks = words(F.col("text"))
-        fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, 6)))
-        seeds = F.explode(
-            F.sequence(F.lit(0), F.lit(BLOOM_HASHES - 1))
-        ).alias("seed")
-        pos = (
-            md5_hash32(F.concat_ws(":", F.col("seed"), F.col("fp")))
-            % BLOOM_BITS
-        )
-        (
-            batch_df.select(fp.alias("fp"))
-            .distinct()
-            .select("fp", seeds)
-            .select(
-                F.floor(pos / BLOOM_WORD).cast("bigint").alias("word_idx"),
-                (pos % BLOOM_WORD).cast("int").alias("bit"),
-            )
-            .groupBy("word_idx")
-            .agg(
-                F.bit_or(
-                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-                ).alias("mask")
-            )
-            .write.mode("append")
-            .parquet(sink_dir)
-        )
+        fps = batch_df.select(lead_prefix_fp(6).alias("fp")).distinct()
+        bloom_bit_words(fps).write.mode("append").parquet(sink_dir)
 
     return (
         documents.writeStream.foreachBatch(apply_batch)

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..vector.similarity import cosine
-from .tokenize import md5_hash32, md5_hash60, word_shingles, words
+from .tokenize import md5_hash32, md5_hash60, pair_combos, word_shingles, words
 
 DF_CAP = 100  # drop shingles appearing in more docs than this
 MINHASH_K = 8
@@ -105,15 +105,7 @@ def ngram_jaccard_pairs(
         .groupBy("doc_id")
         .agg(F.count("*").alias("sz"))
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    combos = pair_combos("ids")
     pairs = (
         postings.select(F.explode(combos).alias("p"))
         .groupBy(
@@ -556,15 +548,7 @@ def substring_dup_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= cap))
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    combos = pair_combos("ids")
     return (
         postings.select(F.explode(combos).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
@@ -900,15 +884,7 @@ def winnowing_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= cap))
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    combos = pair_combos("ids")
     return (
         postings.select(F.explode(combos).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
@@ -920,6 +896,41 @@ def winnowing_pairs(
 BLOOM_BITS = 4096  # filter size m
 BLOOM_HASHES = 3  # hash count j
 BLOOM_WORD = 60  # bits per BIGINT word — masks stay positive (simhash discipline)
+
+
+def lead_prefix_fp(prefix_words: int = 6):
+    """md5 fingerprint of the first ``prefix_words`` word tokens of
+    ``text`` — the lead-prefix dedup key shared by dedup_incremental,
+    the Bloom audit, and the streaming filter."""
+    toks = words(F.col("text"))
+    return F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_words)))
+
+
+def bloom_bit_words(
+    fps: DataFrame, m_bits: int = BLOOM_BITS, j: int = BLOOM_HASHES
+) -> DataFrame:
+    """Bloom filter of an ``fp``-column DataFrame → (word_idx, mask)
+    bit-words. THE one definition of the filter layout (seed format,
+    position hash, 60-bit word packing), shared by the batch audit
+    (:func:`bloom_incremental`), the streaming twin
+    (streaming.pipeline.bloom_stream), and the equality test — so the
+    "streamed filter is provably identical to batch" claim can never
+    drift out from under its copies. Bit-words merge by OR."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(j - 1))).alias("seed")
+    pos = md5_hash32(F.concat_ws(":", F.col("seed"), F.col("fp"))) % m_bits
+    return (
+        fps.select("fp", seeds)
+        .select(
+            F.floor(pos / BLOOM_WORD).cast("bigint").alias("word_idx"),
+            (pos % BLOOM_WORD).cast("int").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).alias("mask")
+        )
+    )
 
 
 def bloom_incremental(
@@ -948,25 +959,13 @@ def bloom_incremental(
     corpus. Hashes are md5-derived (portable; the oracle builds the
     bit-identical filter in SQL).
     """
-    toks = words(F.col("text"))
-    fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_words)))
-    base = documents.select("doc_id", fp.alias("fp"))
+    base = documents.select(
+        "doc_id", lead_prefix_fp(prefix_words).alias("fp")
+    )
     existing = base.where(F.col("doc_id") % 2 == 0).select("fp").distinct()
     seeds = F.explode(F.sequence(F.lit(0), F.lit(j - 1))).alias("seed")
     pos = md5_hash32(F.concat_ws(":", F.col("seed"), F.col("fp"))) % m_bits
-    bloom = (
-        existing.select("fp", seeds)
-        .select(
-            F.floor(pos / BLOOM_WORD).cast("bigint").alias("word_idx"),
-            (pos % BLOOM_WORD).cast("int").alias("bit"),
-        )
-        .groupBy("word_idx")
-        .agg(
-            F.bit_or(
-                F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-            ).alias("mask")
-        )
-    )
+    bloom = bloom_bit_words(existing, m_bits, j)
     incoming = (
         base.where(F.col("doc_id") % 2 == 1)
         .groupBy("fp")

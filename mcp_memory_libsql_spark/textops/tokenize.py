@@ -89,3 +89,23 @@ def bpe_merge_candidates(documents, k: int = 50):
         F.countDistinct("w").cast("bigint").alias("n_words"),
     )
     return agg.orderBy(F.col("pair_count").desc(), "pair").limit(k)
+
+
+def pair_combos(ids, a: str = "a", b: str = "b"):
+    """All in-row ordered pairs of a SORTED id array → flattened
+    array of struct(a, b) with a < b (array-position order) — the
+    shared postings-list pair explosion every inverted-index join
+    here uses (n-gram/substring/winnowing dedup, neighbor-overlap
+    similarity, LSH buckets). One definition so the i+2 slice
+    arithmetic can never drift between call sites.
+    """
+    col = F.col(ids) if isinstance(ids, str) else ids
+    return F.flatten(
+        F.transform(
+            col,
+            lambda x, i: F.transform(
+                F.slice(col, i + 2, F.size(col)),
+                lambda y: F.struct(x.alias(a), y.alias(b)),
+            ),
+        )
+    )

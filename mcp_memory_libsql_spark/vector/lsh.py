@@ -33,6 +33,7 @@ import struct
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
+from ..textops.tokenize import pair_combos
 from .similarity import cosine
 
 N_TABLES = 16
@@ -209,15 +210,7 @@ def near_dup_pairs_lsh(
     pairs = (
         capped.groupBy("table_id", "sig")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(x AS vec_a, y AS vec_b))))"
-                )
-            ).alias("p")
-        )
+        .select(F.explode(pair_combos("ids", "vec_a", "vec_b")).alias("p"))
         .select("p.vec_a", "p.vec_b")
         .distinct()
     )

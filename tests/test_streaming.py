@@ -749,14 +749,10 @@ def test_cms_stream_matches_batch(spark, sf_dir, tmp_path):
 def test_bloom_stream_matches_batch_filter(spark, sf_dir, tmp_path):
     """Streamed Bloom bit-word partials OR-merge to the EXACT batch
     filter built over the same documents."""
-    from pyspark.sql import functions as F
-
     from mcp_memory_libsql_spark.textops.dedup import (
-        BLOOM_BITS,
-        BLOOM_HASHES,
-        BLOOM_WORD,
+        bloom_bit_words,
+        lead_prefix_fp,
     )
-    from mcp_memory_libsql_spark.textops.tokenize import md5_hash32, words
 
     docs = load_tables(spark, sf_dir)["documents"]
     src = tmp_path / "bloom_src"
@@ -780,24 +776,12 @@ def test_bloom_stream_matches_batch_filter(spark, sf_dir, tmp_path):
     got = {
         r.word_idx: r.mask for r in pipeline.read_bloom(spark, sink).collect()
     }
-    # batch filter over the same corpus
-    toks = words(F.col("text"))
-    fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, 6)))
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_HASHES - 1))).alias("seed")
-    pos = md5_hash32(F.concat_ws(":", F.col("seed"), F.col("fp"))) % BLOOM_BITS
+    # batch filter over the same corpus, through the SAME shared
+    # bit-word builder the stream uses
     want = {
         r.word_idx: r.mask
-        for r in (
-            docs.select(fp.alias("fp"))
-            .distinct()
-            .select("fp", seeds)
-            .select(
-                F.floor(pos / BLOOM_WORD).cast("bigint").alias("word_idx"),
-                (pos % BLOOM_WORD).cast("int").alias("bit"),
-            )
-            .groupBy("word_idx")
-            .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"))
-            .collect()
-        )
+        for r in bloom_bit_words(
+            docs.select(lead_prefix_fp(6).alias("fp")).distinct()
+        ).collect()
     }
     assert got == want

@@ -205,3 +205,55 @@ def test_bloom_incremental_no_false_negatives(spark):
     assert not out[3].is_dup
     # the invariant, not a probability: is_dup implies maybe_dup
     assert all((not r.is_dup) or r.maybe_dup for r in out.values())
+
+
+def test_winnowing_short_doc_matches_oracle_selection(spark):
+    """Docs with fewer than w grams (text length 25..31) get exactly
+    ONE truncated window in BOTH engines — regression for the oracle's
+    empty-range bug (range upper bound must be greatest(2, len-w+2),
+    not greatest(1, ...), because DuckDB range(1, 1) is empty while
+    Spark's sequence(1, 1) is [1])."""
+    import duckdb
+    import pandas as pd
+
+    from mcp_memory_libsql_spark.textops import dedup as dd
+
+    texts = [
+        (1, "exactly twenty-five chars"),          # len 25: 1 gram
+        (2, "a text of thirty-one characters"),    # len 31: 7 grams
+        (3, "a much longer document that has plenty of k-grams in it"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.h)
+        for r in dd.winnowing_fingerprints(docs).collect()
+    }
+    assert {d for d, _ in got} == {1, 2, 3}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(texts, columns=["doc_id", "text"]))
+    want = {
+        (r[0], r[1])
+        for r in con.sql("""
+WITH hs AS (
+  SELECT doc_id,
+    list_transform(range(1, length(text) - 25 + 2),
+      p -> struct_pack(
+             h := ('0x' || substr(md5(substr(text, p::INTEGER, 25)), 1, 8))::BIGINT,
+             p := p::BIGINT)) AS hps
+  FROM documents WHERE length(text) >= 25
+),
+sel AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(2::BIGINT, len(hps)::BIGINT - 8 + 2)),
+      j -> list_reduce(
+             list_prepend(struct_pack(h := 8589934592::BIGINT, p := 0::BIGINT),
+                          list_slice(hps, j, j + 7)),
+             (acc, x) -> CASE WHEN x.h < acc.h OR (x.h = acc.h AND x.p > acc.p)
+                         THEN x ELSE acc END).h)) AS fps
+  FROM hs
+)
+SELECT doc_id, unnest(fps) FROM sel
+""").fetchall()
+    }
+    assert got == want
