@@ -451,12 +451,17 @@ def suggest_relations_weighted(
     would hash-differently across engines' libm).
 
     Determinism: deg(z) is the width of z's postings list, so the
-    weight travels IN-ROW with each pair (no extra join), and the
-    per-pair score folds the SORTED weight list left-to-right — the
-    identical IEEE sequence the DuckDB oracle's list_reduce computes.
-    Hub neighbors past ``cap`` are dropped (hub-suppressed RA, the
-    same skew bound as :func:`similar_entities` — they contribute
-    ≤ 1/cap each anyway).
+    weight travels IN-ROW with each pair (no extra join), quantized
+    to a scaled BIGINT ``(2⁴⁰ + w div 2) div w`` (half-up 1/w at
+    2⁻⁴⁰ resolution — pure integer math, identical in any engine).
+    The per-pair score is then an ORDER-INDEPENDENT integer SUM
+    (map-side combinable, no per-pair weight arrays, no fold-order
+    contract to keep) divided once at the end — the scaled-integer
+    discipline of ``analytics.tpch._avg4``; quantization error is
+    ≤ n_common·2⁻⁴¹, invisible at the 6-decimal rounding. Hub
+    neighbors past ``cap`` are dropped (hub-suppressed RA, the same
+    skew bound as :func:`similar_entities` — they contribute ≤ 1/cap
+    each anyway).
 
     Scale: one postings shuffle + one bounded pair rollup
     (Σ C(w,2) ≤ cap·|edges|) + a broadcast-able anti-join; top-k via
@@ -472,25 +477,25 @@ def suggest_relations_weighted(
         .persist()
     )
     combos = pair_combos("ids")
+    scale = 1 << 40
+    contrib = F.expr(
+        f"CAST(({scale} + size(ids) DIV 2) DIV size(ids) AS BIGINT)"
+    )
     pairs = (
-        postings.select(F.size("ids").alias("w"), F.explode(combos).alias("p"))
+        postings.select(
+            contrib.alias("c"),
+            F.explode(combos).alias("p"),
+        )
         .groupBy(F.col("p.a").alias("na"), F.col("p.b").alias("nb"))
         .agg(
             F.count("*").alias("n_common"),
-            F.sort_array(F.collect_list("w")).alias("ws"),
+            F.sum("c").alias("c_sum"),
         )
         .withColumn(
             "ra_score",
-            F.round(
-                F.aggregate(
-                    "ws",
-                    F.lit(0.0),
-                    lambda acc, w: acc + F.lit(1.0) / w,
-                ),
-                6,
-            ),
+            F.round(F.col("c_sum").cast("double") / F.lit(float(scale)), 6),
         )
-        .drop("ws")
+        .drop("c_sum")
     )
     names = enc.select("nid", "name").distinct()
     da = names.select(F.col("nid").alias("na"), F.col("name").alias("name_a"))

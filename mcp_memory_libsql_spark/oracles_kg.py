@@ -1001,10 +1001,11 @@ FROM h2 JOIN a2 ON h2.name = a2.name
 )
 
 # Resource-Allocation link prediction: per-pair Σ 1/deg(z) over
-# shared neighbors, the weight list SORTED then left-folded — the
-# identical IEEE sequence Spark's aggregate() computes (see
-# kg.similarity.suggest_relations_weighted). list_prepend supplies
-# the 0.0 accumulator (list_reduce uses element 1 as init).
+# shared neighbors with each 1/w quantized to a scaled BIGINT
+# (2^40 + w//2) // w — pure integer math, so the per-pair sum is
+# order-independent and bit-identical to Spark's (see
+# kg.similarity.suggest_relations_weighted); one double division at
+# the end.
 ORACLES["kg_suggest_weighted"] = (
     KG_CTE
     + """,
@@ -1015,17 +1016,16 @@ und AS (
 ),
 und2 AS (SELECT name, nbr FROM und WHERE name <> nbr),
 widths AS (
-  SELECT nbr, COUNT(*) AS w FROM und2 GROUP BY nbr
+  SELECT nbr, CAST((1099511627776 + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+           AS c
+  FROM und2 GROUP BY nbr
   HAVING COUNT(*) <= 256
 ),
-p AS (SELECT u.name, u.nbr, widths.w FROM und2 u JOIN widths USING (nbr)),
+p AS (SELECT u.name, u.nbr, widths.c FROM und2 u JOIN widths USING (nbr)),
 pairs AS (
   SELECT x.name AS entity_a, y.name AS entity_b,
          CAST(COUNT(*) AS BIGINT) AS n_common,
-         ROUND(list_reduce(
-             list_prepend(CAST(0 AS DOUBLE),
-                          list_sort(list(CAST(x.w AS DOUBLE)))),
-             (acc, v) -> acc + CAST(1.0 AS DOUBLE) / v), 6) AS ra_score
+         ROUND(CAST(SUM(x.c) AS DOUBLE) / 1099511627776.0, 6) AS ra_score
   FROM p x JOIN p y ON x.nbr = y.nbr AND x.name < y.name
   GROUP BY 1, 2
 )
