@@ -737,7 +737,9 @@ def label_propagation(relations: DataFrame, iterations: int = 4) -> DataFrame:
 
 
 def community_modularity(
-    relations: DataFrame, iterations: int = 4
+    relations: DataFrame,
+    iterations: int = 4,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Newman modularity profile of the label-propagation partition →
     (community, n_nodes, internal_edges, total_degree,
@@ -750,11 +752,15 @@ def community_modularity(
     Scale: communities from LPA, then one undirected-edge join against
     the (tiny) label map — broadcast — and two rollups keyed by
     community. The 1-row edge total joins back via cross join, never a
-    driver collect.
+    driver collect. Pass ``labels`` (a materialized LPA result) to
+    skip re-running the propagation — labels are an ingest artifact
+    in production, not a per-query cost.
     """
-    comms = label_propagation(relations, iterations).select(
-        "name", "community"
-    )
+    comms = (
+        labels
+        if labels is not None
+        else label_propagation(relations, iterations)
+    ).select("name", "community")
     und = (
         relations.where(F.col("source") != F.col("target"))
         .select(

