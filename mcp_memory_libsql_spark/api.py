@@ -151,6 +151,12 @@ class MemoryClient:
         )
 
     def create_relations(self, relations: list[dict]) -> None:
+        """Batch relation insert (client.ts:298-338). Deliberately
+        like the reference AS DEPLOYED: duplicates append (no unique
+        constraint) and endpoints are NOT existence-checked — the
+        schema declares FOREIGN KEYs but libSQL/SQLite leaves FK
+        enforcement OFF without a pragma the reference never sets, so
+        dangling relations are accepted there too."""
         if not relations:
             return
         rows = []
@@ -175,6 +181,10 @@ class MemoryClient:
         )
 
     def delete_entity(self, name: str) -> None:
+        # raw-string comparison on purpose: the reference binds the
+        # caller's string directly into the WHERE (client.ts:344) —
+        # a name that sanitized differently at write time is "not
+        # found" there too
         g = self.store.read()
         if g["entities"].where(g["entities"]["name"] == name).count() == 0:
             raise ValueError(f"Entity not found: {name}")
@@ -302,6 +312,13 @@ class MemoryClient:
 
         g = self.store.read()
         o = g["observations"]
+        from .textops.tokenize import md5_hash60
+
+        # doc_id = md5 of the entity name: deterministic AND computed
+        # in-row — an unpartitioned row_number window here would
+        # funnel the whole pseudo-doc corpus through one partition
+        # just to mint ids (collision odds at 60 bits are ~n²/2⁶¹,
+        # vanishing for any real store)
         pseudo = (
             o.groupBy("entity_name")
             .agg(
@@ -310,10 +327,7 @@ class MemoryClient:
                 ).alias("text")
             )
             .select(
-                F.row_number()
-                .over(Window.orderBy("entity_name"))
-                .cast("bigint")
-                .alias("doc_id"),
+                md5_hash60(F.col("entity_name")).alias("doc_id"),
                 F.col("entity_name"),
                 "text",
             )
@@ -351,6 +365,10 @@ class MemoryClient:
             .where(g["entities"]["name"].isin(names))
             .collect()
         }
+        # an observation row without a matching entity (e.g. written
+        # through a raw stream before its entity arrived) scores like
+        # any pseudo-doc but has no entity payload — skip it rather
+        # than KeyError mid-serve
         return [
             {
                 "name": n,
@@ -359,4 +377,5 @@ class MemoryClient:
                 "score": s.score,
             }
             for n, s in zip(names, scored)
+            if n in ents
         ]

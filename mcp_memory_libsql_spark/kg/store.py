@@ -101,11 +101,16 @@ def upsert_entities(
     kept = entities.join(broadcast(batch_names), "name", "left_anti")
     new_entities = kept.unionByName(b_ent)
 
+    # entity_name != "" mirrors the entity-side filter: a batch row
+    # whose name sanitizes away drops its ENTITY above, so its
+    # observations must drop too — otherwise they'd persist as
+    # undeletable orphans under entity_name "" (cascade deletes key
+    # on real names and would never reach them)
     b_obs = batch_observations.select(
         sanitize_entity_name(F.col("entity_name")).alias("entity_name"),
         sanitize_observation(F.col("content")).alias("content"),
         F.col("created_at").cast("bigint").alias("created_at"),
-    ).where(F.col("content") != "")
+    ).where((F.col("content") != "") & (F.col("entity_name") != ""))
     # Truncation to the cap is deterministic: first N sorted by
     # (content, created_at).
     ow = Window.partitionBy("entity_name").orderBy("content", "created_at")
@@ -522,8 +527,12 @@ class GraphStore:
         parts = []
         for tbl in self.TABLES:
             cols = self.DIFF_KEYS[tbl]
-            key = F.concat_ws(
-                "|", *[F.col(c).cast("string") for c in cols]
+            # JSON struct rendering, not concat_ws: concat_ws skips
+            # NULLs and is ambiguous when a value contains the
+            # separator ("a|b","c" vs "a","b|c" would compare equal
+            # and the diff would miss the change)
+            key = F.to_json(
+                F.struct(*[F.col(c).cast("string") for c in cols])
             ).alias("row_key")
             ka = before[tbl].select(key).distinct()
             kb = after[tbl].select(key).distinct()

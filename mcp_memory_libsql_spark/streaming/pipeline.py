@@ -91,9 +91,14 @@ def dedup_stream(
     dedup state would grow forever).
 
     State is partitioned by the digest, the same key the batch
-    dedup's groupBy shuffles on."""
+    dedup's groupBy shuffles on. The digest hashes a JSON struct
+    rendering, not a concat_ws join — concat_ws both skips NULLs and
+    is ambiguous under separator characters in the values, so
+    (null, "x") / ("x", null) and ("a|b", "c") / ("a", "b|c") would
+    collide and silently drop real events."""
     keyed = events.withColumn(
-        "digest", F.md5(F.concat_ws("|", "event_type", "props"))
+        "digest",
+        F.md5(F.to_json(F.struct("user_id", "event_type", "props"))),
     )
     return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["digest"]
@@ -105,6 +110,7 @@ def entity_upsert_stream(
     dir_path: str,
     store,
     checkpoint_every: int = 8,
+    checkpoint_dir: str | None = None,
 ):
     """Micro-batch entity upserts: each arriving JSON file carries
     create_entities batches (name, entity_type, created_at, plus
@@ -133,7 +139,14 @@ def entity_upsert_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        batch_e = batch_df.select("name", "entity_type", "created_at").distinct()
+        # observation-only rows carry a null entity_type; they must
+        # NOT enter the entity batch (NULL sorts first in the LWW
+        # tiebreak and would null the stored type)
+        batch_e = (
+            batch_df.where(F.col("entity_type").isNotNull())
+            .select("name", "entity_type", "created_at")
+            .distinct()
+        )
         batch_o = batch_df.where(F.col("content").isNotNull()).select(
             F.col("name").alias("entity_name"), "content", "created_at"
         )
@@ -141,7 +154,13 @@ def entity_upsert_stream(
         if checkpoint_every and store.delta_chain_length() >= checkpoint_every:
             store.checkpoint()
 
-    return stream.writeStream.foreachBatch(apply_batch).outputMode("update").start()
+    # Without a Structured Streaming checkpoint, a restart re-reads
+    # EVERY source file and re-applies every delta — the store would
+    # double on each recovery. Default next to the store itself.
+    w = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir or store.path + "/_stream_ckpt_entities"
+    )
+    return w.outputMode("update").start()
 
 
 def enrich_events(events: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
@@ -295,6 +314,7 @@ def relation_upsert_stream(
     dir_path: str,
     store,
     checkpoint_every: int = 8,
+    checkpoint_dir: str | None = None,
 ):
     """Micro-batch relation creation — the streaming twin of the
     reference's ``create_relations`` tool (src/index.ts:207,
@@ -323,7 +343,12 @@ def relation_upsert_stream(
         if checkpoint_every and store.delta_chain_length() >= checkpoint_every:
             store.checkpoint()
 
-    return stream.writeStream.foreachBatch(apply_batch).outputMode("update").start()
+    # see entity_upsert_stream: a restart without a checkpoint would
+    # replay every file as a fresh append, doubling the relations
+    w = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir or store.path + "/_stream_ckpt_relations"
+    )
+    return w.outputMode("update").start()
 
 
 def topk_users_stream(events: DataFrame, sink_dir: str, checkpoint_dir: str):

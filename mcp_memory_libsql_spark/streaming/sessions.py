@@ -75,7 +75,15 @@ def _make_updater(gap_minutes: int):
                 if last_epoch is not None and epoch - last_epoch > gap:
                     session_id += 1
                     n_events, sum_value = 0, 0.0
-                last_epoch = epoch
+                # never move the frontier BACKWARDS: an event arriving
+                # late (epoch < last_epoch, delivered in a later
+                # micro-batch) joins the current session but must not
+                # rewind last_epoch — otherwise the next on-time event
+                # measures its gap from the stale late timestamp and
+                # spuriously opens a new session
+                last_epoch = (
+                    epoch if last_epoch is None else max(last_epoch, epoch)
+                )
                 n_events += 1
                 sum_value += float(value)
                 emitted[session_id] = (n_events, sum_value)

@@ -29,4 +29,10 @@ def norm2(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm2(a) * norm2(b))
+    """NULL (not an error) for zero-norm inputs: a TF-IDF query whose
+    every term is corpus-ubiquitous embeds to the zero vector, and
+    under ANSI mode (the default in vanilla Spark 4 sessions) a plain
+    division would throw DIVIDE_BY_ZERO mid-scan; every serve path
+    here already filters ``isNotNull`` scores."""
+    denom = norm2(a) * norm2(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)

@@ -192,8 +192,10 @@ def test_dedup_stream_drops_repeats(spark, tmp_path):
         n_digests = got.distinct().count()
         # every surviving row is a unique digest
         assert got.count() == n_digests
-        # distinct (event_type, k) combos = 2*3
-        assert n_digests == 6
+        # record identity = (user_id, event_type, props): all 12
+        # original rows are distinct records; the 6 re-sent EXACT
+        # repeats are dropped
+        assert n_digests == 12
     finally:
         q.stop()
 
@@ -785,3 +787,69 @@ def test_bloom_stream_matches_batch_filter(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_sessionize_late_event_does_not_rewind_frontier(spark, tmp_path):
+    """A late event delivered in a later micro-batch joins the current
+    session but must NOT rewind last_epoch — the next on-time event
+    would otherwise measure its gap from the stale late timestamp and
+    spuriously open a new session."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for eid, ts in rows:
+                f.write(json.dumps({
+                    "event_id": eid, "ts": ts, "user_id": 9,
+                    "event_type": "x", "value": 1.0, "props": "{}",
+                }) + "\n")
+
+    from mcp_memory_libsql_spark.streaming import sessions
+
+    write_batch("b1.json", [(1, "2024-01-01T10:00:00")])
+    stream = pipeline.read_event_stream(spark, str(src))
+    out = sessions.sessionize_stream(stream, gap_minutes=30)
+    q = (out.writeStream.format("memory").queryName("late_out")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        write_batch("b2.json", [(2, "2024-01-01T09:45:00")])  # late
+        q.processAllAvailable()
+        write_batch("b3.json", [(3, "2024-01-01T10:05:00")])  # on time
+        q.processAllAvailable()
+        rows = spark.sql("select * from late_out").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:
+        latest[(r.user_id, r.session_id)] = r.n_events
+    # all three events are one session (true timeline 09:45..10:05)
+    assert latest == {(9, 1): 3}
+
+
+def test_entity_upsert_stream_obs_only_rows_keep_entity_type(spark, tmp_path):
+    """Observation-only rows (null entity_type) must not enter the
+    entity LWW merge — NULL sorts first in the tiebreak and would
+    null the stored type."""
+    src = tmp_path / "nulltype_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write(json.dumps({"name": "E1", "entity_type": "person",
+                            "created_at": 1}) + "\n")
+        f.write(json.dumps({"name": "E1", "content": "obs one",
+                            "created_at": 1}) + "\n")
+    store = GraphStore(spark, str(tmp_path / "nulltype_store"))
+    store.init_empty()
+    q = pipeline.entity_upsert_stream(
+        spark, str(src), store,
+        checkpoint_dir=str(tmp_path / "nulltype_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    g = store.read()
+    rows = g["entities"].collect()
+    assert [(r.name, r.entity_type) for r in rows] == [("E1", "person")]
+    assert g["observations"].count() == 1
