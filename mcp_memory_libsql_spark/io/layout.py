@@ -92,6 +92,15 @@ def zorder_key(cols: list[str], bits: int = 20) -> F.Column:
         raise ValueError("zorder_key takes 1-3 columns")
     n = len(cols)
     key = F.lit(0).cast("bigint")
+    if bits * len(cols) > 62:
+        # Java shiftleft masks the shift amount mod 64: a key bit
+        # landing at position >= 64 silently wraps onto a low
+        # interleave slot, and bit 63 flips the sign and inverts the
+        # sort — refuse instead of clustering on a garbage key
+        raise ValueError(
+            f"bits*len(cols) = {bits * len(cols)} exceeds 62 — the "
+            "interleaved key must fit a non-negative BIGINT"
+        )
     one = F.lit(1).cast("bigint")
     for ci, c in enumerate(cols):
         mask = F.lit((1 << bits) - 1).cast("bigint")
@@ -161,13 +170,19 @@ def parquet_layout_report(path: str) -> list[dict]:
     import pyarrow.parquet as pq
 
     out = []
-    for f in sorted(glob.glob(_os.path.join(path, "*.parquet"))):
+    # recursive: hive-partitioned sinks put every data file under
+    # key=value subdirectories — a top-level-only glob would report
+    # an empty (vacuously healthy) layout for exactly those datasets
+    files = sorted(
+        glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    for f in files:
         md = pq.ParquetFile(f).metadata
         rows = md.num_rows
         rgs = md.num_row_groups
         out.append(
             {
-                "file": _os.path.basename(f),
+                "file": _os.path.relpath(f, path),
                 "rows": rows,
                 "row_groups": rgs,
                 "bytes": _os.path.getsize(f),

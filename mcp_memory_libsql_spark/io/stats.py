@@ -23,7 +23,11 @@ def column_stats(df: DataFrame, table_name: str) -> DataFrame:
     for c in df.columns:
         col = F.col(c)
         aggs += [
-            F.sum(col.isNull().cast("bigint")).alias(f"{c}__nulls"),
+            # coalesce: sum over ZERO rows is NULL, and an empty
+            # table must profile as 0 nulls, not NULL nulls
+            F.coalesce(
+                F.sum(col.isNull().cast("bigint")), F.lit(0)
+            ).alias(f"{c}__nulls"),
             F.count_distinct(col).alias(f"{c}__distinct"),
             F.min(col).cast("string").alias(f"{c}__min"),
             F.max(col).cast("string").alias(f"{c}__max"),
@@ -37,11 +41,16 @@ def column_stats(df: DataFrame, table_name: str) -> DataFrame:
                 F.lit(c).alias("column_name"),
                 F.col("_rows").cast("bigint").alias("n_rows"),
                 F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
-                F.round(
-                    F.col(f"{c}__nulls").cast("double")
-                    / F.col("_rows").cast("double"),
-                    6,
-                ).alias("null_frac"),
+                F.when(
+                    F.col("_rows") > 0,
+                    F.round(
+                        F.col(f"{c}__nulls").cast("double")
+                        / F.col("_rows").cast("double"),
+                        6,
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("null_frac"),
                 F.col(f"{c}__distinct").cast("bigint").alias("n_distinct"),
                 F.col(f"{c}__min").alias("min_value"),
                 F.col(f"{c}__max").alias("max_value"),
@@ -83,7 +92,12 @@ def data_quality_checks(t) -> DataFrame:
         return df.agg(
             F.lit(name).alias("check_name"),
             F.count("*").cast("bigint").alias("n_checked"),
-            F.sum(violated.cast("bigint")).cast("bigint").alias("n_violations"),
+            # coalesce: an EMPTY table has 0 violations, not NULL
+            # (sum over zero rows), which would make `passed` NULL
+            # and slip through a ~passed filter
+            F.coalesce(F.sum(violated.cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias("n_violations"),
         )
 
     checks = [
@@ -119,7 +133,7 @@ def data_quality_checks(t) -> DataFrame:
     ).agg(
         F.lit("lineitem.orderkey_fk_orders").alias("check_name"),
         F.count("*").cast("bigint").alias("n_checked"),
-        F.min("_v").cast("bigint").alias("n_violations"),
+        F.coalesce(F.min("_v"), F.lit(0)).cast("bigint").alias("n_violations"),
     )
     # key uniqueness: orders.o_orderkey
     dup_keys = (
@@ -128,7 +142,7 @@ def data_quality_checks(t) -> DataFrame:
         .agg(
             F.lit("orders.orderkey_unique").alias("check_name"),
             F.count("*").cast("bigint").alias("n_checked"),
-            F.sum((F.col("c") > 1).cast("bigint"))
+            F.coalesce(F.sum((F.col("c") > 1).cast("bigint")), F.lit(0))
             .cast("bigint")
             .alias("n_violations"),
         )

@@ -32,8 +32,14 @@ MAX_SEARCH_LIMIT = 50
 
 
 def normalize_query(query: str) -> str:
-    """`%`-wrapped fuzzy pattern, runs of [\\s_-] → `%` (client.ts:217)."""
-    return "%" + re.sub(r"[\s_\-]+", "%", query) + "%"
+    """`%`-wrapped fuzzy pattern, runs of [\\s_-] → `%` (client.ts:217).
+
+    Backslashes are doubled first: Spark's LIKE treats ``\\`` as the
+    escape character (a lone one CRASHES the query with
+    INVALID_FORMAT.ESC_IN_THE_MIDDLE), while the reference's SQLite
+    LIKE has no escape char and matches it literally — doubling
+    restores the literal-match parity."""
+    return "%" + re.sub(r"[\s_\-]+", "%", query.replace("\\", "\\\\")) + "%"
 
 
 def search_entities(

@@ -532,7 +532,9 @@ class GraphStore:
             # separator ("a|b","c" vs "a","b|c" would compare equal
             # and the diff would miss the change)
             key = F.to_json(
-                F.struct(*[F.col(c).cast("string") for c in cols])
+                F.struct(
+                    *[F.col(c).cast("string").alias(c) for c in cols]
+                )
             ).alias("row_key")
             ka = before[tbl].select(key).distinct()
             kb = after[tbl].select(key).distinct()

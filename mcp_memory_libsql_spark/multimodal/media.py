@@ -268,7 +268,10 @@ def image_patches(media: DataFrame, patch: int = 16) -> DataFrame:
         F.decode(F.col("payload"), "utf-8").alias("txt"),
         F.expr(f"(meta.width + {q}) div {patch}").alias("nx"),
         F.expr(f"(meta.height + {q}) div {patch}").alias("ny"),
-    )
+    ).where((F.col("nx") > 0) & (F.col("ny") > 0))
+    # the guard matters for dimension-less media (binary_files_to_media
+    # stubs width/height to 0): np = 0 would hit DIVIDE_BY_ZERO in the
+    # patch split under ANSI mode instead of yielding zero patches
     d = img.select(
         "media_id", "txt", "nx", "ny", F.length("txt").alias("n")
     )
@@ -282,7 +285,6 @@ def image_patches(media: DataFrame, patch: int = 16) -> DataFrame:
             F.sequence(F.lit(0), F.col("nx") * F.col("ny") - 1)
         ).alias("idx"),
     )
-    start = F.expr("(idx * n) div np")
     seg_len = F.expr("((idx + 1) * n) div np - (idx * n) div np")
     seg = F.expr(
         "substring(txt, cast((idx * n) div np + 1 as int), "

@@ -272,3 +272,19 @@ def test_nation_hhi_bounds(spark, sf_dir):
         # HHI of n equal shares is 1/n; bounds: 1/n <= hhi <= 1
         assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-6
         assert 1.0 <= r.equiv_suppliers <= r.n_suppliers + 1e-6
+
+
+def test_data_quality_checks_empty_tables_pass_cleanly(spark, sf_dir):
+    """Empty tables report 0 violations and passed=True — never NULL
+    (which would slip through a ~passed filter)."""
+    from mcp_memory_libsql_spark.io.stats import data_quality_checks
+
+    t = load_tables(spark, sf_dir)
+    empty = {
+        "lineitem": t["lineitem"].where(F.lit(False)),
+        "orders": t["orders"].where(F.lit(False)),
+    }
+    rows = data_quality_checks(empty).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r.n_violations == 0 and r.passed is True

@@ -311,3 +311,18 @@ def test_search_full_attaches_observations(g):
         # sorted, '|'-joined
         parts = r.observations.split("|")
         assert parts == sorted(parts)
+
+
+def test_search_backslash_query_is_literal(spark, sf_dir):
+    """A backslash in the query must neither crash ilike (Spark's
+    LIKE escape char) nor act as an escape — the reference's SQLite
+    LIKE matches it literally."""
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.kg import search as kg_search
+    from mcp_memory_libsql_spark.kg import views as kg_views
+
+    g = kg_views.kg(load_tables(spark, sf_dir))
+    out = kg_search.search_entities(
+        g["entities"], g["observations"], "C:\\temp", limit=5
+    )
+    assert out.count() == 0  # no crash, no spurious match

@@ -382,12 +382,24 @@ def test_graphstore_diff_tracks_upsert_and_delete(spark, tmp_path):
         for r in store.diff(v1).collect()
     }
     # A's type changed (created_at preserved at 10) → removed+added;
-    # C is new; A's observations replaced by the upsert.
-    assert ("entities", "added", "A|human|10") in d
-    assert ("entities", "removed", "A|person|10") in d
-    assert ("entities", "added", "C|thing|30") in d
-    assert ("observations", "removed", "A|likes tea|10") in d
-    assert ("observations", "added", "A|likes coffee|99") in d
+    # C is new; A's observations replaced by the upsert. Row keys are
+    # JSON structs (separator-safe, NULL-explicit).
+    def ekey(name, etype, ts):
+        return (
+            f'{{"name":"{name}","entity_type":"{etype}","created_at":"{ts}"}}'
+        )
+
+    def okey(name, content, ts):
+        return (
+            f'{{"entity_name":"{name}","content":"{content}",'
+            f'"created_at":"{ts}"}}'
+        )
+
+    assert ("entities", "added", ekey("A", "human", 10)) in d
+    assert ("entities", "removed", ekey("A", "person", 10)) in d
+    assert ("entities", "added", ekey("C", "thing", 30)) in d
+    assert ("observations", "removed", okey("A", "likes tea", 10)) in d
+    assert ("observations", "added", okey("A", "likes coffee", 99)) in d
     assert not any(t == "relations" for (t, _, _) in d)
     # diff of a version against itself is empty
     assert store.diff(v1, v1).count() == 0
