@@ -112,14 +112,17 @@ ORACLES["text_quality"] = f"""
 SELECT doc_id,
   CAST(length(text) AS INTEGER) AS n_chars_q,
   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,
-  ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 4)
-    AS punct_ratio,
-  ROUND(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-                        x -> list_contains({_STOP_EN}, x)))
-        / len(regexp_extract_all(lower(text), '[a-z0-9]+')), 4)
-    AS stopword_ratio,
-  ROUND(length(regexp_replace(text, '[^A-Z]', '', 'g')) / length(text), 4)
-    AS upper_ratio
+  CASE WHEN length(text) > 0 THEN
+    ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 4)
+  END AS punct_ratio,
+  CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0 THEN
+    ROUND(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                          x -> list_contains({_STOP_EN}, x)))
+          / len(regexp_extract_all(lower(text), '[a-z0-9]+')), 4)
+  END AS stopword_ratio,
+  CASE WHEN length(text) > 0 THEN
+    ROUND(length(regexp_replace(text, '[^A-Z]', '', 'g')) / length(text), 4)
+  END AS upper_ratio
 FROM documents
 """
 
@@ -593,9 +596,12 @@ WITH m AS (
   FROM documents GROUP BY lang
 )
 SELECT lang, n_docs,
-       ROUND(CAST(n_docs * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
-                  * CAST(n_docs * syy - sy * sy AS DOUBLE)), 6) AS corr
+       CASE WHEN n_docs * sxx - sx * sx > 0
+             AND n_docs * syy - sy * sy > 0 THEN
+         ROUND(CAST(n_docs * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                    * CAST(n_docs * syy - sy * sy AS DOUBLE)), 6)
+       END AS corr
 FROM m
 """
 
@@ -808,9 +814,9 @@ ORACLES["dedup_substring_docs"] = (
     + """,
 df AS (SELECT h, COUNT(*) AS c FROM w GROUP BY h)
 SELECT w.doc_id, COUNT(*)::BIGINT AS n_windows,
-       SUM(CASE WHEN df.c BETWEEN 2 AND 100 THEN 1 ELSE 0 END)::BIGINT
+       SUM(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END)::BIGINT
          AS dup_windows,
-       ROUND(SUM(CASE WHEN df.c BETWEEN 2 AND 100 THEN 1 ELSE 0 END)
+       ROUND(SUM(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END)
              / COUNT(*), 6) AS dup_frac
 FROM w JOIN df ON w.h = df.h
 GROUP BY 1

@@ -479,6 +479,10 @@ pairs AS (
            * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)),
       (x, y) -> x + y), 6) * 10) AS BIGINT) AS ratio_bucket
   FROM s a JOIN s b ON a.vec_id < b.vec_id
+  WHERE list_reduce(list_transform(range(1, 65),
+      i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+           * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)),
+      (x, y) -> x + y) > 0
 )
 SELECT ratio_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM pairs GROUP BY 1

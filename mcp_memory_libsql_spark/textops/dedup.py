@@ -153,7 +153,9 @@ def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(documents: DataFrame, n: int = 3) -> DataFrame:
+def minhash_lsh_candidates(
+    documents: DataFrame, n: int = 3, sig: DataFrame | None = None
+) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ≥1 of the signature
     bands → (doc_a, doc_b).
 
@@ -162,8 +164,10 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3) -> DataFrame:
     once per side; grouping per band key computes it ONCE, shuffles
     once on the band key, and emits intra-bucket pairs from the
     sorted id array (bucket width = docs agreeing on a band, the same
-    bound the self-join had)."""
-    sig = minhash_signatures(documents, n)
+    bound the self-join had). Pass a (persisted) ``sig`` to share one
+    signature table with other consumers."""
+    if sig is None:
+        sig = minhash_signatures(documents, n)
     # All band keys in ONE array projection + a single explode — a
     # per-band UNION would re-derive the whole signature pipeline
     # once per band (4× the work).
@@ -183,15 +187,7 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3) -> DataFrame:
         banded.groupBy("band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
-        )
+        .select(F.explode(pair_combos("ids", "doc_a", "doc_b")).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -307,10 +303,13 @@ def minhash_jaccard_estimates(documents: DataFrame, n: int = 3) -> DataFrame:
     (fraction of agreeing signature components) → (doc_a, doc_b,
     est_jaccard). The scale pattern: estimate on k-byte signatures
     first, exact-verify only pairs above threshold."""
-    sig = minhash_signatures(documents, n)
+    # ONE signature table persisted for its three consumers (both
+    # join sides + candidate generation) — unpersisted, each branch
+    # re-runs the whole shingle→md5→min-aggregate pipeline
+    sig = minhash_signatures(documents, n).persist()
     a = sig.alias("a")
     b = sig.alias("b")
-    cand = minhash_lsh_candidates(documents, n)
+    cand = minhash_lsh_candidates(documents, n, sig=sig)
     agree = sum(
         F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
         for i in range(MINHASH_K)
@@ -561,7 +560,6 @@ def substring_dup_coverage(
     documents: DataFrame,
     width: int = SUBSTR_WIDTH,
     stride: int = SUBSTR_STRIDE,
-    cap: int = DF_CAP,
 ) -> DataFrame:
     """Per-document duplicated-span coverage → (doc_id, n_windows,
     dup_windows, dup_frac): how much of each doc's window set also
@@ -578,11 +576,14 @@ def substring_dup_coverage(
     """
     wnd = substring_fingerprints(documents, width, stride)
     # windows are already distinct per doc, so a plain count over the
-    # hash partition IS the doc frequency — no collect_set needed
+    # hash partition IS the doc frequency — no collect_set needed.
+    # NO upper cap here: the DF cap exists to bound the PAIR explosion
+    # in substring_dup_pairs, but this coverage metric never forms
+    # pairs — capping would mark the most ubiquitous boilerplate
+    # (cookie banners in thousands of docs) as NOT duplicated,
+    # inverting the signal for the exact docs it should flag
     n_docs = F.count("*").over(Window.partitionBy("h"))
-    flagged = wnd.withColumn(
-        "is_dup", ((n_docs >= 2) & (n_docs <= cap)).cast("int")
-    )
+    flagged = wnd.withColumn("is_dup", (n_docs >= 2).cast("int"))
     return flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_windows"),
         F.sum("is_dup").alias("dup_windows"),
@@ -664,16 +665,13 @@ def containment_pairs(
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
-        .persist()
     )
+    # no persist: unlike ngram_jaccard_pairs, sizes derive from the
+    # exploded shingles (not the postings), so postings has exactly
+    # one consumer and caching it would only burn executor storage
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    combos = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "y -> struct(x AS a, y AS b))))"
-    )
     pairs = (
-        postings.select(F.explode(combos).alias("p"))
+        postings.select(F.explode(pair_combos("ids")).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("inter_size"))
     )

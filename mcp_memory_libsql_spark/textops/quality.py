@@ -36,13 +36,19 @@ def quality(documents: DataFrame) -> DataFrame:
     punct = F.length(F.regexp_replace(F.col("text"), PUNCT_RE, ""))
     upper = F.length(F.regexp_replace(F.col("text"), UPPER_RE, ""))
     stop = _hits(toks, "en")
+    # NULL (not a crash) for empty / token-free docs: under ANSI mode
+    # (vanilla Spark 4 default) an unguarded ratio would throw
+    # DIVIDE_BY_ZERO and one pure-punctuation doc anywhere in the
+    # corpus would kill the whole curation job
     return documents.select(
         "doc_id",
         n_chars.cast("int").alias("n_chars_q"),
         n_tokens.cast("int").alias("n_tokens"),
-        F.round(punct / n_chars, 4).alias("punct_ratio"),
-        F.round(stop / n_tokens, 4).alias("stopword_ratio"),
-        F.round(upper / n_chars, 4).alias("upper_ratio"),
+        F.when(n_chars > 0, F.round(punct / n_chars, 4)).alias("punct_ratio"),
+        F.when(n_tokens > 0, F.round(stop / n_tokens, 4)).alias(
+            "stopword_ratio"
+        ),
+        F.when(n_chars > 0, F.round(upper / n_chars, 4)).alias("upper_ratio"),
     )
 
 
@@ -277,10 +283,15 @@ def length_token_corr(documents: DataFrame) -> DataFrame:
     cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # Pearson is undefined when either variance is zero (a language
+    # with one doc, or all-equal lengths): emit NULL instead of
+    # DIVIDE_BY_ZERO under ANSI mode; the oracle mirrors the guard
     return m.select(
         "lang",
         "n_docs",
-        F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
+        F.when(
+            (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)
+        ).alias("corr"),
     )
 
 

@@ -65,7 +65,15 @@ def knn_batch(
     embeddings: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
     """Per-query top-k: ``queries`` is (q_id, q_embedding), broadcast.
-    → (q_id, vec_id, cosine_sim, rank)."""
+    → (q_id, vec_id, cosine_sim, rank).
+
+    CONTRACT: q_ids share the corpus vec_id namespace — queries are
+    corpus vectors asking for their neighbors, and the q_id != vec_id
+    filter is SELF-exclusion. For an external query set, renumber
+    q_ids outside the corpus id range (e.g. negative), or corpus
+    vectors that happen to share an id are silently excluded from
+    that query's candidates. Same contract in binary.hamming_knn and
+    evaluate.matryoshka_recall."""
     scored = embeddings.crossJoin(broadcast(queries)).select(
         "q_id",
         "vec_id",

@@ -35,6 +35,10 @@ def _sq_dist(a, b):
 def subvectors(embeddings: DataFrame, dim: int, m: int = M_SUB) -> DataFrame:
     """(vec_id, label, sub, subvec array<double>) — one row per
     subspace. A single slice-projection + posexplode (narrow)."""
+    if dim % m != 0:
+        # FAISS errors here too: silently dropping the trailing
+        # dim % m dimensions would quietly degrade every ADC distance
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
     width = dim // m
     slices = F.array(
         *[

@@ -103,10 +103,18 @@ def rp_distortion(
             F.col(f"a{j}") - F.col(f"b{j}")
         )
         d2_proj = term if d2_proj is None else d2_proj + term
-    pairs = a.join(b, F.col("va") < F.col("vb")).select(
-        F.floor(F.round(d2_proj / d2_orig, 6) * buckets_per_unit)
-        .cast("bigint")
-        .alias("ratio_bucket")
+    # identical vectors have d2_orig = 0 and no defined distortion —
+    # filter them rather than DIVIDE_BY_ZERO under ANSI mode (exact
+    # duplicates are expected in a dedup-oriented corpus); the oracle
+    # applies the same predicate
+    pairs = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .where(d2_orig > 0)
+        .select(
+            F.floor(F.round(d2_proj / d2_orig, 6) * buckets_per_unit)
+            .cast("bigint")
+            .alias("ratio_bucket")
+        )
     )
     return pairs.groupBy("ratio_bucket").agg(
         F.count("*").cast("bigint").alias("n_pairs")
