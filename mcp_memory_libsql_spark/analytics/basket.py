@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..textops.tokenize import pair_combos
+
 
 def association_rules(lineitem: DataFrame, min_pair: int = 3) -> DataFrame:
     """Directional rules a→b with co-occurrence ≥ ``min_pair`` →
@@ -31,15 +33,7 @@ def association_rules(lineitem: DataFrame, min_pair: int = 3) -> DataFrame:
     lists = baskets.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("l_partkey")).alias("ids")
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    combos = pair_combos("ids")
     und = (
         lists.select(F.explode(combos).alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))

@@ -161,7 +161,6 @@ def centroid_drift(embeddings: DataFrame) -> DataFrame:
     )
     ca = cent.where(F.col("is_a")).select("label", F.col("cvec").alias("va"))
     cb = cent.where(~F.col("is_a")).select("label", F.col("cvec").alias("vb"))
-    from ..vector.similarity import cosine as _cos
 
     return (
         counts.join(ca, "label")
@@ -170,6 +169,6 @@ def centroid_drift(embeddings: DataFrame) -> DataFrame:
             "label",
             F.col("n_a").cast("bigint").alias("n_a"),
             F.col("n_b").cast("bigint").alias("n_b"),
-            F.round(_cos(F.col("va"), F.col("vb")), 6).alias("drift_cosine"),
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("drift_cosine"),
         )
     )

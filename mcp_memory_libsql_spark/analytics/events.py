@@ -896,10 +896,13 @@ def peak_concurrency(t, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
     each end, running max of the prefix sum.
 
     Sessions come from the batch sessionizer; the sweep's running sum
-    is windowed PER DAY (sessions attributed to their start day), so
-    the ordered scan parallelizes across days instead of serializing
-    the whole timeline — the same bounded-window trick as the
-    lateness profiler. Boundary ties break deterministically
+    is windowed PER DAY so the ordered scan parallelizes across days
+    instead of serializing the whole timeline — and each day's sum
+    starts from the CARRY of all prior days' net deltas (sessions
+    still open at midnight), computed with one tiny day-grain window;
+    without the carry a midnight-spanning session would understate
+    the next day's peak (the same two-level decomposition as the
+    lateness profiler). Boundary ties break deterministically
     (delta DESC: starts before ends at the same second, user_id)."""
     s = sessionize(t, gap_minutes=gap_minutes)
     starts = s.select(
@@ -921,19 +924,27 @@ def peak_concurrency(t, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     swept = b.withColumn("running", F.sum("delta").over(w))
-    return (
-        swept.groupBy("day_num")
-        .agg(
-            F.max("running").cast("bigint").alias("peak_concurrent"),
-            F.count("*").cast("bigint").alias("n_boundaries"),
+    per_day = swept.groupBy("day_num").agg(
+        F.max("running").alias("max_run"),
+        F.sum("delta").alias("day_net"),
+        F.count("*").cast("bigint").alias("n_boundaries"),
+    )
+    # carry = sessions still open entering the day: prefix sum of
+    # PRIOR days' net deltas over the tiny day-grain rollup
+    wd = Window.orderBy("day_num").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return per_day.select(
+        F.date_format(
+            F.to_timestamp(F.col("day_num") * 86400), "yyyy-MM-dd"
+        ).alias("day"),
+        (
+            F.coalesce(F.sum("day_net").over(wd), F.lit(0))
+            + F.col("max_run")
         )
-        .select(
-            F.date_format(
-                F.to_timestamp(F.col("day_num") * 86400), "yyyy-MM-dd"
-            ).alias("day"),
-            "peak_concurrent",
-            "n_boundaries",
-        )
+        .cast("bigint")
+        .alias("peak_concurrent"),
+        "n_boundaries",
     )
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from ..textops.tokenize import md5_hash32
+from ..textops.tokenize import md5_hash32, pair_combos
 
 
 def degree(relations: DataFrame) -> DataFrame:
@@ -104,6 +104,13 @@ def pagerank(relations: DataFrame, iterations: int = 5, damping: float = 0.85) -
     (contributions grouped by target). The per-iteration plan is
     identical, so at cluster scale you checkpoint every few steps to
     cut lineage. Deterministic: rank rounded at the end only.
+
+    VARIANT NOTE: dangling nodes (no out-edges — every part/region in
+    this KG) do NOT redistribute their mass; it leaks each iteration,
+    so ranks sum to < 1 (the Pregel-default simplification, asserted
+    in tests). The published fix adds a per-iteration global dangling
+    sum back uniformly — one extra scalar aggregate per round; the
+    oracle mirrors the leaking variant exactly.
     """
     # Loop invariants persist once — without this every iteration's
     # lineage re-derives the edge distinct (5x the scan+shuffle).
@@ -214,12 +221,18 @@ def hits(relations: DataFrame, iterations: int = 2) -> DataFrame:
     )
 
 
-def connected_components(relations: DataFrame, max_iter: int = 8) -> DataFrame:
+def connected_components(relations: DataFrame, max_iter: int = 50) -> DataFrame:
     """Undirected connected components via min-label propagation
     → (name, component) where component = lexicographic min name
-    reachable. Converges in graph-diameter iterations; each step is
-    one shuffle (min over neighbor labels), lineage cut with
-    localCheckpoint — the standard large-graph CC shape (HashMin)."""
+    reachable. Runs TO CONVERGENCE (fixpoint — no label changed), so
+    the result equals the oracle's exact recursive closure on any
+    graph shape; ``max_iter`` is only the runaway bound (min-label
+    distance can exceed a fixed round count on chain graphs, which
+    would silently diverge). Each step is one shuffle (min over
+    neighbor labels), lineage cut with localCheckpoint; the
+    convergence probe is one count per round on the already-computed
+    labels — the same early-stop pattern as :func:`k_core` and the
+    merge-entities fixpoint."""
     fwd = relations.select(F.col("source").alias("a"), F.col("target").alias("b"))
     bwd = relations.select(F.col("target").alias("a"), F.col("source").alias("b"))
     edges = fwd.unionByName(bwd).distinct().persist()
@@ -232,7 +245,7 @@ def connected_components(relations: DataFrame, max_iter: int = 8) -> DataFrame:
             .groupBy(F.col("b").alias("name"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        labels = (
+        new_labels = (
             labels.join(neighbor_min, "name", "left")
             .select(
                 "name",
@@ -240,9 +253,16 @@ def connected_components(relations: DataFrame, max_iter: int = 8) -> DataFrame:
                     F.col("component"),
                     F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
+                F.col("component").alias("_prev"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        changed = new_labels.where(
+            F.col("component") != F.col("_prev")
+        ).count()
+        labels = new_labels.drop("_prev")
+        if changed == 0:
+            break
     return labels
 
 
@@ -352,8 +372,10 @@ def triangle_stats(relations: DataFrame, cap: int = TRIANGLE_DEG_CAP) -> DataFra
     the lists, sizes ≤ cap by construction) and closed by one join
     against the capped edge set — no all-pairs anywhere.
 
-    ``n_butterflies`` counts 2×2 bicliques (Σ C(support, 2) over
-    wedge endpoints): the KG projection is near-bipartite
+    ``n_butterflies`` counts 2×2 bicliques / 4-cycles
+    (Σ C(support, 2) over wedge-endpoint pairs, halved: every
+    rectangle is seen once per diagonal — the standard 4-cycle count
+    formula): the KG projection is near-bipartite
     (customer–part, entity–nation, nation–region), where triangles
     are structurally impossible but butterflies are the standard
     cohesion motif — so the census stays informative on both graph
@@ -387,15 +409,7 @@ def triangle_stats(relations: DataFrame, cap: int = TRIANGLE_DEG_CAP) -> DataFra
         e2.selectExpr("b AS n", "a AS m")
     )
     adj = und2.groupBy("n").agg(F.sort_array(F.collect_list("m")).alias("ms"))
-    combos = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(x.alias("x"), y.alias("y")),
-            ),
-        )
-    )
+    combos = pair_combos("ms", "x", "y")
     wedges = adj.select(F.explode(combos).alias("p")).select(
         F.col("p.x").alias("x"), F.col("p.y").alias("y")
     ).persist()
@@ -408,7 +422,14 @@ def triangle_stats(relations: DataFrame, cap: int = TRIANGLE_DEG_CAP) -> DataFra
     nb = (
         wedges.groupBy("x", "y")
         .agg(F.count("*").alias("c"))
-        .agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("n_butterflies"))
+        # halve: each 4-cycle contributes C(2,2) once per DIAGONAL
+        # (endpoints {x,y} with two centers, and endpoints = the two
+        # centers with {x,y} as their common neighbors)
+        .agg(
+            (F.sum(F.expr("c * (c - 1) DIV 2")) / 2)
+            .cast("bigint")
+            .alias("n_butterflies")
+        )
     )
     return (
         nn.crossJoin(ne)

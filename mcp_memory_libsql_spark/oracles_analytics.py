@@ -1347,16 +1347,23 @@ b AS (
   SELECT end_epoch + 1, -1, user_id FROM bounds
 ),
 swept AS (
-  SELECT ep // 86400 AS day_num,
+  SELECT ep // 86400 AS day_num, delta,
     SUM(delta) OVER (PARTITION BY ep // 86400
                      ORDER BY ep, delta DESC, user_id
                      ROWS UNBOUNDED PRECEDING) AS running
   FROM b
+),
+per_day AS (
+  SELECT day_num, MAX(running) AS max_run, SUM(delta) AS day_net,
+         CAST(COUNT(*) AS BIGINT) AS n_boundaries
+  FROM swept GROUP BY day_num
 )
 SELECT strftime(to_timestamp(day_num * 86400), '%Y-%m-%d') AS day,
-       CAST(MAX(running) AS BIGINT) AS peak_concurrent,
-       CAST(COUNT(*) AS BIGINT) AS n_boundaries
-FROM swept GROUP BY day_num
+       CAST(COALESCE(SUM(day_net) OVER (ORDER BY day_num
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + max_run AS BIGINT) AS peak_concurrent,
+       n_boundaries
+FROM per_day
 """
 
 ORACLES["events_gap_histogram"] = """

@@ -453,7 +453,7 @@ nc AS (
   FROM wedges w JOIN e2 ON w.x = e2.a AND w.y = e2.b
 ),
 nb AS (
-  SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_butterflies
+  SELECT CAST(SUM(c * (c - 1) // 2) // 2 AS BIGINT) AS n_butterflies
   FROM (SELECT x, y, COUNT(*) AS c FROM wedges GROUP BY 1, 2)
 )
 SELECT n_nodes, n_edges, n_wedges, n_closed,

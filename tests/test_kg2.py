@@ -540,3 +540,37 @@ def test_data_quality_checks_all_pass_on_testdata(spark, t):
     got = {r.check_name: r for r in data_quality_checks(bad).collect()}
     assert not got["orders.custkey_not_null"].passed
     assert got["orders.custkey_not_null"].n_violations > 0
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 20-node path graph needs ~19 rounds of HashMin — the
+    fixpoint loop (not a fixed round count) must still produce one
+    component equal to the exact closure."""
+    rel = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(19)],
+        "source string, target string",
+    )
+    out = {r.name: r.component for r in kg_traverse.connected_components(rel).collect()}
+    assert len(out) == 20
+    assert set(out.values()) == {"n00"}
+
+
+def test_peak_concurrency_carries_midnight_sessions(spark):
+    """A session spanning midnight must count toward the NEXT day's
+    concurrency (the per-day sweep carries prior days' net deltas)."""
+    ev = spark.createDataFrame(
+        [
+            # user 1: one session 23:30 day1 -> 00:30 day2
+            (1, 1, "x", "2024-01-01 23:30:00", 1.0),
+            (2, 1, "x", "2024-01-02 00:30:00", 1.0),
+            # user 2: short session at 00:15 day2, overlapping user 1
+            (3, 2, "x", "2024-01-02 00:15:00", 1.0),
+        ],
+        "event_id long, user_id long, event_type string, ts_s string, value double",
+    ).select("event_id", "user_id", "event_type",
+             F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    out = {r.day: r.peak_concurrent
+           for r in ev_ops.peak_concurrency({"events": ev}, gap_minutes=90).collect()}
+    assert out["2024-01-01"] == 1
+    # at 00:15-00:30 on day2 BOTH sessions are open
+    assert out["2024-01-02"] == 2
