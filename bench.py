@@ -47,6 +47,7 @@ HEADLINE = [
 EXTENDED = [
     "kg_hits",
     "kg_walks",
+    "kg_pagerank_full",
     "kg_suggest_weighted",
     "data_quality_checks",
     "events_user_features",

@@ -1106,3 +1106,77 @@ def random_walks(
             )
         )
     return cur.select("start", "path")
+
+
+def pagerank_full(
+    relations: DataFrame, iterations: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """PageRank WITH dangling-mass redistribution → (name, rank): the
+    published formulation (Page et al.) next to :func:`pagerank`'s
+    leaking Pregel-default — each iteration the rank mass sitting on
+    nodes with no out-edges (every part/region in this KG) is summed
+    and returned uniformly, so Σ rank = 1 at every step and
+    dangling-heavy neighborhoods are ranked faithfully.
+
+    The dangling sum is a 1-row in-plan aggregate broadcast back into
+    the update (the community_modularity m_total pattern — never a
+    driver collect), so each iteration costs ONE extra tiny
+    aggregate over the already-shuffled ranks. The oracle unrolls the
+    identical damped updates with the same IEEE expression tree
+    (teleport + β·(in + dangling/n))."""
+    edges = relations.select("source", "target").distinct().persist()
+    nodes = (
+        edges.select(F.col("source").alias("name"))
+        .unionByName(edges.select(F.col("target").alias("name")))
+        .distinct()
+        .persist()
+    )
+    out_deg = edges.groupBy(F.col("source").alias("name")).agg(
+        F.count("*").alias("out_degree")
+    )
+    edges_w = edges.join(
+        out_deg, edges["source"] == out_deg["name"]
+    ).select("source", "target", "out_degree").persist()
+    base = nodes.join(
+        out_deg.select(F.col("name"), F.lit(1).alias("_has_out")),
+        "name",
+        "left",
+    ).select(
+        "name", F.coalesce("_has_out", F.lit(0)).alias("has_out")
+    )
+    base = base.localCheckpoint(eager=False)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0).cast("double"))
+    ranks = base.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        dm = ranks.where(F.col("has_out") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contribs = (
+            edges_w.join(ranks, edges_w["source"] == ranks["name"])
+            .select(
+                F.col("target").alias("name"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("name")
+            .agg(F.sum("contrib").alias("in_rank"))
+        )
+        ranks = (
+            base.join(contribs, "name", "left")
+            .crossJoin(broadcast(dm))
+            .select(
+                "name",
+                "has_out",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("in_rank", F.lit(0.0))
+                        + F.col("dm") / n_nodes
+                    )
+                ).alias("rank"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("name", F.round("rank", 8).alias("rank"))

@@ -1073,3 +1073,41 @@ for _t in range(1, 5):
 _WALK_BODY = _WALK_BODY.rstrip(",")
 
 ORACLES["kg_walks"] = KG_CTE + _WALK_BODY + "\nSELECT start, path FROM w4"
+
+# Dangling-redistributed PageRank (the published formulation next to
+# kg_pagerank's documented leaking variant): per iteration the rank
+# mass on no-out-edge nodes returns uniformly. Same IEEE discipline
+# ((1.0-0.85)/cnt, identical expression nesting) as kg_pagerank.
+_PRF_ITER = """
+dm{i} AS (
+  SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dm FROM r{p}
+  WHERE name NOT IN (SELECT source FROM edges)
+),
+c{i} AS (
+  SELECT e.target AS name, SUM(r.rank / d.out_degree) AS in_rank
+  FROM edges e
+  JOIN r{p} r ON e.source = r.name
+  JOIN odeg d ON e.source = d.name
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT nodes.name,
+    ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / cnt)
+    + CAST(0.85 AS DOUBLE)
+      * (COALESCE(in_rank, CAST(0 AS DOUBLE)) + dm / cnt) AS rank
+  FROM nodes LEFT JOIN c{i} ON nodes.name = c{i}.name, n, dm{i}
+),"""
+
+_PRF_BODY = """,
+edges AS (SELECT DISTINCT source, target FROM relations),
+nodes AS (SELECT source AS name FROM edges UNION SELECT target FROM edges),
+odeg AS (SELECT source AS name, COUNT(*) AS out_degree FROM edges GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM nodes),
+r0 AS (SELECT name, CAST(1.0 AS DOUBLE) / cnt AS rank FROM nodes, n),"""
+for _i in range(1, 6):
+    _PRF_BODY += _PRF_ITER.format(i=_i, p=_i - 1)
+_PRF_BODY = _PRF_BODY.rstrip(",")
+
+ORACLES["kg_pagerank_full"] = (
+    KG_CTE + _PRF_BODY + "\nSELECT name, ROUND(rank, 8) AS rank FROM r5"
+)

@@ -1779,6 +1779,15 @@ def q_kg_walks(spark, sf_dir):
     return kg_traverse.random_walks(g["relations"], length=4)
 
 
+@query("kg_pagerank_full")
+def q_kg_pagerank_full(spark, sf_dir):
+    # dangling-redistributed PageRank (the published formulation;
+    # kg_pagerank keeps the documented leaking variant) — FULL oracle
+    # with the 5 damped iterations + per-round dangling sums unrolled
+    g, _ = _kg(spark, sf_dir)
+    return kg_traverse.pagerank_full(g["relations"], iterations=5)
+
+
 @query("kg_hits")
 def q_kg_hits(spark, sf_dir):
     # integer-exact unnormalized HITS, 2 rounds unrolled in the

@@ -574,3 +574,15 @@ def test_peak_concurrency_carries_midnight_sessions(spark):
     assert out["2024-01-01"] == 1
     # at 00:15-00:30 on day2 BOTH sessions are open
     assert out["2024-01-02"] == 2
+
+
+def test_pagerank_full_conserves_mass(spark, t):
+    """The dangling-redistributed variant must keep Σ rank = 1 every
+    run (vs the leaking variant's documented Σ < 1)."""
+    rel = kg_views.relations(t)
+    pr = kg_traverse.pagerank_full(rel, iterations=5)
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6
+    leaky = kg_traverse.pagerank(rel, iterations=5)
+    leaky_total = leaky.agg(F.sum("rank")).collect()[0][0]
+    assert leaky_total < total  # the leak the full variant repairs
