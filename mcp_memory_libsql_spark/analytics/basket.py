@@ -123,16 +123,11 @@ def revenue_pareto(lineitem: DataFrame) -> DataFrame:
     total is a 1-row broadcast."""
     from pyspark.sql.window import Window
 
-    rev = F.sum(
-        (
-            F.col("l_extendedprice").cast("decimal(12,2)")
-            * (
-                F.lit(1).cast("decimal(3,2)")
-                - F.col("l_discount").cast("decimal(4,2)")
-            )
-        )
-    ).alias("_rev")
-    per_part = lineitem.groupBy("l_partkey").agg(rev)
+    from .tpch import _REV  # one definition of decimal-exact revenue
+
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.expr(f"SUM({_REV})").alias("_rev")
+    )
     total = per_part.agg(F.sum("_rev").alias("_total"))
     w = (
         Window.orderBy(F.desc("_rev"), "l_partkey")

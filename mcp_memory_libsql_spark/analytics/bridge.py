@@ -119,7 +119,14 @@ def lang_centroid_outliers(
             "centroid_cosine"
         ),
     )
-    return scored.orderBy("centroid_cosine", "doc_id").limit(k)
+    # NULL scores (zero-norm vector or all-zero rounded centroid)
+    # would sort NULLS FIRST in Spark and eat bottom-k slots while
+    # the oracle sorts them last — filter per cosine()'s contract
+    return (
+        scored.where(F.col("centroid_cosine").isNotNull())
+        .orderBy("centroid_cosine", "doc_id")
+        .limit(k)
+    )
 
 
 def centroid_drift(embeddings: DataFrame) -> DataFrame:

@@ -229,12 +229,18 @@ def type_transitions(t) -> DataFrame:
     )
 
 
+MAD_CONSISTENCY = 1.4826  # 1/Φ⁻¹(3/4): MAD → σ units under normality
+
+
 def mad_outliers(t, k: float = 3.0) -> DataFrame:
     """Robust per-type outliers by median absolute deviation →
     (event_id, user_id, event_type, value, med, mad, score) for
-    events with |value − median| > k·MAD. MAD tolerates the heavy
-    tails that wreck z-scores (events_zscores is the moment-based
-    twin).
+    events with |value − median| > k·1.4826·MAD. The 1.4826
+    normal-consistency constant (Iglewicz–Hoaglin; Leys et al.)
+    rescales MAD to σ units so k=3 means "3 robust sigmas" — without
+    it the same k fires at ≈2σ and flags ~17× more events than the
+    moment-based twin (events_zscores) at its own |z|>3. MAD
+    tolerates the heavy tails that wreck z-scores.
 
     Two tiny per-type aggregates (exact interpolated medians — the
     5-type groupBy collapses to a handful of rows) broadcast back
@@ -250,9 +256,10 @@ def mad_outliers(t, k: float = 3.0) -> DataFrame:
     mad = d.groupBy("event_type").agg(
         F.expr("percentile(absdev, 0.5)").alias("mad")
     )
+    scaled = F.lit(MAD_CONSISTENCY) * F.col("mad")
     return (
         d.join(F.broadcast(mad), "event_type")
-        .where((F.col("mad") > 0) & (F.col("absdev") > k * F.col("mad")))
+        .where((F.col("mad") > 0) & (F.col("absdev") > k * scaled))
         .select(
             "event_id",
             "user_id",
@@ -260,7 +267,8 @@ def mad_outliers(t, k: float = 3.0) -> DataFrame:
             "value",
             F.round("med", 6).alias("med"),
             F.round("mad", 6).alias("mad"),
-            F.round(F.col("absdev") / F.col("mad"), 6).alias("score"),
+            # score in robust-sigma units (consistent with z-scores)
+            F.round(F.col("absdev") / scaled, 6).alias("score"),
         )
     )
 
@@ -311,21 +319,32 @@ def seasonality_profile(t) -> DataFrame:
 def ab_value_test(t) -> DataFrame:
     """Hash-split A/B readout on the value metric → one row (n_a,
     n_b, mean_a, mean_b, diff, t_stat): Welch two-sample t statistic
-    between md5-parity user cohorts.
+    between md5-parity user cohorts, computed at the USER level —
+    the randomization unit. Observations are per-user value TOTALS
+    (one per user), because event-level observations within a user
+    are correlated: treating each event as independent shrinks the
+    Welch denominator by ~√(events/user) and flags phantom
+    significance (the unit-of-analysis error).
 
     The variant is the md5 parity of user_id (the portable
     hash-split the train/val splitter uses — deterministic, no
-    assignment table). Moments are EXACT decimals (value is
-    2-decimal, value² 4-decimal), so the double formula downstream is
-    bit-identical across engines; group sizes are event counts and
-    never degenerate."""
+    assignment table). Per-user totals and their squares stay EXACT
+    decimals (the 18×19-width square of nation_supplier_hhi), so the
+    double formula downstream is bit-identical across engines."""
     from ..textops.tokenize import md5_hash32
 
-    v = F.col("value").cast("decimal(18,2)")
-    keyed = t.select(
+    per_user = (
+        t.select("user_id", F.col("value").cast("decimal(18,2)").alias("v"))
+        .groupBy("user_id")
+        .agg(F.sum("v").cast("decimal(18,2)").alias("vu"))
+    )
+    keyed = per_user.select(
         (md5_hash32(F.col("user_id").cast("string")) % 2).alias("variant"),
-        v.alias("v"),
-        (v * v).alias("v2"),
+        F.col("vu").alias("v"),
+        (
+            F.col("vu").cast("decimal(18,2)")
+            * F.col("vu").cast("decimal(19,2)")
+        ).alias("v2"),
     )
     agg = keyed.agg(
         F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
@@ -736,13 +755,18 @@ def ab_srm_check(t) -> DataFrame:
     For a 50/50 design, chi-square = (n_a − n_b)² / (n_a + n_b),
     computed from BIGINT counts with one display division;
     srm_suspect flags chi2 > 3.84 (the 5% critical value with 1 df).
-    One scan, one 1-row rollup."""
+    n_a/n_b count DISTINCT USERS — the randomization unit is the
+    user (md5 parity of user_id), and published SRM (Kohavi et al.)
+    counts units per variant: counting events would let one whale
+    user's volume fire a false alarm on a perfectly balanced
+    assignment, since the χ²(1) reference only applies to
+    independent unit assignments. One scan, one user rollup."""
     from ..textops.tokenize import md5_hash32
 
     # the SAME cohort hash events_ab_test uses — an SRM check on a
     # different assignment would validate the wrong experiment
     parity = md5_hash32(F.col("user_id").cast("string")) % 2
-    g = t["events"].select(parity.alias("grp"))
+    g = t["events"].select("user_id", parity.alias("grp")).distinct()
     agg = g.agg(
         F.sum((F.col("grp") == 0).cast("bigint")).alias("n_a"),
         F.sum((F.col("grp") == 1).cast("bigint")).alias("n_b"),

@@ -24,21 +24,26 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
 
+def _seeds(depth: int):
+    return F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
+
+
+def _bucket(width: int):
+    """THE sketch position hash — shared by the build and probe sides
+    so they can never drift (a one-sided change would silently turn
+    every min-over-counters estimate into a garbage minimum)."""
+    return md5_hash32(F.concat_ws(":", F.col("seed"), F.col("key"))) % width
+
+
 def cms_counters(
     keyed: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
 ) -> DataFrame:
     """(seed, bucket, c) — the sketch matrix for ``keyed``'s ``key``
     column. One explode(×depth) + one tiny groupBy; the result is
     depth·width rows no matter how large the input."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
-    rows = keyed.select("key", seeds)
+    rows = keyed.select("key", _seeds(depth))
     return (
-        rows.withColumn(
-            "bucket",
-            md5_hash32(
-                F.concat_ws(":", F.col("seed"), F.col("key"))
-            ) % width,
-        )
+        rows.withColumn("bucket", _bucket(width))
         .groupBy("seed", "bucket")
         .agg(F.count("*").alias("c"))
     )
@@ -60,13 +65,8 @@ def heavy_hitters(
     keyed = events.select(F.col("user_id").cast("string").alias("key"))
     sketch = cms_counters(keyed, depth, width)
     exact = keyed.groupBy("key").agg(F.count("*").alias("exact_count"))
-    probes = exact.select(
-        "key",
-        "exact_count",
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed"),
-    ).withColumn(
-        "bucket",
-        md5_hash32(F.concat_ws(":", F.col("seed"), F.col("key"))) % width,
+    probes = exact.select("key", "exact_count", _seeds(depth)).withColumn(
+        "bucket", _bucket(width)
     )
     est = (
         probes.join(F.broadcast(sketch), ["seed", "bucket"])

@@ -58,12 +58,9 @@ def rolling_hour(t) -> DataFrame:
 
 def cumulative_value(t) -> DataFrame:
     """Per-user running value total and event ordinal, ordered by the
-    unique (epoch, event_id) tuple with an explicit ROWS frame."""
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("epoch", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    unique (epoch, event_id) tuple with an explicit ROWS frame (the
+    frame lives in the SQL expression below — the decimal-exact SUM
+    needs the _VAL cast string)."""
     return _ev(t).select(
         "event_id",
         "user_id",
@@ -210,13 +207,16 @@ def value_outliers(t, z_threshold: float = 3.0) -> DataFrame:
     )
     return (
         ev.join(broadcast(stats), F.col("event_type") == F.col("_et"))
+        # filter on the EXACT z, not the display-rounded column — a
+        # true |z| in (3, 3.00005] would round to 3.0000 and be
+        # silently dropped by a rounded-value filter
+        .where(F.expr(f"abs({z}) > {z_threshold}"))
         .select(
             "event_id",
             "event_type",
             F.expr("CAST(val AS DOUBLE)").alias("value"),
             F.expr(f"CAST(ROUND({z}, 4) AS DOUBLE)").alias("z"),
         )
-        .where(F.expr(f"abs(z) > {z_threshold}"))
     )
 
 
@@ -252,10 +252,14 @@ def gap_histogram(t) -> DataFrame:
     the already-windowed gap stream; the bucket key space is ~40
     values at any scale."""
     g = event_gaps(t)
-    zero = g.where(F.col("gap_s") == 0).agg(
-        F.lit(0).cast("bigint").alias("gap_bucket"),
-        F.count("*").cast("bigint").alias("n_gaps"),
-        F.lit(True).alias("is_zero"),
+    # groupBy (not a global agg): no phantom zero-count row when the
+    # corpus has no same-second gaps — every bucket is present only
+    # if nonzero, like the positive buckets
+    zero = (
+        g.where(F.col("gap_s") == 0)
+        .groupBy(F.lit(0).cast("bigint").alias("gap_bucket"))
+        .agg(F.count("*").cast("bigint").alias("n_gaps"))
+        .withColumn("is_zero", F.lit(True))
     )
     pos = (
         g.where(F.col("gap_s") > 0)

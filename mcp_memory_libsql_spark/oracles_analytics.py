@@ -579,10 +579,13 @@ SELECT event_id, event_type, value, z FROM (
     CAST(ROUND(
       (CAST(val AS DOUBLE) - CAST(_s AS DOUBLE) / _n)
       / sqrt((CAST(_s2 AS DOUBLE) * _n - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE))
-             / (CAST(_n AS DOUBLE) * _n)), 4) AS DOUBLE) AS z
+             / (CAST(_n AS DOUBLE) * _n)), 4) AS DOUBLE) AS z,
+    (CAST(val AS DOUBLE) - CAST(_s AS DOUBLE) / _n)
+      / sqrt((CAST(_s2 AS DOUBLE) * _n - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE))
+             / (CAST(_n AS DOUBLE) * _n)) AS z_exact
   FROM ev JOIN stats ON event_type = _et
 )
-WHERE abs(z) > 3.0
+WHERE abs(z_exact) > 3.0
 """
 
 ORACLES["supplier_cooccurrence"] = """
@@ -700,9 +703,9 @@ mad AS (
 )
 SELECT d.event_id, d.user_id, d.event_type, d.value,
        ROUND(d.med, 6) AS med, ROUND(mad.mad, 6) AS mad,
-       ROUND(d.absdev / mad.mad, 6) AS score
+       ROUND(d.absdev / (1.4826 * mad.mad), 6) AS score
 FROM d JOIN mad USING (event_type)
-WHERE mad.mad > 0 AND d.absdev > 3.0 * mad.mad
+WHERE mad.mad > 0 AND d.absdev > 3.0 * (1.4826 * mad.mad)
 """
 
 # Count-min heavy hitters — DuckDB builds the IDENTICAL md5-derived
@@ -824,12 +827,17 @@ FROM e GROUP BY 1, 2
 
 # A/B value test — md5-parity split, Welch t from exact decimal moments.
 ORACLES["events_ab_test"] = """
-WITH k AS (
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS vu
+  FROM events GROUP BY user_id
+),
+k AS (
   SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
            AS variant,
-         CAST(value AS DECIMAL(18,2)) AS v,
-         CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS v2
-  FROM events
+         vu AS v,
+         CAST(vu AS DECIMAL(18,2)) * CAST(vu AS DECIMAL(19,2)) AS v2
+  FROM per_user
 ),
 agg AS (
   SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
@@ -1221,7 +1229,8 @@ FROM j GROUP BY 1
 
 ORACLES["events_ab_srm"] = """
 WITH k AS (
-  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+  SELECT DISTINCT user_id,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
            AS grp
   FROM events
 ),
@@ -1379,7 +1388,7 @@ g AS (
 gg AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL)
 SELECT CAST(0 AS BIGINT) AS gap_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_gaps, TRUE AS is_zero
-FROM gg WHERE gap_s = 0
+FROM gg WHERE gap_s = 0 HAVING COUNT(*) > 0
 UNION ALL
 SELECT CAST(1::BIGINT << CAST(floor(log2(gap_s)) AS INTEGER) AS BIGINT),
        CAST(COUNT(*) AS BIGINT), FALSE

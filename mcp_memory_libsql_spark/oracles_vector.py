@@ -158,6 +158,8 @@ SELECT p.doc_id, p.lang,
                 * sqrt(list_dot_product(v.cvec, v.cvec))), 6)
          AS centroid_cosine
 FROM pairs p JOIN cvecs v USING (lang)
+WHERE sqrt(list_dot_product(p.emb, p.emb))
+      * sqrt(list_dot_product(v.cvec, v.cvec)) > 0
 ORDER BY centroid_cosine, p.doc_id
 LIMIT 20
 """
