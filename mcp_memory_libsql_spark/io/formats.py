@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..textops.tokenize import md5_hash32, md5_hash60
+
 DOCUMENTS_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
 )
@@ -74,7 +76,7 @@ def export_training_shards(
     streams exactly one shard."""
     sharded = documents.withColumn(
         "shard",
-        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        (md5_hash32(F.col("doc_id").cast("string"))
          .cast("bigint") % n_shards).cast("int"),
     )
     (
@@ -130,9 +132,7 @@ def binary_files_to_media(files: DataFrame, kind: str) -> DataFrame:
     (media_id from the path hash, payload = content, meta stub) —
     hand the result to ``multimodal.media.extract_features``."""
     return files.select(
-        F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("media_id"),
+        md5_hash60(F.col("path")).alias("media_id"),
         F.lit(kind).alias("kind"),
         F.col("content").alias("payload"),
         F.struct(

@@ -48,7 +48,14 @@ def _events_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (~1.7e18 > 2^53) loses microsecond precision
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     if isinstance(ts_type, TimestampNTZType):
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        # interpret the NTZ wall-clock AS UTC explicitly: a plain
+        # cast("timestamp") reinterprets it in the SESSION time zone,
+        # so the same parquet would decode to different epochs under
+        # a non-UTC caller session than the epoch-nanos encoding does
+        return raw.withColumn(
+            "ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"),
+                                       F.expr("current_timezone()"))
+        )
     return raw
 
 

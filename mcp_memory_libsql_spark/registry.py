@@ -53,6 +53,22 @@ def query(name: str):
 # and free of the relations derivation cost (the lineitem⋈orders
 # distinct dominated kg_search_nodes in r01's bench).
 _KG_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_KG_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _evict_stale(app_id: str) -> None:
+    """Drop cache entries from PREVIOUS SparkSessions in this
+    process (their DataFrames are pinned to stopped contexts) and
+    delete their orphaned KG snapshot temp dirs — without this, a
+    long-lived process that restarts sessions leaks memory and /tmp
+    disk one entry per (appId, sf_dir)."""
+    import shutil
+
+    for cache in (_KG_CACHE, _TFIDF_CACHE, _LPA_CACHE):
+        for k in [k for k in cache if k[0] != app_id]:
+            del cache[k]
+    for k in [k for k in _KG_DIRS if k[0] != app_id]:
+        shutil.rmtree(_KG_DIRS.pop(k), ignore_errors=True)
 
 
 def _kg(spark: SparkSession, sf_dir: str):
@@ -60,12 +76,13 @@ def _kg(spark: SparkSession, sf_dir: str):
 
     t = load_tables(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_stale(key[0])
     if key not in _KG_CACHE:
-        store = kg_store.GraphStore(
-            spark, tempfile.mkdtemp(prefix="spark_kg_store_")
-        )
+        path = tempfile.mkdtemp(prefix="spark_kg_store_")
+        store = kg_store.GraphStore(spark, path)
         store.write(kg_views.kg(t))  # the one-time ingest job
         _KG_CACHE[key] = store.read()
+        _KG_DIRS[key] = path
     return _KG_CACHE[key], t
 
 

@@ -11,9 +11,14 @@ This is the "BI tool / notebook" entry point: DataFrame callers use
     register_views(spark, "/root/testdata/sf0.01")
     spark.sql("SELECT entity_type, COUNT(*) FROM kg_entities GROUP BY 1")
 
-Views are lazy plans over parquet — registering them costs nothing
-until queried, and every Catalyst optimization (pushdown, pruning,
-AQE) applies to user SQL exactly as to the built-in queries.
+The ten raw-table views are lazy plans over parquet — registering
+them costs nothing until queried — while ``kg=True`` (the default)
+runs the one-time KG INGEST up front (derive + GraphStore parquet
+write, cached per session/sf_dir): the kg_* views then read the
+materialized snapshot like every gated query. Pass ``kg=False`` for
+a zero-cost raw-tables-only registration. Every Catalyst
+optimization (pushdown, pruning, AQE) applies to user SQL exactly as
+to the built-in queries.
 """
 
 from __future__ import annotations

@@ -136,3 +136,35 @@ def test_ppr_no_seeds_all_zero(spark):
     outside = spark.createDataFrame([("ZZZ",)], "name string")
     rows2 = traverse.personalized_pagerank(rel, outside).collect()
     assert {r.rank for r in rows2} == {0.0}
+
+
+def test_events_ntz_decode_is_timezone_independent(spark, tmp_path):
+    """The NTZ-typed events encoding must decode to the same absolute
+    epochs under ANY session time zone (a plain cast reinterprets the
+    wall clock in the session zone; the epoch-nanos encoding of the
+    same data would not shift)."""
+    from pyspark.sql import functions as F
+
+    from mcp_memory_libsql_spark.io.tables import load_table
+
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    spark.sql(
+        "SELECT 1::BIGINT AS event_id,"
+        " TIMESTAMP_NTZ '2024-01-01 10:00:00' AS ts,"
+        " 1::BIGINT AS user_id, 'x' AS event_type, 1.0 AS value,"
+        " '{}' AS props"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_LTZ")
+    try:
+        got = set()
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got.add(
+                load_table(spark, str(tmp_path), "events")
+                .select(F.unix_timestamp("ts").alias("e"))
+                .collect()[0]
+                .e
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert got == {1704103200}
