@@ -7,9 +7,14 @@ round-over-round comparison needs stable numbers. One-time session
 costs (KG ingest materialization, JIT) land in the first run and drop
 out of the median.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (headline only) as the FINAL stdout
+line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"tpch_q1": sec, ...}, "sf": 0.1}
+The per-operator "extended" timings go to bench_extended.json next to
+this script — r02's single line with the 63-entry extended dict
+overflowed the driver's tail capture and made BENCH_r02.json
+unparseable ("parsed": null).
 """
 
 from __future__ import annotations
@@ -84,9 +89,11 @@ EXTENDED = [
     "kg_modularity",
     "vec_hard_negatives",
     "text_diversity",
+    "text_diversity_approx",
     "events_sample_est",
     "kg_obs_duplicates",
     "mm_dedup",
+    "mm_neardup",
     "kg_context_pack",
     "vec_centroid_drift",
     "text_dsir_scores",
@@ -116,9 +123,13 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers once so per-query numbers measure
-    # the plans, not first-touch JIT.
-    QUERIES["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the JVM + parquet footers + codegen for EVERY headline query
+    # before any timing starts. r02 warmed only tpch_q1 once, and the
+    # residual session warm-up (whole-stage codegen compilation for the
+    # other plan shapes, broadcast thread pools) still landed in the
+    # first timed query's median — tpch_q1 read 1.44s vs its real 0.76s.
+    for key in HEADLINE:
+        QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
@@ -147,8 +158,17 @@ def main() -> None:
                 "overwrite"
             ).save()
             ext[key] = round(time.perf_counter() - t0, 3)
-        out["extended"] = ext
-    print(json.dumps(out))
+        # Written to a sibling file, NOT the stdout line: the driver's
+        # tail capture truncates long lines, which nulled BENCH_r02.
+        ext_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_extended.json"
+        )
+        with open(ext_path, "w") as f:
+            json.dump({"sf": sf, "extended": ext}, f, indent=1, sort_keys=True)
+        print(f"extended timings ({len(ext)} queries) -> {ext_path}")
+    # Compact headline JSON alone on the final line — this is what the
+    # driver parses into BENCH_r{N}.json.
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

@@ -63,23 +63,159 @@ def decode_stub(payload: bytes, kind: str) -> bytes:
     return payload
 
 
+def make_decoder():
+    """Factory for the REAL container decoder: pure-Python header
+    parsing for uncompressed 8-bit BMP (image) and 8-bit PCM WAV
+    (audio), passthrough for anything without a recognized magic
+    (video stays the disclosed stub — the container has no ffmpeg).
+
+    Returned as a fresh closure so worker transforms can capture it
+    by VALUE (cloudpickle ships module-level functions by reference,
+    which would require this package on every executor's import
+    path; a factory-made closure has no importable address, so it
+    serializes with its code — same constraint as the nested
+    ``_decode`` in :func:`extract_features`).
+
+    BMP: pixel-array offset from the file header (bytes 10-13 LE),
+    width/height/bpp from the BITMAPINFOHEADER; rows are 4-byte
+    aligned and stored bottom-up, so decode strips padding and
+    re-orders top-down — the decoded bytes are exactly the original
+    sample stream :func:`encode_media` wrapped. WAV: RIFF chunk walk
+    to the ``data`` chunk. Malformed headers fall back to
+    passthrough rather than raising: a 100 TB crawl always contains
+    truncated files, and a narrow map must not kill the job."""
+    import struct
+
+    def decode(payload: bytes, kind: str) -> bytes:
+        if kind not in ("image", "audio", "video"):
+            raise NotImplementedError(f"unknown media kind: {kind}")
+        try:
+            if payload[:2] == b"BM" and len(payload) >= 54:
+                pixofs = struct.unpack_from("<I", payload, 10)[0]
+                width, height = struct.unpack_from("<ii", payload, 18)
+                bpp = struct.unpack_from("<H", payload, 28)[0]
+                if bpp != 8 or width <= 0 or height == 0:
+                    return payload
+                rowsize = (width + 3) // 4 * 4
+                rows = [
+                    payload[pixofs + r * rowsize : pixofs + r * rowsize + width]
+                    for r in range(abs(height))
+                ]
+                if height > 0:  # bottom-up storage (the common case)
+                    rows.reverse()
+                return b"".join(rows)
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                p = 12
+                while p + 8 <= len(payload):
+                    cid = payload[p : p + 4]
+                    csz = struct.unpack_from("<I", payload, p + 4)[0]
+                    if cid == b"data":
+                        return payload[p + 8 : p + 8 + csz]
+                    p += 8 + csz + (csz & 1)  # chunks are 2-byte aligned
+                return payload
+        except (struct.error, IndexError):
+            return payload
+        return payload
+
+    return decode
+
+
+#: module-level instance for driver-side use and tests; workers call
+#: make_decoder() locally so the closure ships by value.
+decode_media = make_decoder()
+
+
+def encode_media(documents: DataFrame) -> DataFrame:
+    """Real-container media synth: the same deterministic media table
+    as :func:`synthesize_media` (same kinds, ids, meta) but image
+    payloads are genuine 8-bit grayscale BMP files (54-byte header +
+    256-entry palette + 4-byte-aligned bottom-up rows) and audio
+    payloads genuine 8-bit PCM mono WAV files (44-byte RIFF header),
+    each wrapping the document's utf-8 bytes as the sample stream.
+    Video stays a raw passthrough blob (disclosed stub — no ffmpeg).
+
+    decode(encode(x)) == x exactly, so feature oracles computed from
+    the source text stay valid while the pipeline now exercises a
+    REAL header parse — a wrong offset/padding/row-order in the
+    decoder breaks the hash match. Arrow-batched narrow map; at
+    100 TB this step is the ingest encoder and runs once."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def bmp(data: bytes) -> bytes:
+            w, h = len(data), 1
+            row = data + b"\x00" * ((4 - w % 4) % 4)
+            palette = b"".join(
+                bytes((v, v, v, 0)) for v in range(256)
+            )  # grayscale
+            pixofs = 14 + 40 + len(palette)
+            header = b"BM" + struct.pack("<IHHI", pixofs + len(row), 0, 0, pixofs)
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(row), 2835, 2835, 256, 0
+            )
+            return header + dib + palette + row
+
+        def wav(data: bytes) -> bytes:
+            fmt = struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            return (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVE"
+                + b"fmt "
+                + fmt
+                + b"data"
+                + struct.pack("<I", len(data))
+                + data
+            )
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = r.text.encode("utf-8")
+                did = int(r.doc_id)
+                kind = ("image", "audio", "video")[did % 3]
+                if kind == "image" and data:
+                    payload = bmp(data)
+                elif kind == "audio":
+                    payload = wav(data)
+                else:
+                    payload = data
+                n = int(r.n_chars)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": kind,
+                        "payload": payload,
+                        "meta": {
+                            "width": n % 64 + 1,
+                            "height": n % 48 + 1,
+                            "n_frames": n % 10 + 1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return documents.select("doc_id", "text", "n_chars").mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the opaque payloads:
     byte length, mean byte intensity of the decoded blob, and
     per-frame content hashes (frame sampling = even byte-range split
     by meta.n_frames).
 
-    The worker closure is SELF-CONTAINED (nested ``_decode`` instead
-    of the module-level ``decode_stub``): cloudpickle serializes
-    module functions by reference, which would require this package
-    on every executor's import path — nested defs ship by value, so
-    the job runs on plain executors with no package deployment."""
+    The decode step is the REAL container parse (``make_decoder``:
+    BMP/WAV headers stripped, raw blobs passed through), captured by
+    value so the job runs on plain executors with no package
+    deployment — cloudpickle would ship a module-level function by
+    reference, which requires this package on the executor path."""
 
-    def _decode(payload: bytes, kind: str) -> bytes:
-        # keep in sync with decode_stub (the public stub API)
-        if kind not in ("image", "audio", "video"):
-            raise NotImplementedError(f"unknown media kind: {kind}")
-        return payload
+    _decode = make_decoder()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -329,6 +465,133 @@ def scene_cuts(media: DataFrame, stride: int = 1) -> DataFrame:
         F.count("*").cast("bigint").alias("n_frames_sampled"),
         F.sum("is_cut").cast("bigint").alias("n_scenes"),
         F.round(F.sum("is_cut") / F.count("*"), 6).alias("cut_frac"),
+    )
+
+
+SIG_SCHEMA = "media_id bigint, kind string, simhash bigint"
+
+
+def media_signatures(media: DataFrame) -> DataFrame:
+    """Perceptual signature per media row → (media_id, kind, simhash):
+    a 60-bit bit-majority SimHash over the 256-bin byte histogram of
+    the DECODED payload. Container-invariant by construction — a
+    re-encode (new header, palette, padding, trailing junk) that
+    preserves the sample stream hashes identically, which is exactly
+    the class of duplicate :func:`media_dedup`'s exact digest misses
+    (media_dedup docstring concedes this; VERDICT r02 item 4).
+
+    Feature hash h_v = first 15 hex chars of md5('mmnd:<v>') as a
+    60-bit BIGINT (md5-derived like textops.tokenize.md5_hash60, so
+    the DuckDB oracle reproduces it bit-for-bit); vote_j = Σ_v
+    count_v·(2·bit_j(h_v)−1); bit j set iff vote_j > 0. Rows with an
+    empty decoded payload are dropped (both engines — an all-zero
+    signature would otherwise pair every empty blob).
+
+    Scale: narrow Arrow-batched map, numpy bincount + one 256×60
+    matmul per row — payload bytes never shuffle, only the 8-byte
+    signature leaves the scan. Byte histograms are a coarse feature
+    on purpose (CHEAP first-pass screen; the hamming filter is
+    exact): same trade as dedup_simhash's shingle features."""
+
+    _decode = make_decoder()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        h = _np.array(
+            [
+                int(_hl.md5(f"mmnd:{v}".encode()).hexdigest()[:15], 16)
+                for v in range(256)
+            ],
+            dtype=_np.int64,
+        )
+        # bits[v, j] = bit j of h_v; signs in {-1, +1}
+        signs = (
+            ((h[:, None] >> _np.arange(60, dtype=_np.int64)[None, :]) & 1) * 2
+            - 1
+        ).astype(_np.int64)
+        powers = _np.int64(1) << _np.arange(60, dtype=_np.int64)
+
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                blob = _decode(bytes(r.payload), r.kind)
+                if not blob:
+                    continue
+                counts = _np.bincount(
+                    _np.frombuffer(blob, dtype=_np.uint8), minlength=256
+                ).astype(_np.int64)
+                votes = counts @ signs
+                sig = int(((votes > 0) * powers).sum())
+                out.append(
+                    {"media_id": r.media_id, "kind": r.kind, "simhash": sig}
+                )
+            yield _pd.DataFrame(
+                out, columns=["media_id", "kind", "simhash"]
+            )
+
+    return media.mapInPandas(batches, schema=SIG_SCHEMA)
+
+
+def media_neardup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-dup pairs → (media_a, media_b, kind, hamming):
+    same-kind media whose byte-histogram SimHashes differ in ≤
+    ``max_hamming`` of 60 bits.
+
+    Candidate generation is the pigeonhole banding of
+    textops.dedup.simhash_near_pairs: ≤3 differing bits across 4
+    15-bit chunks ⇒ at least one chunk identical, so bucketing on
+    (kind, chunk_idx, chunk_value) finds EVERY qualifying pair — the
+    output equals the brute-force hamming≤r set, which is what the
+    DuckDB oracle computes. Bucket-grouped in-row combos (one
+    pipeline evaluation, one chunk-key shuffle), exact hamming
+    filter after."""
+    sig = media_signatures(media)
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.col("kind"),
+                F.lit(str(c)),
+                F.shiftright(F.col("simhash"), c * 15)
+                .bitwiseAND(F.lit((1 << 15) - 1))
+                .cast("string"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = sig.select(
+        "media_id", "kind", "simhash", F.explode(keys).alias("chunk_key")
+    )
+    cand = (
+        banded.groupBy("chunk_key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("media_id", "kind", "simhash"))
+            ).alias("xs")
+        )
+        .where(F.size("xs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xs, (x, i) -> "
+                    "transform(slice(xs, i + 2, size(xs) - i - 1), "
+                    "y -> struct(x.media_id AS media_a, y.media_id AS media_b, "
+                    "x.kind AS kind, x.simhash AS sim_a, y.simhash AS sim_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.media_a", "p.media_b", "p.kind", "p.sim_a", "p.sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "kind", "hamming")
     )
 
 

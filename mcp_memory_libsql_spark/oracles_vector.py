@@ -415,6 +415,58 @@ SELECT md5(text) AS payload_md5, kind,
 FROM m GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
+# Perceptual media near-dup: byte-histogram 60-bit SimHash over the
+# DECODED payload (= the document's ASCII text — encode_media wraps
+# it in a real BMP/WAV container and the Spark decoder strips the
+# container back off, so char arithmetic here equals byte arithmetic
+# there). Brute-force same-kind hamming<=3 pairs — provably equal to
+# the Spark side's pigeonhole-banded candidates (<=3 diffs over four
+# 15-bit chunks => one chunk identical). Gate injects a deterministic
+# "re-encode" (text || ' ', id + 2.1M) so groups are non-trivial.
+ORACLES["mm_neardup"] = """
+WITH m0 AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         text
+  FROM documents
+),
+m AS (
+  SELECT * FROM m0
+  UNION ALL
+  SELECT media_id + 2100000, kind, text || ' ' FROM m0 WHERE media_id % 7 = 0
+),
+hist AS (
+  SELECT media_id, kind, unicode(ch) AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT media_id, kind, unnest(string_split(text, '')) AS ch
+        FROM m WHERE strlen(text) > 0)
+  GROUP BY 1, 2, 3
+),
+hv AS (
+  SELECT media_id, kind, c,
+         ('0x' || substr(md5('mmnd:' || CAST(v AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM hist
+),
+votes AS (
+  SELECT media_id, kind, j,
+         SUM(c * (2 * ((h >> j) & CAST(1 AS BIGINT)) - 1)) AS vote
+  FROM hv, (SELECT unnest(range(60)) AS j) bits
+  GROUP BY 1, 2, 3
+),
+sig AS (
+  SELECT media_id, kind,
+         CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM votes GROUP BY 1, 2
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b, a.kind AS kind,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.kind = b.kind AND a.media_id < b.media_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
 ORACLES["vec_centroid_drift"] = """
 WITH e AS (
   SELECT label, vec_id % 2 = 0 AS is_a, embedding FROM embeddings

@@ -447,7 +447,7 @@ def q_mm_kind_stats(spark, sf_dir):
     # decode → aggregate pipeline shape: Arrow-batched feature map,
     # then a JVM-side rollup per media kind
     t = load_tables(spark, sf_dir)
-    feats = mm.extract_features(mm.synthesize_media(t["documents"]))
+    feats = mm.extract_features(mm.encode_media(t["documents"]))
     return feats.groupBy("kind").agg(
         F.count("*").alias("n_media"),
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
@@ -458,8 +458,11 @@ def q_mm_kind_stats(spark, sf_dir):
 
 @query("mm_features")
 def q_mm_features(spark, sf_dir):
+    # payloads are REAL BMP/WAV containers (encode_media) and the
+    # worker decode is a real header parse; decode(encode(x)) == x,
+    # so the text-derived oracle verifies the parse bit-for-bit
     t = load_tables(spark, sf_dir)
-    feats = mm.extract_features(mm.synthesize_media(t["documents"]))
+    feats = mm.extract_features(mm.encode_media(t["documents"]))
     # Gate output flattens the frame-hash array to a '|'-joined string:
     # the harness canonicalizes with pandas sort_values, which cannot
     # hash list cells (r01 gate crash). The library API keeps the array.
@@ -1597,6 +1600,14 @@ def q_text_diversity(spark, sf_dir):
     return tq.shingle_diversity(t["documents"], n=3)
 
 
+@query("text_diversity_approx")
+def q_text_diversity_approx(spark, sf_dir):
+    # rows-only: HLL estimates are engine-specific; 2% rsd bound vs
+    # the exact twin is pytest-gated (test_text.py)
+    t = load_tables(spark, sf_dir)
+    return tq.shingle_diversity_approx(t["documents"], n=3)
+
+
 @query("kg_modularity")
 def q_kg_modularity(spark, sf_dir):
     # partition-quality profile of kg_communities — full oracle
@@ -1619,6 +1630,25 @@ def q_kg_obs_duplicates(spark, sf_dir):
     # boilerplate-observation hygiene scan — full oracle
     g, _ = _kg(spark, sf_dir)
     return kg_traverse.observation_duplicates(g["observations"])
+
+
+@query("mm_neardup")
+def q_mm_neardup(spark, sf_dir):
+    # perceptual (container-invariant) near-dup: the corpus has no
+    # near-identical payloads, so the gate injects a deterministic
+    # "re-encode" of every 7th media row — fresh container wrapping
+    # the text plus one trailing space (id offset 2.1M keeps
+    # doc_id % 3, so the variant stays in its kind partition). Exact
+    # digests differ; the byte-histogram SimHash pairs them.
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    reenc = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" ")))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(2100000))
+    )
+    media = mm.encode_media(docs.unionByName(reenc))
+    return mm.media_neardup(media, max_hamming=3)
 
 
 @query("mm_dedup")

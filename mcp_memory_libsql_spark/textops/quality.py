@@ -511,6 +511,42 @@ def shingle_diversity(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def shingle_diversity_approx(
+    documents: DataFrame, n: int = 3, rsd: float = 0.02
+) -> DataFrame:
+    """One-pass HLL twin of ``shingle_diversity`` — the 100 TB path.
+
+    Exact COUNT(DISTINCT shingle) expands to a two-phase aggregate
+    that shuffles every (lang, shingle) pair; at corpus scale that is
+    the whole shingle stream. approx_count_distinct keeps a fixed-size
+    HLL sketch per language — map-side combinable, one shuffle of
+    sketch bytes only, rsd=2% standard error. Rows-only by design
+    (HLL estimates are engine-specific); the error bound vs the exact
+    op is pytest-gated (test_text.py::test_diversity_approx_bound).
+    """
+    from .tokenize import word_shingles
+
+    toks = documents.select("lang", words(F.col("text")).alias("w"))
+    sh = toks.select(
+        "lang", F.explode(word_shingles(F.col("w"), n)).alias("shingle")
+    )
+    agg = sh.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_shingle_occurrences"),
+        F.approx_count_distinct("shingle", rsd)
+        .cast("bigint")
+        .alias("n_distinct_shingles_est"),
+    )
+    return agg.select(
+        "lang",
+        "n_shingle_occurrences",
+        "n_distinct_shingles_est",
+        F.round(
+            F.col("n_distinct_shingles_est") / F.col("n_shingle_occurrences"),
+            6,
+        ).alias("diversity_est"),
+    )
+
+
 def readability(documents: DataFrame) -> DataFrame:
     """Flesch-Kincaid grade level → (doc_id, n_words, n_sentences,
     n_syllables, fk_grade): the education-level curation signal

@@ -43,3 +43,76 @@ def test_resize_updates_meta_only(media):
 def test_decode_stub_rejects_unknown_kind():
     with pytest.raises(NotImplementedError):
         mm.decode_stub(b"x", "hologram")
+
+
+def _bmp_wav_of(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return mm.encode_media(df)
+
+
+def test_codec_roundtrip(spark):
+    # lengths chosen to exercise BMP row padding (w % 4 in all classes)
+    texts = ["a" * n + "xyz"[: n % 3] for n in (41, 42, 43, 44, 300)]
+    rows = _bmp_wav_of(spark, texts).collect()
+    for r in rows:
+        payload = bytes(r.payload)
+        data = mm.decode_media(payload, r.kind)
+        src = None
+        for t in texts:
+            if data == t.encode():
+                src = t
+        assert src is not None, (r.kind, len(payload), len(data))
+        if r.kind == "image":
+            assert payload[:2] == b"BM" and len(payload) > len(data)
+        elif r.kind == "audio":
+            assert payload[:4] == b"RIFF" and len(payload) == len(data) + 44
+        else:
+            assert payload == data  # video: disclosed passthrough
+
+
+def test_decoder_malformed_falls_back_to_passthrough():
+    assert mm.decode_media(b"BM" + b"\x00" * 60, "image") == b"BM" + b"\x00" * 60
+    assert mm.decode_media(b"RIFFxxxxWAVE", "audio") == b"RIFFxxxxWAVE"
+    assert mm.decode_media(b"plain bytes", "video") == b"plain bytes"
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"x", "hologram")
+
+
+def test_neardup_container_invariant(spark):
+    # same sample stream, different container bytes -> hamming 0;
+    # one-char change -> tiny hamming; unrelated docs -> no pair
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    df = spark.createDataFrame(
+        [
+            (0, base, "en", "s", len(base)),          # image (BMP)
+            (2100000, base + " ", "en", "s", len(base) + 1),  # image variant
+            (3, "Z" * 400, "en", "s", 400),            # image, unrelated
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    media = mm.encode_media(df)
+    pairs = mm.media_neardup(media, max_hamming=3).collect()
+    assert [(p.media_a, p.media_b) for p in pairs] == [(0, 2100000)]
+    assert pairs[0].hamming <= 3
+    # exact digest dedup misses the same pair (different containers)
+    assert mm.media_dedup(media).count() == 0
+
+
+def test_neardup_gate_finds_injected_reencodes(spark, sf_dir):
+    from mcp_memory_libsql_spark.registry import QUERIES
+
+    pairs = QUERIES["mm_neardup"](spark, sf_dir).collect()
+    assert pairs, "injected re-encodes produced no near-dup pairs"
+    found = {(p.media_a, p.media_b) for p in pairs}
+    docs = load_tables(spark, sf_dir)["documents"]
+    injected = {
+        (i, i + 2100000)
+        for (i,) in docs.where("doc_id % 7 = 0").select("doc_id").collect()
+    }
+    # a one-char histogram delta flips a bit only on knife-edge votes:
+    # the overwhelming majority of injected pairs must be recovered
+    assert len(found & injected) >= 0.9 * len(injected)
+    assert all(p.hamming <= 3 for p in pairs)

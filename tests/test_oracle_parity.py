@@ -43,6 +43,7 @@ ROWS_ONLY = {
     "ann_recall_eval",
     "events_approx_percentiles",
     "events_approx_users",
+    "text_diversity_approx",
     "text_quality_classifier",
     "text_semantic_search",
     "vec_ivf_ann",

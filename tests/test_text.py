@@ -257,3 +257,20 @@ SELECT doc_id, unnest(fps) FROM sel
 """).fetchall()
     }
     assert got == want
+
+
+def test_diversity_approx_bound(spark, docs):
+    exact = {r.lang: r for r in quality.shingle_diversity(docs, n=3).collect()}
+    approx = {
+        r.lang: r
+        for r in quality.shingle_diversity_approx(docs, n=3).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for lang, e in exact.items():
+        a = approx[lang]
+        # occurrence totals are exact counts in both plans
+        assert a.n_shingle_occurrences == e.n_shingle_occurrences
+        # HLL at rsd=0.02: allow 5 sigma (10%) plus slack for tiny langs
+        assert abs(a.n_distinct_shingles_est - e.n_distinct_shingles) <= max(
+            0.10 * e.n_distinct_shingles, 20
+        )
