@@ -97,6 +97,7 @@ EXTENDED = [
     "kg_context_pack",
     "vec_centroid_drift",
     "text_dsir_scores",
+    "text_lm_score",
     "vec_rp_distortion",
     "supplier_scorecard",
     "orders_cohort_ltv",

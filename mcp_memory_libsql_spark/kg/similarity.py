@@ -334,10 +334,12 @@ def merge_candidates(
     Near-dup NAME clusters can be long chains (Entity-1 ~ Entity-2 ~
     Entity-3 …), so unlike the hub-connected relation graph
     (``kg_components``, fixed 8 rounds) this HashMin loop runs to
-    CONVERGENCE with an early-stop check (one count per round — the
-    pair graph is orders smaller than the entity table, so the extra
-    action is cheap). Exact same fixpoint as the oracle's recursive
+    CONVERGENCE, detecting the fixpoint with an ``observe()`` metric
+    collected during each round's checkpoint materialization — one
+    job per round, no separate compare-join + count action (r02
+    census note). Exact same fixpoint as the oracle's recursive
     CTE."""
+    from pyspark.sql import Observation
     pairs = entity_name_neardup(entities, threshold).select(
         F.col("entity_a").alias("a"), F.col("entity_b").alias("b")
     )
@@ -362,6 +364,7 @@ def merge_candidates(
                 F.col("component"),
                 F.coalesce("nbr_component", F.col("component")),
             ).alias("component"),
+            F.col("component").alias("_prev"),
         )
         # Pointer jump (path halving): component ← label OF the
         # current component. One extra self-join per round turns the
@@ -371,6 +374,7 @@ def merge_candidates(
         ptr = propagated.select(
             F.col("name").alias("_c"), F.col("component").alias("_cc")
         )
+        obs = Observation()
         new_labels = (
             propagated.join(ptr, propagated["component"] == ptr["_c"], "left")
             .select(
@@ -379,17 +383,18 @@ def merge_candidates(
                     F.col("component"),
                     F.coalesce("_cc", F.col("component")),
                 ).alias("component"),
+                "_prev",
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("_prev")).cast("long")
+                ).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "name")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.drop("_prev")
+        if (obs.get["changed"] or 0) == 0:
             break
     sizes = labels.groupBy("component").agg(
         F.count("*").alias("cluster_size")

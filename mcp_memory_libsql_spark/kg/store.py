@@ -382,6 +382,13 @@ class GraphStore:
                 (
                     tables[tbl]
                     .write.mode("overwrite")
+                    # explicit path → an EXTERNAL table whose data lives
+                    # inside the store's version dir: the catalog holds
+                    # only bucketing metadata, so this works under any
+                    # session whose warehouse dir (CWD-relative by
+                    # default) is unwritable, and vacuum's rmtree of
+                    # the version dir reclaims the data files
+                    .option("path", self._table_dir(tbl, v))
                     .bucketBy(n_buckets, self.BUCKET_KEYS[tbl])
                     .sortBy(self.BUCKET_KEYS[tbl])
                     .format("parquet")

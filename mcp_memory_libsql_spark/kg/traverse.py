@@ -54,16 +54,26 @@ def neighbors_n_hop(
     relations: DataFrame, seeds: DataFrame, hops: int
 ) -> DataFrame:
     """Entities reachable (undirected) within ``hops`` hops, seeds
-    excluded. Frontier-expansion via repeated broadcast joins —
-    fine for the small-seed case the reference serves; a full BFS at
-    cluster scale would checkpoint the frontier per hop."""
-    frontier = seeds.select("name").distinct()
+    excluded. Frontier-expansion via repeated broadcast joins.
+
+    The frontier/seen sets are localCheckpointed per hop: without the
+    cut, hop h's plan embeds h copies of the full relations scan +
+    distinct chain (the r02 plan census counted 34 shuffle
+    boundaries for the 2-hop query — lineage bloat, not data
+    volume), and the broadcast of ``seen`` re-derives the whole
+    chain. With the cut each hop's plan is one scan + one distinct
+    against a materialized frontier."""
+    frontier = seeds.select("name").distinct().localCheckpoint(eager=True)
     seen = frontier
     for _ in range(hops):
-        frontier = neighbors(relations, frontier).join(
-            broadcast(seen), "name", "left_anti"
+        frontier = (
+            neighbors(relations, frontier)
+            .join(broadcast(seen), "name", "left_anti")
+            .localCheckpoint(eager=True)
         )
-        seen = seen.unionByName(frontier).distinct()
+        seen = (
+            seen.unionByName(frontier).distinct().localCheckpoint(eager=True)
+        )
     return seen.join(seeds.select("name").distinct(), "name", "left_anti")
 
 
@@ -229,10 +239,13 @@ def connected_components(relations: DataFrame, max_iter: int = 50) -> DataFrame:
     graph shape; ``max_iter`` is only the runaway bound (min-label
     distance can exceed a fixed round count on chain graphs, which
     would silently diverge). Each step is one shuffle (min over
-    neighbor labels), lineage cut with localCheckpoint; the
-    convergence probe is one count per round on the already-computed
-    labels — the same early-stop pattern as :func:`k_core` and the
-    merge-entities fixpoint."""
+    neighbor labels), lineage cut with localCheckpoint; convergence
+    is detected by an ``observe()`` metric collected DURING the
+    checkpoint materialization itself — ONE job per round, no
+    separate driver-side count action (the r02 census flagged the
+    per-round ``.count()``s; at 1000 executors each extra job is a
+    scheduler round-trip)."""
+    from pyspark.sql import Observation
     fwd = relations.select(F.col("source").alias("a"), F.col("target").alias("b"))
     bwd = relations.select(F.col("target").alias("a"), F.col("source").alias("b"))
     edges = fwd.unionByName(bwd).distinct().persist()
@@ -245,6 +258,7 @@ def connected_components(relations: DataFrame, max_iter: int = 50) -> DataFrame:
             .groupBy(F.col("b").alias("name"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, "name", "left")
             .select(
@@ -255,13 +269,16 @@ def connected_components(relations: DataFrame, max_iter: int = 50) -> DataFrame:
                 ).alias("component"),
                 F.col("component").alias("_prev"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("_prev")).cast("long")
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.where(
-            F.col("component") != F.col("_prev")
-        ).count()
         labels = new_labels.drop("_prev")
-        if changed == 0:
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels
 
@@ -399,11 +416,17 @@ def triangle_stats(relations: DataFrame, cap: int = TRIANGLE_DEG_CAP) -> DataFra
         .where(F.col("d") <= cap)
         .select("n")
     )
+    # localCheckpoint (not persist): five census branches consume e2 /
+    # wedges, and with persist each branch's PLAN still embeds the
+    # whole distinct+cap lineage (68 shuffle boundaries in the r02
+    # census — static plan bloat; runtime was fine). The checkpoint
+    # truncates lineage so every branch plans from the materialized
+    # partitions.
     e2 = (
         e.join(keep.withColumnRenamed("n", "a"), "a")
         .join(keep.withColumnRenamed("n", "b"), "b")
         .select("a", "b")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     und2 = e2.selectExpr("a AS n", "b AS m").unionByName(
         e2.selectExpr("b AS n", "a AS m")
@@ -412,7 +435,7 @@ def triangle_stats(relations: DataFrame, cap: int = TRIANGLE_DEG_CAP) -> DataFra
     combos = pair_combos("ms", "x", "y")
     wedges = adj.select(F.explode(combos).alias("p")).select(
         F.col("p.x").alias("x"), F.col("p.y").alias("y")
-    ).persist()
+    ).localCheckpoint(eager=True)
     nn = keep.agg(F.count("*").alias("n_nodes"))
     ne = e2.agg(F.count("*").alias("n_edges"))
     nw = wedges.agg(F.count("*").alias("n_wedges"))
@@ -458,12 +481,15 @@ def k_core(relations: DataFrame, k: int = 3, max_iter: int = 20) -> DataFrame:
     the induced subgraph, repeat to fixpoint. Each round is one
     semi-join + one degree agg — the same shuffle shape as HashMin
     components above, with localCheckpoint cutting lineage. Converges
-    in ≤ max_iter rounds or stops early when no node was peeled
-    (checked via a cheap count — the count doubles as the checkpoint
-    materialization each round, so it is not an extra job).
+    in ≤ max_iter rounds or stops early when no node was peeled —
+    detected by an ``observe()`` row-count metric collected during
+    the checkpoint job itself, so each round is ONE job with no
+    extra driver-side count actions (r02 census note).
 
     Distinct undirected neighbor pairs (not parallel edges) define
     degree, matching the classic definition."""
+    from pyspark.sql import Observation
+
     edges = (
         relations.select("source", "target")
         .where(F.col("source") != F.col("target"))
@@ -477,21 +503,25 @@ def k_core(relations: DataFrame, k: int = 3, max_iter: int = 20) -> DataFrame:
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     live = sym  # (a, b) adjacency of the current induced subgraph
+    prev_rows = None  # unknown until the first materialization
     for _ in range(max_iter):
         deg = live.groupBy("a").agg(F.count("*").alias("core_degree"))
         keep = deg.where(F.col("core_degree") >= k)
+        obs = Observation()
         nxt = (
             live.join(keep.select("a"), "a")
             .join(
                 keep.select(F.col("a").alias("b")),
                 "b",
             )
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == live.count():
-            live = nxt
-            break
+        rows = obs.get["rows"]
         live = nxt
+        if rows == prev_rows:
+            break
+        prev_rows = rows
     return (
         live.groupBy(F.col("a").alias("name"))
         .agg(F.count("*").alias("core_degree"))

@@ -564,6 +564,38 @@ WHERE ROUND(CAST(i.inter_size AS DOUBLE) / bs.bench_size, 6) >= 0.5
 """
 
 # Lexical rarity — integer-exact df stats per doc.
+# Unigram-LM cross-entropy (CCNet-style perplexity filter signal).
+# Per-token information content quantized to integer millibits BEFORE
+# summation, so the per-doc total is exact BIGINT math in both
+# engines (raw double log-prob sums would be fold-order- and
+# libm-dependent); one deterministic division renders cross_entropy.
+ORACLES["text_lm_score"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           AS token
+  FROM documents
+),
+vocab AS (SELECT token, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1),
+tot AS (
+  SELECT SUM(c)::BIGINT AS n_total, COUNT(*)::BIGINT AS v_size FROM vocab
+),
+dt AS (SELECT doc_id, token, COUNT(*)::BIGINT AS m FROM tok GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id, m,
+         CAST(round(1000.0 * log2((c + 1) / (n_total + v_size)), 0)
+              AS BIGINT) AS mb
+  FROM dt JOIN vocab USING (token), tot
+),
+agg AS (
+  SELECT doc_id, SUM(m)::BIGINT AS n_tokens,
+         (-SUM(m * mb))::BIGINT AS ce_millibits
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_tokens, ce_millibits,
+       ROUND(ce_millibits / (1000.0 * n_tokens), 6) AS cross_entropy
+FROM agg
+"""
+
 ORACLES["text_rarity"] = """
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(

@@ -80,7 +80,13 @@ def _kg(spark: SparkSession, sf_dir: str):
     if key not in _KG_CACHE:
         path = tempfile.mkdtemp(prefix="spark_kg_store_")
         store = kg_store.GraphStore(spark, path)
-        store.write(kg_views.kg(t))  # the one-time ingest job
+        # One-time ingest, BUCKETED on each table's natural join key
+        # (entities:name, observations:entity_name, relations:source):
+        # entity⋈observation attach joins and every per-iteration
+        # rank⋈edges join in the graph algorithms read the edge side
+        # exchange-free (plan-asserted in tests/test_layout.py) — the
+        # ingest-time layout a read-heavy 100 TB KG wants.
+        store.write(kg_views.kg(t), bucketed=True)
         _KG_CACHE[key] = store.read()
         _KG_DIRS[key] = path
     return _KG_CACHE[key], t
@@ -1598,6 +1604,14 @@ def q_text_diversity(spark, sf_dir):
     # cross-doc n-gram diversity per language — full oracle
     t = load_tables(spark, sf_dir)
     return tq.shingle_diversity(t["documents"], n=3)
+
+
+@query("text_lm_score")
+def q_text_lm_score(spark, sf_dir):
+    # unigram-LM cross-entropy (perplexity-filter signal) — full
+    # oracle via integer-millibit quantization
+    t = load_tables(spark, sf_dir)
+    return tq.lm_score(t["documents"])
 
 
 @query("text_diversity_approx")

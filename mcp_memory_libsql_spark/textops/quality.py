@@ -547,6 +547,72 @@ def shingle_diversity_approx(
     )
 
 
+def lm_score(documents: DataFrame) -> DataFrame:
+    """CCNet-style unigram language-model scoring → (doc_id,
+    n_tokens, ce_millibits, cross_entropy): per-document cross-
+    entropy under an add-one-smoothed unigram LM fit on the corpus
+    itself. Low cross-entropy = fluent/common text, high = garbled or
+    off-distribution — the perplexity-filter axis CCNet/LLaMA used
+    for stage-one web curation (Wenzek et al. 2020 use a KenLM
+    5-gram; the unigram version is the same signal class with an
+    exactly-verifiable closed form).
+
+    Cross-engine determinism: per-token information content is
+    QUANTIZED to integer millibits — round(1000·log2((c+1)/(N+V))) —
+    before any summation, so the per-doc total is exact BIGINT math
+    (order-independent; a raw double Σ log p would depend on fold
+    order, and libm log2 may differ in the last ulp between engines,
+    which quantization absorbs). ce_millibits = −Σ m_t·mb_t;
+    cross_entropy = ce_millibits / (1000·n_tokens), one deterministic
+    division at the end.
+
+    Scale: vocab rollup is one map-side-combinable shuffle; the
+    (doc,token)→vocab join shuffles on token; per-doc rollup shuffles
+    on doc_id. The 1-row (N, V) totals ride in via a broadcast cross
+    join computed in-plan. At 100 TB you'd frequency-cap the vocab
+    (tail singletons dominate V but carry no mass) and score against
+    a FROZEN reference LM instead of refitting per batch — same
+    plan, the vocab side becomes a static broadcast table."""
+    toks = documents.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("v_size"),
+    )
+    doc_tok = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    scored = (
+        doc_tok.join(vocab, "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "m",
+            F.round(
+                F.lit(1000.0)
+                * F.log2((F.col("c") + 1) / (F.col("n_total") + F.col("v_size"))),
+                0,
+            )
+            .cast("bigint")
+            .alias("mb"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_tokens"),
+        (-F.sum(F.col("m") * F.col("mb"))).cast("bigint").alias("ce_millibits"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "ce_millibits",
+        F.round(
+            F.col("ce_millibits") / (F.lit(1000.0) * F.col("n_tokens")), 6
+        ).alias("cross_entropy"),
+    )
+
+
 def readability(documents: DataFrame) -> DataFrame:
     """Flesch-Kincaid grade level → (doc_id, n_words, n_sentences,
     n_syllables, fk_grade): the education-level curation signal

@@ -213,3 +213,42 @@ def test_parquet_layout_report(spark, tmp_path):
     rep2 = parquet_layout_report(dst)
     assert len(rep2) == 1 and rep2[0]["rows"] == 9000
     assert rep2[0]["rows_per_group"] > rep[0]["rows_per_group"]
+
+
+def test_kg_snapshot_edge_iteration_is_exchange_free(spark, sf_dir):
+    """The bucketed GraphStore snapshot (registry._kg ingest layout)
+    must give the graph algorithms their per-iteration edge plan with
+    NO shuffle on the edge side: distinct(source,target), the
+    out-degree rollup, and the rank⋈edges equi-join all reuse the
+    relations table's source-bucket partitioning. BroadcastExchange
+    is allowed (broadcasting the small side is the point); what must
+    not appear is a shuffle (Exchange hashpartitioning) feeding from
+    the bucketed scan."""
+    from mcp_memory_libsql_spark.registry import _kg
+
+    g, _ = _kg(spark, sf_dir)
+    edges = g["relations"].select("source", "target").distinct()
+    out_deg = edges.groupBy("source").agg(F.count("*").alias("out_degree"))
+    edges_w = edges.join(out_deg, "source")
+
+    def shuffles(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        return plan.count("Exchange hashpartitioning")
+
+    assert shuffles(edges) == 0
+    assert shuffles(out_deg) == 0
+    # rank⋈edges with broadcast disabled: the ONE shuffle allowed is
+    # the (tiny) rank side being re-clustered to the edge buckets
+    ranks = (
+        edges.select(F.col("source").alias("name"))
+        .distinct()
+        .withColumn("rank", F.lit(1.0))
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        it_join = edges_w.join(ranks, edges_w["source"] == ranks["name"])
+        plan = it_join._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

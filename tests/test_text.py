@@ -274,3 +274,17 @@ def test_diversity_approx_bound(spark, docs):
         assert abs(a.n_distinct_shingles_est - e.n_distinct_shingles) <= max(
             0.10 * e.n_distinct_shingles, 20
         )
+
+
+def test_lm_score_orders_fluent_above_garbled(spark):
+    # common-token doc scores lower cross-entropy than rare-token doc
+    common = "the cat sat on the mat " * 10
+    garbled = "zq9x kvw7 jjplm qqrst uvpox wyzzk"
+    filler = "the dog ran to the park and the cat sat " * 5
+    d = _docs_df(spark, [common, garbled, filler])
+    rows = {r.doc_id: r for r in quality.lm_score(d).collect()}
+    assert rows[0].cross_entropy < rows[1].cross_entropy
+    assert rows[0].n_tokens == 60
+    # ce_millibits is the exact integer; cross_entropy derives from it
+    r = rows[1]
+    assert abs(r.cross_entropy - r.ce_millibits / (1000.0 * r.n_tokens)) < 1e-6
