@@ -536,7 +536,9 @@ def media_signatures(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=SIG_SCHEMA)
 
 
-def media_neardup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def media_neardup(
+    media: DataFrame, max_hamming: int = 3, bucket_cap: int = 256
+) -> DataFrame:
     """Perceptual near-dup pairs → (media_a, media_b, kind, hamming):
     same-kind media whose byte-histogram SimHashes differ in ≤
     ``max_hamming`` of 60 bits.
@@ -544,11 +546,18 @@ def media_neardup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     Candidate generation is the pigeonhole banding of
     textops.dedup.simhash_near_pairs: ≤3 differing bits across 4
     15-bit chunks ⇒ at least one chunk identical, so bucketing on
-    (kind, chunk_idx, chunk_value) finds EVERY qualifying pair — the
-    output equals the brute-force hamming≤r set, which is what the
-    DuckDB oracle computes. Bucket-grouped in-row combos (one
-    pipeline evaluation, one chunk-key shuffle), exact hamming
-    filter after."""
+    (kind, chunk_idx, chunk_value) finds every qualifying pair whose
+    bucket survives the cap. Buckets with > ``bucket_cap`` members
+    are DROPPED (the high-DF-shingle convention): a signature shared
+    by g media yields C(g,2) pairs — quadratic in g by SEMANTICS, not
+    by plan — and without the cap a replication-heavy corpus OOMs the
+    in-row combo stage (the 10× scale rehearsal found exactly that:
+    same-language byte histograms collide into thousand-member
+    buckets). Run exact ``media_dedup`` first so byte-identical
+    copies never reach this op; the DuckDB oracle mirrors the banding
+    and cap exactly, so the gate output stays hash-verifiable.
+    Bucket-grouped in-row combos (one pipeline evaluation, one
+    chunk-key shuffle), exact hamming filter after."""
     sig = media_signatures(media)
     keys = F.array(
         *[
@@ -563,11 +572,20 @@ def media_neardup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
             for c in range(4)
         ]
     )
+    # two consumers (bucket-count pass + capped semi-join): persist so
+    # the Python signature map runs once, not twice
     banded = sig.select(
         "media_id", "kind", "simhash", F.explode(keys).alias("chunk_key")
+    ).persist()
+    ok = (
+        banded.groupBy("chunk_key")
+        .count()
+        .where((F.col("count") >= 2) & (F.col("count") <= bucket_cap))
+        .select("chunk_key")
     )
     cand = (
-        banded.groupBy("chunk_key")
+        banded.join(ok, "chunk_key", "leftsemi")
+        .groupBy("chunk_key")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("media_id", "kind", "simhash"))

@@ -134,6 +134,23 @@ SELECT doc_id,
 FROM documents
 """
 
+ORACLES["text_fertility"] = """
+WITH c AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe
+  FROM documents
+)
+SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       SUM(ws)::BIGINT AS ws_tokens,
+       SUM(bpe)::BIGINT AS bpe_tokens,
+       CASE WHEN SUM(ws) > 0
+            THEN ROUND(SUM(bpe)::BIGINT / SUM(ws)::BIGINT, 6) END
+         AS fertility
+FROM c GROUP BY lang
+"""
+
 ORACLES["text_langid"] = f"""
 WITH t AS (
   SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w

@@ -419,10 +419,12 @@ FROM m GROUP BY 1, 2 HAVING COUNT(*) >= 2
 # DECODED payload (= the document's ASCII text — encode_media wraps
 # it in a real BMP/WAV container and the Spark decoder strips the
 # container back off, so char arithmetic here equals byte arithmetic
-# there). Brute-force same-kind hamming<=3 pairs — provably equal to
-# the Spark side's pigeonhole-banded candidates (<=3 diffs over four
-# 15-bit chunks => one chunk identical). Gate injects a deterministic
-# "re-encode" (text || ' ', id + 2.1M) so groups are non-trivial.
+# there). Candidates mirror the Spark side's pigeonhole banding
+# EXACTLY — four 15-bit chunk buckets per signature, buckets with
+# 2..256 members kept (overfull dropped, the high-DF convention) —
+# so the capped output stays hash-verifiable. Gate injects a
+# deterministic "re-encode" (text || ' ', id + 2.1M) so groups are
+# non-trivial.
 ORACLES["mm_neardup"] = """
 WITH m0 AS (
   SELECT doc_id AS media_id,
@@ -460,11 +462,28 @@ sig AS (
          CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j)
                        ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
   FROM votes GROUP BY 1, 2
+),
+banded AS (
+  SELECT media_id, kind, simhash,
+         kind || '_' || CAST(chunk AS VARCHAR) || '_' ||
+           CAST((simhash >> (chunk * 15)) & 32767 AS VARCHAR) AS chunk_key
+  FROM sig, (SELECT unnest(range(4)) AS chunk) chunks
+),
+ok AS (
+  SELECT chunk_key FROM banded
+  GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 256
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         a.kind AS kind, a.simhash AS sim_a, b.simhash AS sim_b
+  FROM banded a
+  JOIN banded b ON a.chunk_key = b.chunk_key AND a.media_id < b.media_id
+  WHERE a.chunk_key IN (SELECT chunk_key FROM ok)
 )
-SELECT a.media_id AS media_a, b.media_id AS media_b, a.kind AS kind,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM sig a JOIN sig b ON a.kind = b.kind AND a.media_id < b.media_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+SELECT media_a, media_b, kind,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """
 
 ORACLES["vec_centroid_drift"] = """

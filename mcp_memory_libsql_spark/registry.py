@@ -1606,6 +1606,13 @@ def q_text_diversity(spark, sf_dir):
     return tq.shingle_diversity(t["documents"], n=3)
 
 
+@query("text_fertility")
+def q_text_fertility(spark, sf_dir):
+    # multilingual tokenizer-fertility audit — full oracle
+    t = load_tables(spark, sf_dir)
+    return tq.tokenizer_fertility(t["documents"])
+
+
 @query("text_lm_score")
 def q_text_lm_score(spark, sf_dir):
     # unigram-LM cross-entropy (perplexity-filter signal) — full

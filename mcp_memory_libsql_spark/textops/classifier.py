@@ -52,6 +52,25 @@ def fit_quality_model(documents: DataFrame, reg: float = 0.01):
         maxIter=25, regParam=reg, standardization=True
     )
     model = lr.fit(asm.transform(feats))
+    # Detach the training summary before serving: the freshly-fitted
+    # model's summary pins the live SparkSession, and scoring
+    # serializes the model into the probability UDF's task closure —
+    # with the session's (non-serializable) ObservationManager in the
+    # graph, `Task not serializable` kills the scoring job whenever
+    # codegen ships the UDF (surfaced by the r03 sf0.1 bench). A
+    # save/load roundtrip yields the summary-free serve model — the
+    # same fit-artifact/serve-artifact split a real pipeline has.
+    import shutil
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    path = tempfile.mkdtemp(prefix="spark_lr_model_")
+    try:
+        model.write().overwrite().save(path)
+        model = LogisticRegressionModel.load(path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
     return asm, model
 
 

@@ -63,6 +63,33 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def tokenizer_fertility(documents: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility → (lang, n_docs, ws_tokens,
+    bpe_tokens, fertility): BPE-ish subword tokens per whitespace
+    word. Fertility ≈ 1 for languages the tokenizer fits; ≫ 1 flags
+    languages that will pay a context-length/compute tax in training
+    (the standard multilingual-tokenizer audit, cf. SentencePiece
+    coverage reports). Integer sums only; one division at the end —
+    pure rollup, one map-side-combinable shuffle on lang."""
+    ws = F.size(F.regexp_extract_all(F.col("text"), F.lit("\\S+"), 0))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+    agg = documents.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(ws).cast("bigint").alias("ws_tokens"),
+        F.sum(bpe).cast("bigint").alias("bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 6),
+        ).alias("fertility"),
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Stopword-list language ID → (doc_id, lang, lang_pred).
     Deterministic argmax with fixed priority en>es>de>fr>other."""
