@@ -90,13 +90,18 @@ def make_decoder():
         if kind not in ("image", "audio", "video"):
             raise NotImplementedError(f"unknown media kind: {kind}")
         try:
-            if payload[:2] == b"BM" and len(payload) >= 54:
+            if kind == "image" and payload[:2] == b"BM" and len(payload) >= 54:
                 pixofs = struct.unpack_from("<I", payload, 10)[0]
                 width, height = struct.unpack_from("<ii", payload, 18)
                 bpp = struct.unpack_from("<H", payload, 28)[0]
                 if bpp != 8 or width <= 0 or height == 0:
                     return payload
                 rowsize = (width + 3) // 4 * 4
+                # A corrupt header can claim a huge height/width; bound the
+                # pixel array by the actual payload before allocating, else
+                # the passthrough contract fails via OOM instead of a raise.
+                if pixofs + abs(height) * rowsize > len(payload):
+                    return payload
                 rows = [
                     payload[pixofs + r * rowsize : pixofs + r * rowsize + width]
                     for r in range(abs(height))
@@ -104,12 +109,20 @@ def make_decoder():
                 if height > 0:  # bottom-up storage (the common case)
                     rows.reverse()
                 return b"".join(rows)
-            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            if (
+                kind == "audio"
+                and payload[:4] == b"RIFF"
+                and payload[8:12] == b"WAVE"
+            ):
                 p = 12
                 while p + 8 <= len(payload):
                     cid = payload[p : p + 4]
                     csz = struct.unpack_from("<I", payload, p + 4)[0]
                     if cid == b"data":
+                        # Truncated data chunk: Python slicing would silently
+                        # return a short suffix — treat as malformed instead.
+                        if p + 8 + csz > len(payload):
+                            return payload
                         return payload[p + 8 : p + 8 + csz]
                     p += 8 + csz + (csz & 1)  # chunks are 2-byte aligned
                 return payload
@@ -557,57 +570,31 @@ def media_neardup(
     copies never reach this op; the DuckDB oracle mirrors the banding
     and cap exactly, so the gate output stays hash-verifiable.
     Bucket-grouped in-row combos (one pipeline evaluation, one
-    chunk-key shuffle), exact hamming filter after."""
+    chunk-key shuffle), exact hamming filter after. Banding + combos
+    live in textops.dedup.simhash_chunk_pairs, shared with the text
+    near-dup path — one plan, no drift; the eager localCheckpoint
+    there also makes the Python signature map run once (two consumers:
+    bucket-count pass + capped semi-join)."""
+    from ..textops.dedup import simhash_chunk_pairs
+
     sig = media_signatures(media)
-    keys = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.col("kind"),
-                F.lit(str(c)),
-                F.shiftright(F.col("simhash"), c * 15)
-                .bitwiseAND(F.lit((1 << 15) - 1))
-                .cast("string"),
-            )
-            for c in range(4)
-        ]
-    )
-    # two consumers (bucket-count pass + capped semi-join): persist so
-    # the Python signature map runs once, not twice
-    banded = sig.select(
-        "media_id", "kind", "simhash", F.explode(keys).alias("chunk_key")
-    ).persist()
-    ok = (
-        banded.groupBy("chunk_key")
-        .count()
-        .where((F.col("count") >= 2) & (F.col("count") <= bucket_cap))
-        .select("chunk_key")
-    )
-    cand = (
-        banded.join(ok, "chunk_key", "leftsemi")
-        .groupBy("chunk_key")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("media_id", "kind", "simhash"))
-            ).alias("xs")
-        )
-        .where(F.size("xs") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(xs, (x, i) -> "
-                    "transform(slice(xs, i + 2, size(xs) - i - 1), "
-                    "y -> struct(x.media_id AS media_a, y.media_id AS media_b, "
-                    "x.kind AS kind, x.simhash AS sim_a, y.simhash AS sim_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.media_a", "p.media_b", "p.kind", "p.sim_a", "p.sim_b")
-        .distinct()
+    cand = simhash_chunk_pairs(
+        sig,
+        "media_id",
+        carry_cols=("kind",),
+        key_cols=("kind",),
+        bucket_cap=bucket_cap,
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        cand.withColumn("hamming", hamming.cast("int"))
+        cand.select(
+            F.col("a").alias("media_a"),
+            F.col("b").alias("media_b"),
+            "kind",
+            "sim_a",
+            "sim_b",
+        )
+        .withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "kind", "hamming")
     )

@@ -416,10 +416,14 @@ FROM m GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
 # Perceptual media near-dup: byte-histogram 60-bit SimHash over the
-# DECODED payload (= the document's ASCII text — encode_media wraps
-# it in a real BMP/WAV container and the Spark decoder strips the
-# container back off, so char arithmetic here equals byte arithmetic
-# there). Candidates mirror the Spark side's pigeonhole banding
+# DECODED payload (= the document's utf-8 bytes — encode_media wraps
+# them in a real BMP/WAV container and the Spark decoder strips the
+# container back off). The hist CTE expands each character into its
+# UTF-8 BYTES via hex(encode(ch)) so the histogram is byte-exact —
+# matching Spark's np.bincount over uint8 even for non-ASCII text
+# (unicode(ch) code points would diverge from byte arithmetic the
+# moment a 2-byte char appears). Candidates mirror the Spark side's
+# pigeonhole banding
 # EXACTLY — four 15-bit chunk buckets per signature, buckets with
 # 2..256 members kept (overfull dropped, the high-DF convention) —
 # so the capped output stays hash-verifiable. Gate injects a
@@ -439,10 +443,22 @@ m AS (
   UNION ALL
   SELECT media_id + 2100000, kind, text || ' ' FROM m0 WHERE media_id % 7 = 0
 ),
-hist AS (
-  SELECT media_id, kind, unicode(ch) AS v, CAST(COUNT(*) AS BIGINT) AS c
+chars AS (
+  SELECT media_id, kind, hex(encode(ch)) AS hx, CAST(COUNT(*) AS BIGINT) AS c
   FROM (SELECT media_id, kind, unnest(string_split(text, '')) AS ch
         FROM m WHERE strlen(text) > 0)
+  GROUP BY 1, 2, 3
+),
+hist AS (
+  -- expand each char into its utf-8 bytes (2 hex digits per byte) and
+  -- re-aggregate: two chars sharing a byte must sum into one count
+  SELECT media_id, kind, v, CAST(SUM(c) AS BIGINT) AS c
+  FROM (
+    SELECT media_id, kind, c,
+           ('0x' || substr(hx, i * 2 + 1, 2))::BIGINT AS v
+    FROM chars, (SELECT unnest(range(4)) AS i) idx
+    WHERE i * 2 < strlen(hx)
+  )
   GROUP BY 1, 2, 3
 ),
 hv AS (

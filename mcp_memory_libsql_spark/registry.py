@@ -707,7 +707,16 @@ def _tfidf_index(spark, sf_dir):
         pipeline = embed.fit_tfidf(docs)
         doc_vecs = embed.embed_documents(docs, pipeline).persist()
         _TFIDF_CACHE[key] = (pipeline, doc_vecs)
-    return _TFIDF_CACHE[key]
+    pipeline, doc_vecs = _TFIDF_CACHE[key]
+    # Self-heal against an external spark.catalog.clearCache() (bench.py
+    # issues one between queries): the dict would otherwise keep handing
+    # out an unpersisted handle that recomputes the full transform on
+    # every downstream action. persist() on an unpersisted DataFrame
+    # just re-registers it.
+    lvl = doc_vecs.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        doc_vecs.persist()
+    return pipeline, doc_vecs
 
 
 @query("text_semantic_search")
@@ -1581,7 +1590,12 @@ def _lpa(spark, sf_dir, g):
         _LPA_CACHE[key] = kg_traverse.label_propagation(
             g["relations"], iterations=4
         ).persist()
-    return _LPA_CACHE[key]
+    labels = _LPA_CACHE[key]
+    # Self-heal after an external clearCache() — see _tfidf_index.
+    lvl = labels.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        labels.persist()
+    return labels
 
 
 @query("kg_communities")

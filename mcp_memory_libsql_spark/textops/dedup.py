@@ -224,17 +224,39 @@ def simhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def simhash_near_pairs(
-    documents: DataFrame, n: int = 3, max_hamming: int = 3
+def simhash_chunk_pairs(
+    sig: DataFrame,
+    id_col: str,
+    carry_cols: tuple[str, ...] = (),
+    key_cols: tuple[str, ...] = (),
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ r via chunk-match
-    candidates (pigeonhole: ≤3 differing bits over 4 chunks ⇒ at
-    least one 15-bit chunk identical) → (doc_a, doc_b, hamming)."""
-    sig = simhash_signatures(documents, n)
+    """Pigeonhole-banded candidate pairs from a signature table
+    ``(id_col, carry_cols..., simhash)`` → ``(a, b, carry_cols...,
+    sim_a, sim_b)`` with ``a < b``. Shared by the text and media
+    near-dup operators so the banding + in-row combo plan exists in
+    exactly ONE place.
+
+    Banding: a ≤3-bit hamming difference across 4 disjoint 15-bit
+    chunks leaves at least one chunk identical (pigeonhole), so
+    bucketing on (key_cols..., chunk_idx, chunk_value) finds every
+    qualifying pair. Bucket-grouped in-row combos (one pipeline
+    evaluation, one chunk-key shuffle) instead of a two-sided
+    self-join recompute; structs sort by id first, so pair order
+    inside a bucket is deterministic.
+
+    ``bucket_cap``: buckets with more members are DROPPED (the
+    high-DF-shingle convention) — a signature shared by g rows yields
+    C(g,2) pairs, quadratic by SEMANTICS, and a replication-heavy
+    corpus needs the cap to bound the combo stage. When set, the
+    banded table has two consumers (count pass + semi-join), so it is
+    eagerly localCheckpoint-ed — GC-reclaimed, unlike a persist()
+    handle a library caller never sees."""
     keys = F.array(
         *[
             F.concat_ws(
                 "_",
+                *[F.col(k) for k in key_cols],
                 F.lit(str(c)),
                 F.shiftright(F.col("simhash"), c * 15)
                 .bitwiseAND(F.lit((1 << 15) - 1))
@@ -244,18 +266,28 @@ def simhash_near_pairs(
         ]
     )
     banded = sig.select(
-        "doc_id", "simhash", F.explode(keys).alias("chunk_key")
+        id_col, *carry_cols, "simhash", F.explode(keys).alias("chunk_key")
     )
-    # bucket-grouped pairs (see minhash_lsh_candidates): ONE pipeline
-    # evaluation + one chunk-key shuffle instead of a two-sided
-    # self-join recompute; structs sort by doc_id first, so pair
-    # order inside a bucket is deterministic.
-    cand = (
+    if bucket_cap is not None:
+        banded = banded.localCheckpoint(eager=True)
+        ok = (
+            banded.groupBy("chunk_key")
+            .count()
+            .where((F.col("count") >= 2) & (F.col("count") <= bucket_cap))
+            .select("chunk_key")
+        )
+        banded = banded.join(ok, "chunk_key", "leftsemi")
+    combo_fields = ", ".join(
+        [f"x.{id_col} AS a", f"y.{id_col} AS b"]
+        + [f"x.{c} AS {c}" for c in carry_cols]
+        + ["x.simhash AS sim_a", "y.simhash AS sim_b"]
+    )
+    return (
         banded.groupBy("chunk_key")
         .agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias(
-                "xs"
-            )
+            F.sort_array(
+                F.collect_list(F.struct(id_col, *carry_cols, "simhash"))
+            ).alias("xs")
         )
         .where(F.size("xs") >= 2)
         .select(
@@ -263,17 +295,33 @@ def simhash_near_pairs(
                 F.expr(
                     "flatten(transform(xs, (x, i) -> "
                     "transform(slice(xs, i + 2, size(xs) - i - 1), "
-                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                    "x.simhash AS sim_a, y.simhash AS sim_b))))"
+                    f"y -> struct({combo_fields}))))"
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
+        .select("p.a", "p.b", *[f"p.{c}" for c in carry_cols], "p.sim_a", "p.sim_b")
         .distinct()
     )
+
+
+def simhash_near_pairs(
+    documents: DataFrame, n: int = 3, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ r via chunk-match
+    candidates (pigeonhole: ≤3 differing bits over 4 chunks ⇒ at
+    least one 15-bit chunk identical) → (doc_a, doc_b, hamming).
+    No bucket cap: the gated oracle mirrors the uncapped banding; a
+    replication-heavy corpus should pass bucket_cap through
+    :func:`simhash_chunk_pairs` (and mirror it in the oracle) the way
+    multimodal.media.media_neardup does."""
+    sig = simhash_signatures(documents, n)
+    cand = simhash_chunk_pairs(sig, "doc_id")
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        cand.withColumn("hamming", hamming.cast("int"))
+        cand.select(
+            F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "sim_a", "sim_b"
+        )
+        .withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -22,3 +22,20 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def broadcast_disabled(spark):
+    """Force non-broadcast joins for a plan assertion, then restore the
+    PRIOR threshold. conf.unset would fall back to Spark's built-in
+    10MB default, not the session's configured 64m — silently flipping
+    join plans for every test that runs afterwards."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

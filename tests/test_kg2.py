@@ -12,6 +12,7 @@ from mcp_memory_libsql_spark.io.tables import load_tables
 from mcp_memory_libsql_spark.kg import traverse as kg_traverse
 from mcp_memory_libsql_spark.kg import views as kg_views
 from mcp_memory_libsql_spark.vector import ivf
+from tests.conftest import broadcast_disabled
 
 
 @pytest.fixture(scope="module")
@@ -262,11 +263,8 @@ def test_graphstore_bucketed_snapshot_join_no_exchange(spark, tmp_path):
         t["observations"],
         t["entities"]["name"] == t["observations"]["entity_name"],
     )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
+    with broadcast_disabled(spark):
         plan = joined._jdf.queryExecution().executedPlan().toString()
-    finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "Exchange" not in plan, plan
 
     # deltas stack on a bucketed anchor like any other snapshot

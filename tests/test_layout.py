@@ -14,6 +14,7 @@ from mcp_memory_libsql_spark.io.layout import (
     write_bucketed,
 )
 from mcp_memory_libsql_spark.io.tables import load_tables
+from tests.conftest import broadcast_disabled
 
 
 @pytest.fixture(scope="module")
@@ -41,11 +42,8 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed):
     o = read_table(spark, "b_orders")
     joined = li.join(o, li["l_orderkey"] == o["o_orderkey"])
     # force a non-broadcast join so the exchange question is real
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
+    with broadcast_disabled(spark):
         plan = joined._jdf.queryExecution().executedPlan().toString()
-    finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "Exchange" not in plan, plan
     assert "SortMergeJoin" in plan
 
@@ -245,10 +243,7 @@ def test_kg_snapshot_edge_iteration_is_exchange_free(spark, sf_dir):
         .distinct()
         .withColumn("rank", F.lit(1.0))
     )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
+    with broadcast_disabled(spark):
         it_join = edges_w.join(ranks, edges_w["source"] == ranks["name"])
         plan = it_join._jdf.queryExecution().executedPlan().toString()
-    finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert plan.count("Exchange hashpartitioning") <= 1, plan

@@ -116,3 +116,83 @@ def test_neardup_gate_finds_injected_reencodes(spark, sf_dir):
     # the overwhelming majority of injected pairs must be recovered
     assert len(found & injected) >= 0.9 * len(injected)
     assert all(p.hamming <= 3 for p in pairs)
+
+
+def test_decoder_bounds_malformed_headers():
+    # corrupt BMP claiming a 2^31 height must pass through instantly
+    # instead of allocating rows for the claimed pixel array
+    import struct
+    import time
+
+    bad = bytearray(b"BM" + b"\x00" * 100)
+    struct.pack_into("<I", bad, 10, 54)       # pixel offset
+    struct.pack_into("<ii", bad, 18, 1, 0x7FFFFFFF)  # w=1, h=2^31-1
+    struct.pack_into("<H", bad, 28, 8)        # bpp=8
+    t0 = time.monotonic()
+    assert mm.decode_media(bytes(bad), "image") == bytes(bad)
+    assert time.monotonic() - t0 < 0.5
+    # truncated WAV data chunk: silent-suffix slicing would mangle the
+    # payload; malformed must mean passthrough
+    trunc = (
+        b"RIFF\x24\x00\x00\x00WAVE"
+        + b"data" + struct.pack("<I", 1 << 20) + b"short"
+    )
+    assert mm.decode_media(trunc, "audio") == trunc
+
+
+def test_decoder_is_kind_gated(spark):
+    # a video payload whose TEXT happens to start with a RIFF/WAVE (or
+    # BM) magic must NOT be container-parsed: video is a passthrough
+    # kind, and the oracle computes over the full text
+    import struct
+
+    riffy = b"RIFFxxxxWAVEjunkdata" + struct.pack("<I", 3) + b"abc tail"
+    assert mm.decode_media(riffy, "video") == riffy
+    bmpy = b"BM" + b"\x01" * 60
+    assert mm.decode_media(bmpy, "video") == bmpy
+    assert mm.decode_media(bmpy, "audio") == bmpy
+
+
+def test_mm_neardup_non_ascii_oracle_parity(spark):
+    # the oracle histograms UTF-8 BYTES (hex(encode(ch)) expansion);
+    # this pins byte-parity with Spark's np.bincount on non-ASCII text
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mcp_memory_libsql_spark.oracles_vector import ORACLES
+    from tests.parity import compare
+
+    texts = [
+        ("café au lait, s'il vous plaît — déjà vu " * 6).strip(),
+        ("über allen Gipfeln ist Ruh, größer als Maß " * 6).strip(),
+        ("naïve façade, crème brûlée, jalapeño niño " * 6).strip(),
+        ("plain ascii filler words repeated many times " * 6).strip(),
+        ("数据 管道 质量 评分 重复 检测 相似 搜索 " * 6).strip(),
+    ]
+    rows = [
+        (i, texts[i % len(texts)] + f" tail{i}", "xx", "s", 0)
+        for i in range(21)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    reenc = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" ")))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(2100000))
+    )
+    result = mm.media_neardup(
+        mm.encode_media(docs.unionByName(reenc)), max_hamming=3
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+    )
+    cmp = compare(result, con, ORACLES["mm_neardup"])
+    assert cmp["ok"], cmp
+    assert cmp["spark_rows"] >= 3  # injected pairs actually found
