@@ -39,31 +39,32 @@ def undirected_neighbors(relations: DataFrame) -> DataFrame:
     return fwd.unionByName(bwd).where(F.col("name") != F.col("nbr")).distinct()
 
 
-def similar_entities(
-    relations: DataFrame,
-    threshold: float = 0.2,
-    cap: int = NEIGHBOR_CAP,
-) -> DataFrame:
-    """Entity pairs with neighbor-set Jaccard ≥ threshold →
-    (entity_a, entity_b, inter_size, size_a, size_b, jaccard),
-    entity_a < entity_b.
+def neighbor_postings(
+    relations: DataFrame, cap: int = NEIGHBOR_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """Build the inverted neighbor index ONCE → (postings, names).
 
-    One shuffle builds the per-neighbor postings list; pairs are
-    in-row explosions of each list (no second shuffle of the edge
-    table); per-entity sizes travel inside the postings structs, so
-    provably-hopeless pairs are pruned IN-ROW before the pair shuffle.
-    """
+    ``postings``: one row per (non-hub) neighbor with its sorted
+    ``array<struct<nid,sz>>`` postings list — entity names
+    dictionary-encoded to 60-bit md5 ints (the pair explode emits
+    ~Σ C(w,2) rows, mostly singleton groups, so key width drives the
+    shuffle+agg cost; measured ~1.6× on the sf0.1 graph: 28.7s →
+    17.9s for the pair rollup). ``sz`` is the entity's post-cap index
+    size, riding IN-ROW so consumers can prune hopeless pairs before
+    the pair shuffle. ``names``: the broadcast-able (nid, name)
+    decode dictionary.
+
+    At 100 TB this is an INGEST/INDEX-BUILD artifact, exactly like
+    the bucketed GraphStore snapshot: three similarity surfaces
+    (similar pairs, Jaccard link prediction, RA link prediction) read
+    the same index, so the registry materializes it to parquet once
+    per (session, sf_dir) instead of re-shuffling the edge table per
+    query. Total downstream work is Σ_nbr C(w,2) ≤ cap·|edges| —
+    linear in graph size at a fixed degree distribution, never N².
+    For tight thresholds at extreme scale, the MinHash/LSH machinery
+    in textops.dedup applies to neighbor sets verbatim (neighbors
+    play the role of shingles)."""
     und = undirected_neighbors(relations)
-    # Dictionary-encode entity names to 60-bit md5 ints for the pair
-    # shuffle: the explode emits ~Σ C(w,2) rows, mostly singleton
-    # groups, so key width drives the shuffle+agg cost (measured
-    # ~1.6× on the sf0.1 graph: 28.7s → 17.9s for the pair rollup).
-    # Survivors decode through a broadcast (nid, name) dictionary.
-    # Total work is Σ_nbr C(w,2) ≤ cap·|edges| — linear in graph
-    # size at a fixed degree distribution, never N². For tight
-    # thresholds at extreme scale, the MinHash/LSH machinery in
-    # textops.dedup applies to neighbor sets verbatim (neighbors
-    # play the role of shingles).
     nid = md5_hash60(F.col("name"))
     enc = und.select(nid.alias("nid"), "name", "nbr")
     post0 = (
@@ -77,18 +78,44 @@ def similar_entities(
         .agg(F.count("*").alias("sz"))
     )
     # Rebuild postings with (nid, sz) structs: one extra O(|edges|)
-    # shuffle buys the size-ratio prune below — J ≤ min/max, so a
-    # pair whose set sizes differ by more than 1/τ can never reach
-    # the threshold and is dropped BEFORE the Σ C(w,2) pair shuffle
-    # (~33% fewer shuffled pair rows and two fewer joins at sf0.1:
-    # 11.0s → 8.7s for the scored-pairs stage).
+    # shuffle buys the size-ratio prune in similar_entities — J ≤
+    # min/max, so a pair whose set sizes differ by more than 1/τ can
+    # never reach the threshold and is dropped BEFORE the Σ C(w,2)
+    # pair shuffle (~33% fewer shuffled pair rows and two fewer joins
+    # at sf0.1: 11.0s → 8.7s for the scored-pairs stage).
     postings = (
         post0.select("nbr", F.explode("ids").alias("nid"))
         .join(sizes, "nid")
         .groupBy("nbr")
         .agg(F.sort_array(F.collect_list(F.struct("nid", "sz"))).alias("ids"))
-        .persist()
     )
+    names = enc.select("nid", "name").distinct()
+    return postings, names
+
+
+def similar_entities(
+    relations: DataFrame,
+    threshold: float = 0.2,
+    cap: int = NEIGHBOR_CAP,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Entity pairs with neighbor-set Jaccard ≥ threshold →
+    (entity_a, entity_b, inter_size, size_a, size_b, jaccard),
+    entity_a < entity_b.
+
+    One shuffle builds the per-neighbor postings list (skipped
+    entirely when the prebuilt ``index`` from
+    :func:`neighbor_postings` is passed — the registry's disk-backed
+    per-session artifact); pairs are in-row explosions of each list
+    (no second shuffle of the edge table); per-entity sizes travel
+    inside the postings structs, so provably-hopeless pairs are
+    pruned IN-ROW before the pair shuffle.
+    """
+    if index is None:
+        postings, names = neighbor_postings(relations, cap)
+        postings = postings.persist()
+    else:
+        postings, names = index
     combos = F.flatten(
         F.transform(
             F.col("ids"),
@@ -127,7 +154,6 @@ def similar_entities(
             6,
         ),
     ).where(F.col("jaccard") >= threshold)
-    names = enc.select("nid", "name").distinct()
     da = names.select(F.col("nid").alias("na"), F.col("name").alias("name_a"))
     db = names.select(F.col("nid").alias("nb"), F.col("name").alias("name_b"))
     return (
@@ -411,6 +437,7 @@ def suggest_relations(
     threshold: float = 0.1,
     k: int = 25,
     cap: int = NEIGHBOR_CAP,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Actionable link prediction → (entity_a, entity_b, jaccard):
     the top-k MOST-similar entity pairs that are NOT already directly
@@ -423,7 +450,7 @@ def suggest_relations(
     Scale: adds exactly one broadcast-able anti-join (distinct edge
     pairs, canonicalized a<b) over the bounded similar-pair stream.
     """
-    sims = similar_entities(relations, threshold, cap).select(
+    sims = similar_entities(relations, threshold, cap, index=index).select(
         "entity_a", "entity_b", "jaccard"
     )
     existing = (
@@ -445,6 +472,7 @@ def suggest_relations_weighted(
     relations: DataFrame,
     k: int = 25,
     cap: int = NEIGHBOR_CAP,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009) →
     top-k unconnected pairs by RA index: score(a,b) =
@@ -472,14 +500,16 @@ def suggest_relations_weighted(
     (Σ C(w,2) ≤ cap·|edges|) + a broadcast-able anti-join; top-k via
     TakeOrdered. Never N².
     """
-    und = undirected_neighbors(relations)
-    nid = md5_hash60(F.col("name"))
-    enc = und.select(nid.alias("nid"), "name", "nbr")
-    postings = (
-        enc.groupBy("nbr")
-        .agg(F.sort_array(F.collect_list("nid")).alias("ids"))
-        .where(F.size("ids") <= cap)
-        .persist()
+    if index is None:
+        struct_postings, names = neighbor_postings(relations, cap)
+        struct_postings = struct_postings.persist()
+    else:
+        struct_postings, names = index
+    # The plain-nid postings this op needs are an in-row projection of
+    # the shared struct index (structs sort nid-first, so nid order is
+    # preserved) — one index serves the Jaccard AND the RA surface.
+    postings = struct_postings.select(
+        F.transform(F.col("ids"), lambda p: p["nid"]).alias("ids")
     )
     combos = pair_combos("ids")
     scale = 1 << 40
@@ -502,7 +532,6 @@ def suggest_relations_weighted(
         )
         .drop("c_sum")
     )
-    names = enc.select("nid", "name").distinct()
     da = names.select(F.col("nid").alias("na"), F.col("name").alias("name_a"))
     db = names.select(F.col("nid").alias("nb"), F.col("name").alias("name_b"))
     decoded = (

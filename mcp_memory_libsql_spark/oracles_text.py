@@ -246,6 +246,53 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 6
 """
 )
 
+# Capped twin: identical banding, but chunk buckets with more than 64
+# members are dropped before pairing (mirrors the Spark-side
+# bucket_cap=64 in simhash_chunk_pairs — the 2..cap keep-rule).
+ORACLES["dedup_simhash_capped"] = (
+    SHINGLE_CTE
+    + """,
+hashes AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+),
+bits AS (
+  SELECT doc_id, j, (h >> j) & 1 AS bit
+  FROM hashes CROSS JOIN (SELECT unnest(range(0, 60)) AS j) js
+),
+votes AS (
+  SELECT doc_id, j, SUM(2 * bit - 1) AS vote FROM bits GROUP BY doc_id, j
+),
+sims AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << CAST(j AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash,
+         CAST(c AS VARCHAR) || '_' ||
+         CAST((simhash >> (CAST(c AS INTEGER) * 15)) & 32767 AS VARCHAR)
+           AS chunk_key
+  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs
+),
+ok AS (
+  SELECT chunk_key FROM banded
+  GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM banded a JOIN banded b
+    ON a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
+  WHERE a.chunk_key IN (SELECT chunk_key FROM ok)
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= 6
+"""
+)
+
 ORACLES["text_top_terms"] = """
 SELECT term, COUNT(*) AS total_freq,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq

@@ -305,17 +305,26 @@ def simhash_chunk_pairs(
 
 
 def simhash_near_pairs(
-    documents: DataFrame, n: int = 3, max_hamming: int = 3
+    documents: DataFrame,
+    n: int = 3,
+    max_hamming: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ r via chunk-match
     candidates (pigeonhole: ≤3 differing bits over 4 chunks ⇒ at
     least one 15-bit chunk identical) → (doc_a, doc_b, hamming).
-    No bucket cap: the gated oracle mirrors the uncapped banding; a
-    replication-heavy corpus should pass bucket_cap through
-    :func:`simhash_chunk_pairs` (and mirror it in the oracle) the way
-    multimodal.media.media_neardup does."""
+
+    ``bucket_cap=None`` (the ``dedup_simhash_pairs`` gate) keeps the
+    uncapped banding its oracle mirrors. The ``dedup_simhash_capped``
+    gate passes a cap: a chunk value shared by g docs yields C(g,2)
+    candidate pairs — quadratic by SEMANTICS — and a replication-heavy
+    corpus (boilerplate pages, near-empty docs whose simhash collapses
+    to a handful of values) needs overfull buckets DROPPED to bound
+    the combo stage, exactly like DF_CAP for shingles and the media
+    near-dup cap. The oracle mirrors the 2..cap keep-rule, so the
+    capped output stays hash-verifiable."""
     sig = simhash_signatures(documents, n)
-    cand = simhash_chunk_pairs(sig, "doc_id")
+    cand = simhash_chunk_pairs(sig, "doc_id", bucket_cap=bucket_cap)
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cand.select(

@@ -288,3 +288,32 @@ def test_lm_score_orders_fluent_above_garbled(spark):
     # ce_millibits is the exact integer; cross_entropy derives from it
     r = rows[1]
     assert abs(r.cross_entropy - r.ce_millibits / (1000.0 * r.n_tokens)) < 1e-6
+
+
+def test_simhash_bucket_cap_bites(spark):
+    # 80 byte-identical docs share one simhash -> every chunk bucket
+    # has 80 members; cap 64 drops them all, while the uncapped path
+    # returns the full C(80,2) blowup. Two near-dup docs in a small
+    # bucket must survive the cap.
+    from mcp_memory_libsql_spark.textops import dedup as dd
+
+    boiler = "subscribe to our newsletter terms of service apply " * 5
+    # one more repetition of the same period: different bytes, but the
+    # DISTINCT shingle set is identical -> identical simhash, hamming 0
+    period = "the quick brown fox jumps over the lazy dog again and again "
+    near_a = period * 4
+    near_b = period * 5
+    rows = [(i, boiler, "en", "s", len(boiler)) for i in range(80)]
+    rows += [(100, near_a, "en", "s", len(near_a)),
+             (101, near_b, "en", "s", len(near_b))]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    uncapped = dd.simhash_near_pairs(docs, n=3, max_hamming=6)
+    capped = dd.simhash_near_pairs(docs, n=3, max_hamming=6, bucket_cap=64)
+    n_un = uncapped.count()
+    assert n_un >= 80 * 79 // 2  # boilerplate blowup present
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (100, 101) in got, got
+    assert all(a >= 100 for a, _ in got), got  # boiler bucket dropped
