@@ -59,6 +59,9 @@ _KG_DIRS: dict[tuple[str, str], str] = {}
 # surfaces read it, so it's materialized to parquet once per
 # (session, sf_dir) instead of re-shuffling the edge table per query.
 _NBR_DIRS: dict[tuple[str, str], str] = {}
+# Embedding LSH signature index (vector/lsh.bucketize): the ANN
+# index-build artifact — four serving/dedup surfaces share it.
+_LSH_DIRS: dict[tuple[str, str], str] = {}
 
 
 def _evict_stale(app_id: str) -> None:
@@ -72,7 +75,7 @@ def _evict_stale(app_id: str) -> None:
     for cache in (_KG_CACHE, _TFIDF_CACHE, _LPA_CACHE):
         for k in [k for k in cache if k[0] != app_id]:
             del cache[k]
-    for dirs in (_KG_DIRS, _NBR_DIRS):
+    for dirs in (_KG_DIRS, _NBR_DIRS, _LSH_DIRS):
         for k in [k for k in dirs if k[0] != app_id]:
             shutil.rmtree(dirs.pop(k), ignore_errors=True)
 
@@ -98,6 +101,30 @@ def _nbr_index(spark: SparkSession, sf_dir: str, g) -> tuple:
         spark.read.parquet(p + "/postings"),
         spark.read.parquet(p + "/names"),
     )
+
+
+def _lsh_index(spark: SparkSession, sf_dir: str):
+    """Disk-backed embedding LSH signature index per (session,
+    sf_dir): four serving/dedup surfaces (ann_lsh_cosine,
+    vec_lsh_bucket_profile, dedup_embedding_lsh, dedup_semantic_keep)
+    read the identical deterministic (16-table, 4-bit) index, so the
+    registry builds the plane-dot pipeline ONCE and writes parquet
+    partitioned by (table_id, sig) — at 100 TB this IS the ANN index
+    build, an ingest artifact, and per-query signature lookups prune
+    to their partitions instead of rescanning the embeddings."""
+    import tempfile
+
+    from .io.tables import load_tables as _lt
+    from .vector import lsh as _lsh
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LSH_DIRS:
+        path = tempfile.mkdtemp(prefix="spark_lsh_idx_")
+        emb = _lt(spark, sf_dir)["embeddings"]
+        idx = _lsh.bucketize(emb, dim=64)
+        idx.write.mode("overwrite").partitionBy("table_id", "sig").parquet(path)
+        _LSH_DIRS[key] = path
+    return spark.read.parquet(_LSH_DIRS[key]).select("vec_id", "table_id", "sig")
 
 
 def _kg(spark: SparkSession, sf_dir: str):
@@ -450,7 +477,9 @@ def q_vec_lsh_bucket_profile(spark, sf_dir):
     # LSH index-health occupancy readout — full oracle (identical
     # md5-seeded index rebuilt in SQL, integer counts only)
     t = load_tables(spark, sf_dir)
-    return lsh.bucket_profile(t["embeddings"], dim=64)
+    return lsh.bucket_profile(
+        t["embeddings"], dim=64, index=_lsh_index(spark, sf_dir)
+    )
 
 
 @query("ann_lsh_cosine")
@@ -459,7 +488,13 @@ def q_ann_lsh_cosine(spark, sf_dir):
     # hash-gated: the oracle embeds the same plane constants
     # (oracles_vector._ann_lsh_oracle); recall floors in pytest
     t = load_tables(spark, sf_dir)
-    return lsh.ann_cosine(t["embeddings"], query_vec_id=0, k=10, dim=64)
+    return lsh.ann_cosine(
+        t["embeddings"],
+        query_vec_id=0,
+        k=10,
+        dim=64,
+        index=_lsh_index(spark, sf_dir),
+    )
 
 
 @query("mm_resize_meta")
@@ -648,7 +683,9 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     # like the brute twin so the gate checks non-trivial pairs (the
     # testdata's max pairwise cosine is ~0.51).
     t = load_tables(spark, sf_dir)
-    return lsh.near_dup_pairs_lsh(t["embeddings"], threshold=0.4)
+    return lsh.near_dup_pairs_lsh(
+        t["embeddings"], threshold=0.4, index=_lsh_index(spark, sf_dir)
+    )
 
 
 @query("ann_recall_eval")
@@ -1869,9 +1906,9 @@ def q_dedup_semantic_keep(spark, sf_dir):
     # documents. The embedding twin of dedup_keep_docs; vec_id is the
     # doc_id (the bridge key every bridge_* op uses).
     t = load_tables(spark, sf_dir)
-    drops = lsh.near_dup_pairs_lsh(t["embeddings"], threshold=0.4).select(
-        F.col("vec_b").alias("doc_id")
-    )
+    drops = lsh.near_dup_pairs_lsh(
+        t["embeddings"], threshold=0.4, index=_lsh_index(spark, sf_dir)
+    ).select(F.col("vec_b").alias("doc_id"))
     return t["documents"].join(
         F.broadcast(drops.distinct()), "doc_id", "left_anti"
     ).select("doc_id", "lang", "n_chars")

@@ -125,12 +125,19 @@ def ann_cosine(
     n_tables: int = N_TABLES,
     n_bits: int = N_BITS,
     bucket_cap: int | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by cosine: candidates from LSH bucket
     agreement, exact rescoring of candidates only. ``bucket_cap``
     optionally drops overfull buckets (bounded per-query work in
-    dense regions, at a recall cost). → (vec_id, label, cosine_sim)."""
-    index = bucketize(embeddings, dim, n_tables, n_bits)
+    dense regions, at a recall cost). → (vec_id, label, cosine_sim).
+
+    ``index`` accepts a prebuilt ``bucketize`` table (the registry's
+    disk-backed per-session artifact, partitioned by (table_id, sig))
+    — serving-path queries then never recompute the plane dots and
+    the signature semi-join prunes to the query's partitions."""
+    if index is None:
+        index = bucketize(embeddings, dim, n_tables, n_bits)
     if bucket_cap is not None:
         ok = (
             index.groupBy("table_id", "sig")
@@ -174,6 +181,7 @@ def near_dup_pairs_lsh(
     n_tables: int = N_TABLES,
     n_bits: int | None = None,
     bucket_cap: int = BUCKET_CAP,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via LSH candidates + exact rescore —
     the 100 TB path replacing the brute N² cross join
@@ -193,13 +201,16 @@ def near_dup_pairs_lsh(
     """
     if n_bits is None:
         n_bits = n_bits_for_threshold(threshold)
-    # The signature index feeds TWO consumers (the bucket-count pass
-    # and the capped semi-join); without persist each re-evaluates the
-    # n_tables·n_bits plane-dot HOF pipeline — the expensive part of
-    # the whole operator (measured ~1.7× end-to-end at sf0.1). The
-    # cluster analog is the docstring's "write the index once,
-    # partitioned by (table_id, sig)".
-    index = bucketize(embeddings, dim, n_tables, n_bits).persist()
+    if index is None:
+        # The signature index feeds TWO consumers (the bucket-count
+        # pass and the capped semi-join); without persist each
+        # re-evaluates the n_tables·n_bits plane-dot HOF pipeline —
+        # the expensive part of the whole operator (measured ~1.7×
+        # end-to-end at sf0.1). A prebuilt ``index`` (the registry's
+        # parquet artifact) skips the build entirely — the cluster
+        # analog of "write the index once, partitioned by
+        # (table_id, sig)".
+        index = bucketize(embeddings, dim, n_tables, n_bits).persist()
     ok = (
         index.groupBy("table_id", "sig")
         .count()
@@ -237,6 +248,7 @@ def bucket_profile(
     dim: int = 64,
     n_tables: int = N_TABLES,
     n_bits: int = N_BITS,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """LSH index-health readout → (table_id, n_buckets, n_vectors,
     min_width, max_width): per-table bucket occupancy — the tuning
@@ -250,7 +262,7 @@ def bucket_profile(
     Scale: one embeddings scan (bucketize explodes all tables from a
     single pass) + one (table, sig) rollup + one per-table rollup —
     output is n_tables rows at any corpus size."""
-    idx = bucketize(embeddings, dim, n_tables, n_bits)
+    idx = index if index is not None else bucketize(embeddings, dim, n_tables, n_bits)
     widths = idx.groupBy("table_id", "sig").agg(F.count("*").alias("w"))
     return widths.groupBy("table_id").agg(
         F.count("*").cast("bigint").alias("n_buckets"),

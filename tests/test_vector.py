@@ -286,3 +286,35 @@ def test_lsh_bucket_profile_accounting(spark, sf_dir):
         assert r.n_vectors == n
         assert 1 <= r.n_buckets <= 1 << lsh.N_BITS
         assert r.min_width >= 1 and r.max_width <= n
+
+
+def test_lsh_prebuilt_index_identical_results(spark, sf_dir, emb, tmp_path):
+    # The registry's disk-backed index must be a pure plan shortcut:
+    # round-tripping bucketize through partitioned parquet changes
+    # NOTHING in any consumer's output (signatures are deterministic).
+    p = str(tmp_path / "lsh_idx")
+    lsh.bucketize(emb, dim=64).write.partitionBy("table_id", "sig").parquet(p)
+    idx = spark.read.parquet(p).select("vec_id", "table_id", "sig")
+
+    ann_inline = [tuple(r) for r in lsh.ann_cosine(emb, 0, k=10, dim=64).collect()]
+    ann_idx = [
+        tuple(r)
+        for r in lsh.ann_cosine(emb, 0, k=10, dim=64, index=idx).collect()
+    ]
+    assert ann_inline == ann_idx
+
+    pairs_inline = {
+        tuple(r)
+        for r in lsh.near_dup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    pairs_idx = {
+        tuple(r)
+        for r in lsh.near_dup_pairs_lsh(emb, threshold=0.4, index=idx).collect()
+    }
+    assert pairs_inline == pairs_idx
+
+    prof_inline = sorted(tuple(r) for r in lsh.bucket_profile(emb, dim=64).collect())
+    prof_idx = sorted(
+        tuple(r) for r in lsh.bucket_profile(emb, dim=64, index=idx).collect()
+    )
+    assert prof_inline == prof_idx
