@@ -115,6 +115,10 @@ EXTENDED = [
     "events_type_overlap",
     "events_user_histogram",
     "kg_obs_staleness",
+    "dedup_simhash_capped",
+    "kg_similar_entities",
+    "ann_lsh_cosine",
+    "dedup_embedding_lsh",
 ]
 
 
