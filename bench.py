@@ -1,11 +1,15 @@
 #!/usr/bin/env python
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
-the per-query MEDIAN — env wall-time variance was ±50% in r01, and
-round-over-round comparison needs stable numbers. One-time session
-costs (KG ingest materialization, JIT) land in the first run and drop
-out of the median.
+Each headline query runs $SPARK_GRAFT_BENCH_RUNS times (default 5)
+and reports the per-query MEDIAN — env wall-time variance was ±50% in
+r01, and round-over-round comparison needs stable numbers. One-time
+session costs (KG ingest materialization, JIT) land in the first run
+and drop out of the median. The shared disk indexes (KG snapshot,
+neighbor postings + scored pairs, LSH signatures) are force-built and
+timed as their own `*_index_build` extended entries so consumer
+queries report steady per-query cost; the heaviest extended ops are
+median-of-3.
 
 Prints ONE compact JSON line (headline only) as the FINAL stdout
 line:
@@ -122,6 +126,47 @@ EXTENDED = [
 ]
 
 
+# Heaviest extended ops (r03 single-run wall ≥ ~5s): median-of-3 so
+# round-over-round comparison reads plan changes, not env variance
+# (single-run extended numbers swung ±50% between r02 and r03).
+EXT_MEDIAN3 = {
+    "kg_suggest_weighted",
+    "kg_suggest_relations",
+    "dedup_winnowing",
+    "kg_similar_entities",
+    "kg_communities",
+    "kg_ppr",
+    "kg_hits",
+    "kg_pagerank_full",
+    "vec_lsh_bucket_profile",
+    "dedup_embedding_lsh",
+    "dedup_semantic_keep",
+    "kg_merge_entities",
+}
+
+
+def _build_indexes(spark, sf_dir: str) -> dict[str, float]:
+    """Force-build each shared disk index BEFORE any extended timing
+    and report the build as its own named entry. r03's single-run
+    extended loop billed these one-time builds to whichever consumer
+    ran first (kg_suggest_weighted +48%, vec_lsh_bucket_profile +85%
+    phantom regressions); at 100 TB they're ingest-time artifacts, so
+    the bench now accounts for them the same way."""
+    from mcp_memory_libsql_spark import registry as reg
+
+    builds: dict[str, float] = {}
+    t0 = time.perf_counter()
+    g, _ = reg._kg(spark, sf_dir)
+    builds["kg_snapshot_index_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    reg._nbr_index(spark, sf_dir, g)
+    builds["nbr_postings_index_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    reg._lsh_index(spark, sf_dir)
+    builds["lsh_signature_index_build"] = round(time.perf_counter() - t0, 3)
+    return builds
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -137,7 +182,7 @@ def main() -> None:
     for key in HEADLINE:
         QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for key in HEADLINE:
         samples = []
@@ -162,14 +207,17 @@ def main() -> None:
         "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0":
-        ext: dict[str, float] = {}
+        ext: dict[str, float] = _build_indexes(spark, sf_dir)
         for key in EXTENDED:
-            t0 = time.perf_counter()
-            QUERIES[key](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            ext[key] = round(time.perf_counter() - t0, 3)
-            spark.catalog.clearCache()
+            samples = []
+            for _ in range(3 if key in EXT_MEDIAN3 else 1):
+                t0 = time.perf_counter()
+                QUERIES[key](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            ext[key] = round(statistics.median(samples), 3)
         # Written to a sibling file, NOT the stdout line: the driver's
         # tail capture truncates long lines, which nulled BENCH_r02.
         ext_path = os.path.join(

@@ -13,6 +13,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
@@ -95,6 +96,10 @@ _CLUSTER_COL = {
 # appId key; a fresh process rebuilds (cheap) rather than trusting a
 # stale cross-process cache.
 _SPLIT_DIRS: dict[str, str] = {}
+# Serializes snapshot builds: two threads loading the same table
+# concurrently would otherwise both write a snapshot, one tempdir
+# clobbering the other's dict entry and leaking until process exit.
+_SPLIT_LOCK = threading.Lock()
 
 
 def _cleanup_split_dirs() -> None:
@@ -123,19 +128,20 @@ def _split_for_scan(
     ):
         return df
     key = f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
-    if key not in _SPLIT_DIRS:
-        cores = spark.sparkContext.defaultParallelism
-        n_files = max(2, min(cores, -(-rows // 16_384)))
-        cluster = _CLUSTER_COL.get(name)
-        out = (
-            df.repartitionByRange(n_files, cluster)
-            .sortWithinPartitions(cluster)
-            if cluster in df.columns
-            else df.repartition(n_files)
-        )
-        path = tempfile.mkdtemp(prefix=f"spark_scan_{name}_")
-        out.write.mode("overwrite").parquet(path)
-        _SPLIT_DIRS[key] = path
+    with _SPLIT_LOCK:
+        if key not in _SPLIT_DIRS:
+            cores = spark.sparkContext.defaultParallelism
+            n_files = max(2, min(cores, -(-rows // 16_384)))
+            cluster = _CLUSTER_COL.get(name)
+            out = (
+                df.repartitionByRange(n_files, cluster)
+                .sortWithinPartitions(cluster)
+                if cluster in df.columns
+                else df.repartition(n_files)
+            )
+            path = tempfile.mkdtemp(prefix=f"spark_scan_{name}_")
+            out.write.mode("overwrite").parquet(path)
+            _SPLIT_DIRS[key] = path
     return spark.read.parquet(_SPLIT_DIRS[key])
 
 

@@ -93,29 +93,29 @@ def neighbor_postings(
     return postings, names
 
 
-def similar_entities(
-    relations: DataFrame,
-    threshold: float = 0.2,
-    cap: int = NEIGHBOR_CAP,
-    index: tuple[DataFrame, DataFrame] | None = None,
-) -> DataFrame:
-    """Entity pairs with neighbor-set Jaccard ≥ threshold →
-    (entity_a, entity_b, inter_size, size_a, size_b, jaccard),
-    entity_a < entity_b.
+RA_SCALE = 1 << 40
 
-    One shuffle builds the per-neighbor postings list (skipped
-    entirely when the prebuilt ``index`` from
-    :func:`neighbor_postings` is passed — the registry's disk-backed
-    per-session artifact); pairs are in-row explosions of each list
-    (no second shuffle of the edge table); per-entity sizes travel
-    inside the postings structs, so provably-hopeless pairs are
-    pruned IN-ROW before the pair shuffle.
+
+def scored_pairs(
+    struct_postings: DataFrame, prune_threshold: float = 0.0
+) -> DataFrame:
+    """ONE pair rollup → (na, nb, n_common, size_a, size_b, ra_sum)
+    serving every downstream similarity score: ``n_common`` with the
+    in-row sizes yields exact neighbor-Jaccard, and ``ra_sum`` is the
+    scaled-BIGINT Resource-Allocation sum (Σ round(2⁴⁰/deg(z)) over
+    shared neighbors z — order-independent integer math, see
+    :func:`suggest_relations_weighted`).
+
+    This is the expensive stage of the whole family — the Σ C(w,2)
+    explode + shuffle — so the registry materializes ITS output per
+    (session, sf_dir) (the scored-pair stream is the index-build
+    artifact one level up from the postings; three query surfaces
+    re-read it instead of re-running the explode). Built WITHOUT the
+    size-ratio prune when shared (``prune_threshold=0``) because the
+    RA consumer needs all co-neighbor pairs; standalone Jaccard
+    callers pass their threshold to keep the measured ~33%
+    shuffled-row saving.
     """
-    if index is None:
-        postings, names = neighbor_postings(relations, cap)
-        postings = postings.persist()
-    else:
-        postings, names = index
     combos = F.flatten(
         F.transform(
             F.col("ids"),
@@ -130,30 +130,73 @@ def similar_entities(
             ),
         )
     )
-    # 1e-6 slack keeps boundary pairs whose exact J rounds up to the
-    # threshold at 6 decimals (the final filter below is authoritative).
-    kept = F.filter(
-        combos,
-        lambda p: F.least(p["sa"], p["sb"])
-        >= F.lit(threshold - 1e-6) * F.greatest(p["sa"], p["sb"]),
+    if prune_threshold > 0:
+        # 1e-6 slack keeps boundary pairs whose exact J rounds up to
+        # the threshold at 6 decimals (the consumer's jaccard filter
+        # is authoritative); J ≤ min/max so the dropped pairs are
+        # provably below threshold.
+        combos = F.filter(
+            combos,
+            lambda p: F.least(p["sa"], p["sb"])
+            >= F.lit(prune_threshold - 1e-6) * F.greatest(p["sa"], p["sb"]),
+        )
+    contrib = F.expr(
+        f"CAST(({RA_SCALE} + size(ids) DIV 2) DIV size(ids) AS BIGINT)"
     )
-    pairs = (
-        postings.select(F.explode(kept).alias("p"))
+    return (
+        struct_postings.select(contrib.alias("c"), F.explode(combos).alias("p"))
         .groupBy(F.col("p.a").alias("na"), F.col("p.b").alias("nb"))
         .agg(
-            F.count("*").alias("inter_size"),
+            F.count("*").alias("n_common"),
             F.first("p.sa").alias("size_a"),
             F.first("p.sb").alias("size_b"),
+            F.sum("c").alias("ra_sum"),
         )
     )
-    scored = pairs.withColumn(
-        "jaccard",
-        F.round(
-            F.col("inter_size")
-            / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
-            6,
-        ),
-    ).where(F.col("jaccard") >= threshold)
+
+
+def similar_entities(
+    relations: DataFrame,
+    threshold: float = 0.2,
+    cap: int = NEIGHBOR_CAP,
+    index: tuple | None = None,
+) -> DataFrame:
+    """Entity pairs with neighbor-set Jaccard ≥ threshold →
+    (entity_a, entity_b, inter_size, size_a, size_b, jaccard),
+    entity_a < entity_b.
+
+    One shuffle builds the per-neighbor postings list; pairs are
+    in-row explosions of each list (no second shuffle of the edge
+    table); per-entity sizes travel inside the postings structs, so
+    provably-hopeless pairs are pruned IN-ROW before the pair
+    shuffle. When the prebuilt ``index`` — (postings, names) or
+    (postings, names, scored_pairs) from the registry's disk-backed
+    per-session artifact — is passed, BOTH the postings build and
+    (3-tuple form) the whole pair rollup are skipped; the index's
+    own build cap then governs and ``cap`` is ignored.
+    """
+    pairs = None
+    if index is None:
+        postings, names = neighbor_postings(relations, cap)
+        postings = postings.persist()
+    elif len(index) == 3:
+        _, names, pairs = index
+    else:
+        postings, names = index
+    if pairs is None:
+        pairs = scored_pairs(postings, prune_threshold=threshold)
+    scored = (
+        pairs.withColumnRenamed("n_common", "inter_size")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter_size")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
     da = names.select(F.col("nid").alias("na"), F.col("name").alias("name_a"))
     db = names.select(F.col("nid").alias("nb"), F.col("name").alias("name_b"))
     return (
@@ -437,7 +480,7 @@ def suggest_relations(
     threshold: float = 0.1,
     k: int = 25,
     cap: int = NEIGHBOR_CAP,
-    index: tuple[DataFrame, DataFrame] | None = None,
+    index: tuple | None = None,
 ) -> DataFrame:
     """Actionable link prediction → (entity_a, entity_b, jaccard):
     the top-k MOST-similar entity pairs that are NOT already directly
@@ -472,7 +515,7 @@ def suggest_relations_weighted(
     relations: DataFrame,
     k: int = 25,
     cap: int = NEIGHBOR_CAP,
-    index: tuple[DataFrame, DataFrame] | None = None,
+    index: tuple | None = None,
 ) -> DataFrame:
     """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009) →
     top-k unconnected pairs by RA index: score(a,b) =
@@ -500,37 +543,23 @@ def suggest_relations_weighted(
     (Σ C(w,2) ≤ cap·|edges|) + a broadcast-able anti-join; top-k via
     TakeOrdered. Never N².
     """
+    raw = None
     if index is None:
         struct_postings, names = neighbor_postings(relations, cap)
         struct_postings = struct_postings.persist()
+    elif len(index) == 3:
+        _, names, raw = index
     else:
         struct_postings, names = index
-    # The plain-nid postings this op needs are an in-row projection of
-    # the shared struct index (structs sort nid-first, so nid order is
-    # preserved) — one index serves the Jaccard AND the RA surface.
-    postings = struct_postings.select(
-        F.transform(F.col("ids"), lambda p: p["nid"]).alias("ids")
-    )
-    combos = pair_combos("ids")
-    scale = 1 << 40
-    contrib = F.expr(
-        f"CAST(({scale} + size(ids) DIV 2) DIV size(ids) AS BIGINT)"
-    )
-    pairs = (
-        postings.select(
-            contrib.alias("c"),
-            F.explode(combos).alias("p"),
-        )
-        .groupBy(F.col("p.a").alias("na"), F.col("p.b").alias("nb"))
-        .agg(
-            F.count("*").alias("n_common"),
-            F.sum("c").alias("c_sum"),
-        )
-        .withColumn(
-            "ra_score",
-            F.round(F.col("c_sum").cast("double") / F.lit(float(scale)), 6),
-        )
-        .drop("c_sum")
+    if raw is None:
+        raw = scored_pairs(struct_postings)
+    pairs = raw.select(
+        "na",
+        "nb",
+        "n_common",
+        F.round(
+            F.col("ra_sum").cast("double") / F.lit(float(RA_SCALE)), 6
+        ).alias("ra_score"),
     )
     da = names.select(F.col("nid").alias("na"), F.col("name").alias("name_a"))
     db = names.select(F.col("nid").alias("nb"), F.col("name").alias("name_b"))

@@ -128,8 +128,8 @@ FROM documents
 
 ORACLES["text_tokens"] = """
 SELECT doc_id,
-  CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS ws_tokens,
-  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+  CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\x0B]+')) AS INTEGER) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]'))
        AS INTEGER) AS bpe_tokens
 FROM documents
 """
@@ -137,9 +137,9 @@ FROM documents
 ORACLES["text_fertility"] = """
 WITH c AS (
   SELECT lang,
-         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\x0B]+')) AS BIGINT) AS ws,
          CAST(len(regexp_extract_all(text,
-              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]')) AS BIGINT) AS bpe
   FROM documents
 )
 SELECT lang, COUNT(*)::BIGINT AS n_docs,
@@ -175,8 +175,8 @@ FROM h
 
 ORACLES["text_fingerprint"] = """
 SELECT doc_id,
-  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
-  ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT
+  md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fp,
+  ('0x' || substr(md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), 1, 15))::BIGINT
     AS fp64
 FROM documents
 """
@@ -923,11 +923,11 @@ ORACLES["text_char_classes"] = """
 SELECT doc_id,
   CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
-  CAST(length(text) - length(regexp_replace(text, '[\\s]', '', 'g')) AS BIGINT) AS n_space,
+  CAST(length(text) - length(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]', '', 'g')) AS BIGINT) AS n_space,
   CAST(
     length(regexp_replace(text, '[A-Za-z]', '', 'g'))
     + length(regexp_replace(text, '[0-9]', '', 'g'))
-    + length(regexp_replace(text, '[\\s]', '', 'g'))
+    + length(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]', '', 'g'))
     + length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
     - 3 * length(text) AS BIGINT) AS n_punct,
   CAST(length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_nonascii

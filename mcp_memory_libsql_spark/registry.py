@@ -9,6 +9,7 @@ by name and hashes values order-insensitively).
 
 from __future__ import annotations
 
+import atexit
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -69,7 +70,10 @@ def _evict_stale(app_id: str) -> None:
     process (their DataFrames are pinned to stopped contexts) and
     delete their orphaned KG snapshot temp dirs — without this, a
     long-lived process that restarts sessions leaks memory and /tmp
-    disk one entry per (appId, sf_dir)."""
+    disk one entry per (appId, sf_dir). Called by every index
+    helper (_kg, _nbr_index, _lsh_index), so LSH-only sessions
+    evict too; the atexit hook below reclaims whatever the final
+    session leaves behind."""
     import shutil
 
     for cache in (_KG_CACHE, _TFIDF_CACHE, _LPA_CACHE):
@@ -80,26 +84,51 @@ def _evict_stale(app_id: str) -> None:
             shutil.rmtree(dirs.pop(k), ignore_errors=True)
 
 
+def _cleanup_index_dirs() -> None:
+    import shutil
+
+    for dirs in (_KG_DIRS, _NBR_DIRS, _LSH_DIRS):
+        for path in dirs.values():
+            shutil.rmtree(path, ignore_errors=True)
+        dirs.clear()
+
+
+atexit.register(_cleanup_index_dirs)
+
+
 def _nbr_index(spark: SparkSession, sf_dir: str, g) -> tuple:
-    """Disk-backed (postings, names) neighbor index per (session,
-    sf_dir) — parquet-materialized so an external clearCache() can't
-    unpin it, and every similarity query reads a column-pruned scan
-    instead of rebuilding the edge shuffle."""
+    """Disk-backed (postings, names, scored_pairs) neighbor index per
+    (session, sf_dir) — parquet-materialized so an external
+    clearCache() can't unpin it, and every similarity query reads a
+    column-pruned scan instead of rebuilding the edge shuffle.
+
+    The scored-pair stream (the Σ C(w,2) explode + rollup — the
+    family's dominant stage) is materialized HERE too: the three
+    consumers (kg_similar_entities, kg_suggest_relations,
+    kg_suggest_weighted) each used to re-run it from the shared
+    postings; now they re-read one parquet. Built un-pruned (RA
+    needs every co-neighbor pair); the index's NEIGHBOR_CAP governs
+    — per-query ``cap`` args don't apply to the shared artifact."""
     import tempfile
 
     from .kg import similarity
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_stale(key[0])
     if key not in _NBR_DIRS:
         path = tempfile.mkdtemp(prefix="spark_kg_nbr_")
         postings, names = similarity.neighbor_postings(g["relations"])
         postings.write.mode("overwrite").parquet(path + "/postings")
         names.write.mode("overwrite").parquet(path + "/names")
+        similarity.scored_pairs(
+            spark.read.parquet(path + "/postings")
+        ).write.mode("overwrite").parquet(path + "/pairs")
         _NBR_DIRS[key] = path
     p = _NBR_DIRS[key]
     return (
         spark.read.parquet(p + "/postings"),
         spark.read.parquet(p + "/names"),
+        spark.read.parquet(p + "/pairs"),
     )
 
 
@@ -118,6 +147,7 @@ def _lsh_index(spark: SparkSession, sf_dir: str):
     from .vector import lsh as _lsh
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_stale(key[0])
     if key not in _LSH_DIRS:
         path = tempfile.mkdtemp(prefix="spark_lsh_idx_")
         emb = _lt(spark, sf_dir)["embeddings"]
@@ -1667,15 +1697,17 @@ _LPA_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _lpa(spark, sf_dir, g):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LPA_CACHE:
+        # eager localCheckpoint, not persist(): TRUNCATES the lineage,
+        # so downstream consumers (kg_modularity's two rollups) plan
+        # over a block scan instead of re-deriving the 4 propagation
+        # rounds — r03's census showed 22 shuffles in kg_modularity's
+        # plan vs ≤9 for every other graph op, all lineage inflation.
+        # Checkpoint blocks also survive catalog.clearCache() (RDD
+        # storage, not SQL cache), so no self-heal repersist needed.
         _LPA_CACHE[key] = kg_traverse.label_propagation(
             g["relations"], iterations=4
-        ).persist()
-    labels = _LPA_CACHE[key]
-    # Self-heal after an external clearCache() — see _tfidf_index.
-    lvl = labels.storageLevel
-    if not (lvl.useMemory or lvl.useDisk):
-        labels.persist()
-    return labels
+        ).localCheckpoint(eager=True)
+    return _LPA_CACHE[key]
 
 
 @query("kg_communities")

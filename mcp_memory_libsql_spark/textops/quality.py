@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from .tokenize import BPE_RE, words
+from .tokenize import BPE_RE, WS_CLASS, WS_TOKEN_RE, words
 
 STOPWORDS = {
     "en": ["the", "of", "and", "to", "in", "is", "it", "that", "a"],
@@ -54,7 +54,7 @@ def quality(documents: DataFrame) -> DataFrame:
 
 def token_counts(documents: DataFrame) -> DataFrame:
     """(doc_id, ws_tokens, bpe_tokens) — whitespace + BPE-ish regex."""
-    ws = F.size(F.regexp_extract_all(F.col("text"), F.lit("\\S+"), 0))
+    ws = F.size(F.regexp_extract_all(F.col("text"), F.lit(WS_TOKEN_RE), 0))
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
     return documents.select(
         "doc_id",
@@ -71,7 +71,7 @@ def tokenizer_fertility(documents: DataFrame) -> DataFrame:
     (the standard multilingual-tokenizer audit, cf. SentencePiece
     coverage reports). Integer sums only; one division at the end —
     pure rollup, one map-side-combinable shuffle on lang."""
-    ws = F.size(F.regexp_extract_all(F.col("text"), F.lit("\\S+"), 0))
+    ws = F.size(F.regexp_extract_all(F.col("text"), F.lit(WS_TOKEN_RE), 0))
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
     agg = documents.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -147,7 +147,9 @@ def top_terms(documents: DataFrame, k: int = 50) -> DataFrame:
 def fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, fp, fp64) — md5 of whitespace-normalized lowercase
     text, plus a 60-bit numeric variant for joins."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), f"[{WS_CLASS}]+", " ")
+    )
     return documents.select(
         "doc_id",
         F.md5(norm).alias("fp"),
@@ -370,7 +372,7 @@ def char_classes(documents: DataFrame) -> DataFrame:
     def n(pattern: str):
         return total - F.length(F.regexp_replace(F.col("text"), pattern, ""))
 
-    alpha, digit, space = n("[A-Za-z]"), n("[0-9]"), n("\\s")
+    alpha, digit, space = n("[A-Za-z]"), n("[0-9]"), n(f"[{WS_CLASS}]")
     nonascii = n("[^\\x00-\\x7F]")
     return documents.select(
         "doc_id",

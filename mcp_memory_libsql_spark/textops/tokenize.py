@@ -15,7 +15,14 @@ from pyspark.sql import Column, functions as F
 
 WORD_RE = "[a-z0-9]+"
 # BPE-ish pre-tokenizer: alpha runs, digit runs, single punctuation.
-BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+# Explicit whitespace class, NOT \s / \S: Java regex counts \x0B
+# (vertical tab) as whitespace but DuckDB's RE2 does not, so the
+# shorthand classes tokenize differently across engines on corpora
+# containing VT. Both the Spark exprs and the DuckDB oracles use
+# these literal classes so tokenization is engine-independent.
+WS_CLASS = " \\t\\n\\r\\f\\x0B"
+WS_TOKEN_RE = f"[^{WS_CLASS}]+"
+BPE_RE = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CLASS}]"
 
 
 def words(text: Column) -> Column:
