@@ -1,10 +1,14 @@
 """Multimodal column plumbing: opaque binary media + typed metadata,
 processed with Arrow-batched pandas UDFs (``mapInPandas``).
 
-The real decode (image/audio codecs) is STUBBED — the decode libs
-aren't in this container — behind ``decode_stub``, which produces a
-deterministic fake so the pipeline is testable end-to-end. Everything
-Spark-side is real and scale-shaped:
+Container parsing is REAL pure-Python header decode for all three
+kinds — 8-bit BMP (image), 8-bit PCM WAV (audio), uncompressed AVI
+(video) — via ``make_decoder``/``make_frame_parser``, verified
+bit-for-bit by decode(encode(x)) == x against ``encode_media``.
+Only the pixel/sample CODEC step (JPEG/H.264/MP3 decompression)
+remains out of scope: those libs aren't in this container, so
+``decode_stub`` passes unrecognized blobs through deterministically.
+Everything Spark-side is real and scale-shaped:
 
 - media rows are (media_id, kind, payload binary, meta struct);
 - processing is ``mapInPandas`` so payloads stream through Arrow in
@@ -65,9 +69,10 @@ def decode_stub(payload: bytes, kind: str) -> bytes:
 
 def make_decoder():
     """Factory for the REAL container decoder: pure-Python header
-    parsing for uncompressed 8-bit BMP (image) and 8-bit PCM WAV
-    (audio), passthrough for anything without a recognized magic
-    (video stays the disclosed stub — the container has no ffmpeg).
+    parsing for uncompressed 8-bit BMP (image), 8-bit PCM WAV
+    (audio) and uncompressed AVI (video — RIFF walk to the ``movi``
+    LIST, per-frame ``00dc``/``00db`` chunk payloads concatenated);
+    passthrough for anything without a recognized magic.
 
     Returned as a fresh closure so worker transforms can capture it
     by VALUE (cloudpickle ships module-level functions by reference,
@@ -81,15 +86,53 @@ def make_decoder():
     aligned and stored bottom-up, so decode strips padding and
     re-orders top-down — the decoded bytes are exactly the original
     sample stream :func:`encode_media` wrapped. WAV: RIFF chunk walk
-    to the ``data`` chunk. Malformed headers fall back to
+    to the ``data`` chunk. AVI: the same RIFF chunk walk (reference
+    convention: decode(encode(x)) == x at media.py:68) reaches the
+    ``movi`` LIST and concatenates the per-frame video chunk
+    payloads in stream order. Malformed headers fall back to
     passthrough rather than raising: a 100 TB crawl always contains
     truncated files, and a narrow map must not kill the job."""
     import struct
+
+    def avi_frames(payload: bytes):
+        """Per-frame ``00dc``/``00db`` payloads of a well-formed AVI,
+        or None when the container is malformed/truncated (every
+        chunk size is bounds-checked against the actual payload
+        before any slice, so corrupt headers degrade to passthrough
+        instead of allocating from a lying size field)."""
+        try:
+            if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+                return None
+            p = 12
+            while p + 8 <= len(payload):
+                cid = payload[p : p + 4]
+                csz = struct.unpack_from("<I", payload, p + 4)[0]
+                if p + 8 + csz > len(payload):
+                    return None
+                if cid == b"LIST" and payload[p + 8 : p + 12] == b"movi":
+                    frames = []
+                    q, end = p + 12, p + 8 + csz
+                    while q + 8 <= end:
+                        fid = payload[q : q + 4]
+                        fsz = struct.unpack_from("<I", payload, q + 4)[0]
+                        if q + 8 + fsz > end:
+                            return None
+                        if fid in (b"00dc", b"00db"):
+                            frames.append(payload[q + 8 : q + 8 + fsz])
+                        q += 8 + fsz + (fsz & 1)  # 2-byte aligned
+                    return frames
+                p += 8 + csz + (csz & 1)
+            return None
+        except (struct.error, IndexError):
+            return None
 
     def decode(payload: bytes, kind: str) -> bytes:
         if kind not in ("image", "audio", "video"):
             raise NotImplementedError(f"unknown media kind: {kind}")
         try:
+            if kind == "video":
+                frames = avi_frames(payload)
+                return payload if frames is None else b"".join(frames)
             if kind == "image" and payload[:2] == b"BM" and len(payload) >= 54:
                 pixofs = struct.unpack_from("<I", payload, 10)[0]
                 width, height = struct.unpack_from("<ii", payload, 18)
@@ -130,7 +173,40 @@ def make_decoder():
             return payload
         return payload
 
+    # expose the frame-boundary walk for make_frame_parser (attribute
+    # on the closure, so it still ships by value with the function)
+    decode.avi_frames = avi_frames
     return decode
+
+
+def make_frame_parser():
+    """Factory for the frame splitter both :func:`extract_features`
+    and :func:`sample_frames` use: ``frames(payload, kind,
+    n_frames)`` → list of frame byte strings.
+
+    kind='video' with a well-formed AVI yields the REAL per-frame
+    chunk payloads from the container (the boundary information a
+    raw-byte split destroys and a video pipeline actually needs);
+    every other case decodes the container and falls back to the
+    deterministic even byte-range split by the metadata frame count —
+    the original stand-in geometry, kept for headerless blobs so a
+    truncated file still produces features instead of killing the
+    map. Fresh-closure factory for the same ship-by-value reason as
+    :func:`make_decoder`."""
+    _decode = make_decoder()
+    _avi_frames = _decode.avi_frames
+
+    def frames(payload: bytes, kind: str, n_frames: int) -> list:
+        if kind == "video":
+            fr = _avi_frames(payload)
+            if fr is not None:
+                return fr
+        blob = _decode(payload, kind)
+        k = max(int(n_frames), 1)
+        step = max(len(blob) // k, 1)
+        return [blob[i * step : (i + 1) * step] for i in range(k)]
+
+    return frames
 
 
 #: module-level instance for driver-side use and tests; workers call
@@ -142,16 +218,23 @@ def encode_media(documents: DataFrame) -> DataFrame:
     """Real-container media synth: the same deterministic media table
     as :func:`synthesize_media` (same kinds, ids, meta) but image
     payloads are genuine 8-bit grayscale BMP files (54-byte header +
-    256-entry palette + 4-byte-aligned bottom-up rows) and audio
+    256-entry palette + 4-byte-aligned bottom-up rows), audio
     payloads genuine 8-bit PCM mono WAV files (44-byte RIFF header),
-    each wrapping the document's utf-8 bytes as the sample stream.
-    Video stays a raw passthrough blob (disclosed stub — no ffmpeg).
+    and video payloads genuine uncompressed AVI containers (RIFF →
+    ``hdrl`` LIST with a 56-byte ``avih`` main header → ``movi``
+    LIST with one ``00dc`` chunk per frame, 2-byte aligned), each
+    wrapping the document's utf-8 bytes as the sample stream. Video
+    frames are the BALANCED split of the byte stream into
+    meta.n_frames parts (frame i = bytes[(i·n) div k, ((i+1)·n) div
+    k) — covers every byte, unlike the truncating even split), so
+    concatenating the chunk payloads reproduces the input exactly.
 
-    decode(encode(x)) == x exactly, so feature oracles computed from
-    the source text stay valid while the pipeline now exercises a
-    REAL header parse — a wrong offset/padding/row-order in the
-    decoder breaks the hash match. Arrow-batched narrow map; at
-    100 TB this step is the ingest encoder and runs once."""
+    decode(encode(x)) == x exactly for ALL THREE kinds, so feature
+    oracles computed from the source text stay valid while the
+    pipeline exercises a REAL header parse — a wrong offset/padding/
+    row-order/chunk-walk in the decoder breaks the hash match.
+    Arrow-batched narrow map; at 100 TB this step is the ingest
+    encoder and runs once."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -182,19 +265,58 @@ def encode_media(documents: DataFrame) -> DataFrame:
                 + data
             )
 
+        def avi(frames: list, w: int, h: int) -> bytes:
+            # 56-byte MainAVIHeader: µs/frame, rates zeroed; the
+            # fields a parser actually reads (dwTotalFrames, dwWidth,
+            # dwHeight) are real.
+            avih = struct.pack(
+                "<14I", 0, 0, 0, 0x10, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+            )
+            hdrl = (
+                b"LIST"
+                + struct.pack("<I", 4 + 8 + len(avih))
+                + b"hdrl"
+                + b"avih"
+                + struct.pack("<I", len(avih))
+                + avih
+            )
+            body = b"".join(
+                b"00dc"
+                + struct.pack("<I", len(fr))
+                + fr
+                + (b"\x00" if len(fr) & 1 else b"")
+                for fr in frames
+            )
+            movi = b"LIST" + struct.pack("<I", 4 + len(body)) + b"movi" + body
+            return (
+                b"RIFF"
+                + struct.pack("<I", 4 + len(hdrl) + len(movi))
+                + b"AVI "
+                + hdrl
+                + movi
+            )
+
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
                 data = r.text.encode("utf-8")
                 did = int(r.doc_id)
                 kind = ("image", "audio", "video")[did % 3]
+                n = int(r.n_chars)
                 if kind == "image" and data:
                     payload = bmp(data)
                 elif kind == "audio":
                     payload = wav(data)
                 else:
-                    payload = data
-                n = int(r.n_chars)
+                    k, nb = n % 10 + 1, len(data)
+                    payload = avi(
+                        [
+                            data[(i * nb) // k : ((i + 1) * nb) // k]
+                            for i in range(k)
+                        ],
+                        n % 64 + 1,
+                        n % 48 + 1,
+                    )
                 rows.append(
                     {
                         "media_id": did,
@@ -219,27 +341,28 @@ def encode_media(documents: DataFrame) -> DataFrame:
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the opaque payloads:
     byte length, mean byte intensity of the decoded blob, and
-    per-frame content hashes (frame sampling = even byte-range split
-    by meta.n_frames).
+    per-frame content hashes (REAL chunk boundaries for AVI video via
+    ``make_frame_parser``; even byte-range split by meta.n_frames for
+    the single-frame kinds).
 
     The decode step is the REAL container parse (``make_decoder``:
-    BMP/WAV headers stripped, raw blobs passed through), captured by
-    value so the job runs on plain executors with no package
-    deployment — cloudpickle would ship a module-level function by
-    reference, which requires this package on the executor path."""
+    BMP/WAV/AVI headers stripped, unrecognized blobs passed through),
+    captured by value so the job runs on plain executors with no
+    package deployment — cloudpickle would ship a module-level
+    function by reference, which requires this package on the
+    executor path."""
 
     _decode = make_decoder()
+    _frames = make_frame_parser()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
                 blob = _decode(bytes(r.payload), r.kind)
-                n_frames = max(int(r.meta["n_frames"]), 1)
-                step = max(len(blob) // n_frames, 1)
-                frames = [
-                    blob[i * step : (i + 1) * step] for i in range(n_frames)
-                ]
+                frames = _frames(
+                    bytes(r.payload), r.kind, int(r.meta["n_frames"])
+                )
                 rows.append(
                     {
                         "media_id": r.media_id,
@@ -287,13 +410,18 @@ FRAME_SCHEMA = (
 
 def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
     """Frame sampling: keep every ``stride``-th frame of each media
-    blob (frame = even byte-range split by meta.n_frames, same
-    geometry as ``extract_features``) → one row per kept frame.
+    blob → one row per kept frame. Frames come from
+    ``make_frame_parser``: REAL ``00dc`` chunk boundaries for AVI
+    video, decoded-payload even split (same geometry as
+    ``extract_features``) for the single-frame kinds and for
+    headerless blobs.
 
     Arrow-batched mapInPandas with a per-row explode in pandas —
     still a narrow map (no shuffle); output rows ≈ input rows ×
     n_frames/stride. At 100 TB this is the decode→sample step before
-    a vision encoder; the codec is the same disclosed stub."""
+    a vision encoder."""
+
+    _frames = make_frame_parser()
 
     def batches(it):
         import hashlib as _hl
@@ -303,11 +431,11 @@ def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
         for pdf in it:
             out = []
             for r in pdf.itertuples(index=False):
-                blob = bytes(r.payload)
-                n_frames = max(int(r.meta["n_frames"]), 1)
-                step = max(len(blob) // n_frames, 1)
-                for i in range(0, n_frames, stride):
-                    fr = blob[i * step : (i + 1) * step]
+                frames = _frames(
+                    bytes(r.payload), r.kind, int(r.meta["n_frames"])
+                )
+                for i in range(0, len(frames), stride):
+                    fr = frames[i]
                     if not fr:
                         continue
                     out.append(
@@ -342,24 +470,18 @@ def audio_windows(
 
     Arrow-batched mapInPandas, narrow map, output ≈ rows ×
     len/hop — exactly the fan-out an acoustic featurizer produces
-    before a downstream encoder. Real sample decode is the same
-    disclosed stub (payload bytes stand in for PCM samples); the
-    windowing arithmetic, batch shape, and schema are the real
-    plumbing. Only kind='audio' rows are framed — the filter is
+    before a downstream encoder. The decode is the REAL RIFF/WAV
+    chunk walk (``make_decoder``), so genuine containers from
+    ``encode_media`` yield their PCM sample stream; headerless blobs
+    pass through. Only kind='audio' rows are framed — the filter is
     JVM-side so parquet prunes the other kinds before Python."""
+
+    _decode = make_decoder()
 
     def batches(it):
         import hashlib as _hl
 
         import pandas as _pd
-
-        # Nested decode stub: the closure must ship by value (the repo
-        # isn't importable on executors under the driver's vanilla
-        # session) — same pattern as extract_features/_decode.
-        def _decode(payload: bytes, kind: str) -> bytes:
-            if kind not in ("image", "audio", "video"):
-                raise NotImplementedError(f"unknown media kind: {kind}")
-            return payload
 
         for pdf in it:
             out = []
@@ -459,8 +581,8 @@ def scene_cuts(media: DataFrame, stride: int = 1) -> DataFrame:
     runs to drop static/looping clips (n_scenes ≈ 1) and measure
     visual dynamism (cut_frac → 1 means every frame differs).
 
-    Composes over :func:`sample_frames` (the Arrow decode stays the
-    stubbed stand-in); the comparison itself is one lag window per
+    Composes over :func:`sample_frames` (real AVI chunk boundaries
+    for video); the comparison itself is one lag window per
     media — partitioned by media_id, so it parallelizes across clips
     and never shuffles frame payloads, only their 16-byte hashes."""
     from pyspark.sql.window import Window

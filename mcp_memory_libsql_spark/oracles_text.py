@@ -377,6 +377,9 @@ GROUP BY 1
 # mean_intensity = mean byte value, frame_hashes = md5 of even
 # byte-range frames (step = len // n_frames, remainder dropped),
 # '|'-joined. Mirrors multimodal/media.py exactly.
+# Frame geometry mirrors make_frame_parser: video = BALANCED split at
+# the real AVI chunk boundaries ((i*n) div k .. ((i+1)*n) div k, covers
+# every byte); image/audio = truncating even split (step = n div k).
 ORACLES["mm_features"] = """
 WITH media AS (
   SELECT doc_id AS media_id,
@@ -400,8 +403,12 @@ SELECT media_id, kind, n_bytes,
     list_transform(
       list_filter(
         list_transform(range(0, nf),
-          i -> substr(text, CAST(i * step + 1 AS INTEGER),
-                      CAST(step AS INTEGER))),
+          i -> CASE WHEN kind = 'video'
+               THEN substr(text, CAST((i * n_bytes) // nf + 1 AS INTEGER),
+                           CAST(((i + 1) * n_bytes) // nf
+                                - (i * n_bytes) // nf AS INTEGER))
+               ELSE substr(text, CAST(i * step + 1 AS INTEGER),
+                           CAST(step AS INTEGER)) END),
         s -> s <> ''),
       s -> md5(s)),
     '|') AS frame_hashes
@@ -557,25 +564,38 @@ WHERE sample_bucket < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 500
 # the byte range [i*step, (i+1)*step), step = len // n_frames, kept
 # when i % 2 = 0 — byte arithmetic == char arithmetic because the
 # corpus is pure ASCII, so md5-of-substring is the frame hash.
+# Video rows (doc_id % 3 = 2) cut at the REAL AVI chunk boundaries =
+# the balanced split; image/audio keep the truncating even split.
 ORACLES["mm_frame_sample"] = """
 WITH m AS (
   SELECT doc_id AS media_id, text,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
          CAST(n_chars % 10 + 1 AS INTEGER) AS n_frames,
+         CAST(length(text) AS INTEGER) AS n,
          GREATEST(length(text) // (n_chars % 10 + 1), 1) AS step
   FROM documents
 ),
 frames AS (
-  SELECT media_id, CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx,
-         text, step
+  SELECT media_id, kind, CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx,
+         text, step, n, n_frames
   FROM m
+),
+cut AS (
+  SELECT media_id, frame_idx,
+         CASE WHEN kind = 'video'
+              THEN substr(text, CAST((frame_idx * n) // n_frames + 1 AS INTEGER),
+                          CAST(((frame_idx + 1) * n) // n_frames
+                               - (frame_idx * n) // n_frames AS INTEGER))
+              ELSE substr(text, frame_idx * step + 1, step) END AS fr
+  FROM frames
 )
 SELECT media_id, frame_idx,
-       CAST(length(substr(text, frame_idx * step + 1, step)) AS INTEGER)
-         AS frame_bytes,
-       md5(substr(text, frame_idx * step + 1, step)) AS frame_md5
-FROM frames
-WHERE frame_idx % 2 = 0
-  AND length(substr(text, frame_idx * step + 1, step)) > 0
+       CAST(length(fr) AS INTEGER) AS frame_bytes,
+       md5(fr) AS frame_md5
+FROM cut
+WHERE frame_idx % 2 = 0 AND length(fr) > 0
 """
 
 # Non-distinct bigram frequency table (repeats matter for LM data):
@@ -1053,23 +1073,36 @@ WHERE containment >= 0.5
 """
 )
 
+# Same per-kind frame geometry as mm_frame_sample (video = real AVI
+# chunk boundaries = balanced split), stride 1.
 ORACLES["mm_scene_cuts"] = """
 WITH m AS (
   SELECT doc_id AS media_id, text,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
          CAST(n_chars % 10 + 1 AS INTEGER) AS n_frames,
+         CAST(length(text) AS INTEGER) AS n,
          GREATEST(length(text) // (n_chars % 10 + 1), 1) AS step
   FROM documents
 ),
 frames AS (
-  SELECT media_id, CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx,
-         text, step
+  SELECT media_id, kind, CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx,
+         text, step, n, n_frames
   FROM m
 ),
-f AS (
+f0 AS (
   SELECT media_id, frame_idx,
-         md5(substr(text, frame_idx * step + 1, step)) AS frame_md5
+         CASE WHEN kind = 'video'
+              THEN substr(text, CAST((frame_idx * n) // n_frames + 1 AS INTEGER),
+                          CAST(((frame_idx + 1) * n) // n_frames
+                               - (frame_idx * n) // n_frames AS INTEGER))
+              ELSE substr(text, frame_idx * step + 1, step) END AS fr
   FROM frames
-  WHERE length(substr(text, frame_idx * step + 1, step)) > 0
+),
+f AS (
+  SELECT media_id, frame_idx, md5(fr) AS frame_md5
+  FROM f0 WHERE length(fr) > 0
 ),
 c AS (
   SELECT media_id,

@@ -1024,7 +1024,8 @@ def q_corpus_curate(spark, sf_dir):
 @query("mm_frame_sample")
 def q_mm_frame_sample(spark, sf_dir):
     t = load_tables(spark, sf_dir)
-    return mm.sample_frames(mm.synthesize_media(t["documents"]), stride=2)
+    # REAL containers: AVI chunk boundaries are the video frames
+    return mm.sample_frames(mm.encode_media(t["documents"]), stride=2)
 
 
 @query("events_approx_users")
@@ -1347,7 +1348,8 @@ def q_mm_audio_windows(spark, sf_dir):
     from .multimodal import media as mm
 
     t = load_tables(spark, sf_dir)
-    return mm.audio_windows(mm.synthesize_media(t["documents"]))
+    # REAL WAV containers; the RIFF walk yields the sample stream
+    return mm.audio_windows(mm.encode_media(t["documents"]))
 
 
 @query("vec_dim_stats")
@@ -1535,7 +1537,8 @@ def q_mm_scene_cuts(spark, sf_dir):
     from .multimodal import media as mm
 
     t = load_tables(spark, sf_dir)
-    return mm.scene_cuts(mm.synthesize_media(t["documents"]), stride=1)
+    # REAL containers: video scene cuts over true AVI frame chunks
+    return mm.scene_cuts(mm.encode_media(t["documents"]), stride=1)
 
 
 @query("orders_ship_latency")

@@ -70,7 +70,13 @@ def test_codec_roundtrip(spark):
         elif r.kind == "audio":
             assert payload[:4] == b"RIFF" and len(payload) == len(data) + 44
         else:
-            assert payload == data  # video: disclosed passthrough
+            # video: genuine AVI container — RIFF/AVI magic, and the
+            # frame parser recovers per-chunk boundaries that
+            # concatenate back to the sample stream
+            assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+            frames = mm.make_frame_parser()(payload, "video", 1)
+            assert b"".join(frames) == data
+            assert len(frames) == len(src) % 10 + 1
 
 
 def test_decoder_malformed_falls_back_to_passthrough():
