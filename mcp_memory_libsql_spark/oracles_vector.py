@@ -303,19 +303,26 @@ ORACLES["ann_lsh_cosine"] = _ann_lsh_oracle()
 
 def _neardup_lsh_oracle(threshold: float = 0.4) -> str:
     """dedup_embedding_lsh mirrored end-to-end: same planes, same
-    signature width (n_bits_for_threshold), same 2..cap bucket
-    filter, same a<b distinct pair set, same rescore. MATERIALIZED
-    sigs — a plain CTE would re-expand the 64-dot signature scan per
-    reference."""
+    signature width, same 2..cap bucket filter, same a<b distinct
+    pair set, same rescore. Signatures are computed at the stored
+    MAX_BITS width and masked to the CORPUS-ADAPTIVE width with the
+    identical COUNT-driven rule as lsh.width_for_corpus (floored at
+    the threshold width) — so the oracle picks the same effective
+    width as the Spark side at ANY sf without a per-sf SQL string.
+    MATERIALIZED sigs — a plain CTE would re-expand the 64-dot
+    signature scan per reference."""
     from .vector.lsh import (
         BUCKET_CAP,
+        MAX_BITS,
+        N_BITS,
         N_TABLES,
+        TARGET_BUCKET,
         n_bits_for_threshold,
         planes,
     )
 
-    nb = n_bits_for_threshold(threshold)
-    ps = planes(64, N_TABLES, nb)
+    nb_floor = n_bits_for_threshold(threshold)
+    ps = planes(64, N_TABLES, MAX_BITS)
 
     def arr(vals):
         return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
@@ -326,16 +333,31 @@ def _neardup_lsh_oracle(threshold: float = 0.4) -> str:
             f"(CASE WHEN list_sum(list_transform(range(1, 65), "
             f"i -> embedding[i]::DOUBLE * ({arr(ps[t][j])})[i])) > 0 "
             f"THEN {1 << j} ELSE 0 END)"
-            for j in range(nb)
+            for j in range(MAX_BITS)
         )
         sig_selects.append(
             f"SELECT vec_id, {t} AS table_id, ({bits}) AS sig"
             " FROM embeddings"
         )
     sigs_sql = "\nUNION ALL\n".join(sig_selects)
+    mod_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN cnt <= {TARGET_BUCKET * (1 << w)} THEN {1 << w}"
+            for w in range(N_BITS, MAX_BITS + 1)
+        )
+        + f" ELSE {1 << MAX_BITS} END"
+    )
     return f"""
-WITH sigs AS MATERIALIZED (
+WITH modv AS (
+  SELECT GREATEST({1 << nb_floor}, {mod_case}) AS m
+  FROM (SELECT COUNT(*) AS cnt FROM embeddings)
+),
+sigs0 AS MATERIALIZED (
 {sigs_sql}
+),
+sigs AS MATERIALIZED (
+  SELECT vec_id, table_id, sig % (SELECT m FROM modv) AS sig FROM sigs0
 ),
 ok AS (
   SELECT table_id, sig FROM sigs GROUP BY 1, 2

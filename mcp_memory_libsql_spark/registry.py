@@ -76,7 +76,7 @@ def _evict_stale(app_id: str) -> None:
     session leaves behind."""
     import shutil
 
-    for cache in (_KG_CACHE, _TFIDF_CACHE, _LPA_CACHE):
+    for cache in (_KG_CACHE, _TFIDF_CACHE, _LPA_CACHE, _EMB_COUNTS):
         for k in [k for k in cache if k[0] != app_id]:
             del cache[k]
     for dirs in (_KG_DIRS, _NBR_DIRS, _LSH_DIRS):
@@ -132,15 +132,20 @@ def _nbr_index(spark: SparkSession, sf_dir: str, g) -> tuple:
     )
 
 
-def _lsh_index(spark: SparkSession, sf_dir: str):
+def _lsh_index(spark: SparkSession, sf_dir: str, n_bits: int | None = None):
     """Disk-backed embedding LSH signature index per (session,
     sf_dir): four serving/dedup surfaces (ann_lsh_cosine,
     vec_lsh_bucket_profile, dedup_embedding_lsh, dedup_semantic_keep)
-    read the identical deterministic (16-table, 4-bit) index, so the
-    registry builds the plane-dot pipeline ONCE and writes parquet
-    partitioned by (table_id, sig) — at 100 TB this IS the ANN index
-    build, an ingest artifact, and per-query signature lookups prune
-    to their partitions instead of rescanning the embeddings."""
+    share ONE stored index, built at the WIDEST signature
+    (lsh.MAX_BITS = 12). Plane seeds are per (table, bit), so the low
+    w bits of the stored signature equal a w-bit signature exactly —
+    each consumer masks down (``sig % 2^w``) to its own width:
+    serving keeps the narrow recall-oriented 4 bits, pair mining uses
+    the CORPUS-ADAPTIVE width (lsh.width_for_corpus — fixed-width
+    buckets grow linearly with N and the mining cap was measurably
+    dropping 100% of buckets by 2× sf0.1). At 100 TB this IS the ANN
+    index build, an ingest artifact, partitioned by table_id; the
+    row count that picks the width is parquet-footer metadata."""
     import tempfile
 
     from .io.tables import load_tables as _lt
@@ -151,10 +156,33 @@ def _lsh_index(spark: SparkSession, sf_dir: str):
     if key not in _LSH_DIRS:
         path = tempfile.mkdtemp(prefix="spark_lsh_idx_")
         emb = _lt(spark, sf_dir)["embeddings"]
-        idx = _lsh.bucketize(emb, dim=64)
-        idx.write.mode("overwrite").partitionBy("table_id", "sig").parquet(path)
+        idx = _lsh.bucketize(emb, dim=64, n_bits=_lsh.MAX_BITS)
+        idx.write.mode("overwrite").partitionBy("table_id").parquet(path)
         _LSH_DIRS[key] = path
-    return spark.read.parquet(_LSH_DIRS[key]).select("vec_id", "table_id", "sig")
+    out = spark.read.parquet(_LSH_DIRS[key]).select("vec_id", "table_id", "sig")
+    if n_bits is not None:
+        out = out.withColumn("sig", F.col("sig") % F.lit(1 << n_bits))
+    return out
+
+
+# Corpus size for the adaptive LSH width — one scalar metadata read
+# per (session, sf_dir) (parquet row-count footers at scale).
+_EMB_COUNTS: dict[tuple[str, str], int] = {}
+
+
+def _mining_bits(spark: SparkSession, sf_dir: str, threshold: float) -> int:
+    """Effective pair-mining signature width: the threshold floor
+    widened to the corpus-adaptive width (lsh.width_for_corpus) —
+    mirrored by the COUNT-driven CASE in oracles_vector."""
+    from .vector import lsh as _lsh
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_COUNTS:
+        _EMB_COUNTS[key] = load_tables(spark, sf_dir)["embeddings"].count()
+    return max(
+        _lsh.n_bits_for_threshold(threshold),
+        _lsh.width_for_corpus(_EMB_COUNTS[key]),
+    )
 
 
 def _kg(spark: SparkSession, sf_dir: str):
@@ -508,7 +536,7 @@ def q_vec_lsh_bucket_profile(spark, sf_dir):
     # md5-seeded index rebuilt in SQL, integer counts only)
     t = load_tables(spark, sf_dir)
     return lsh.bucket_profile(
-        t["embeddings"], dim=64, index=_lsh_index(spark, sf_dir)
+        t["embeddings"], dim=64, index=_lsh_index(spark, sf_dir, n_bits=4)
     )
 
 
@@ -523,7 +551,7 @@ def q_ann_lsh_cosine(spark, sf_dir):
         query_vec_id=0,
         k=10,
         dim=64,
-        index=_lsh_index(spark, sf_dir),
+        index=_lsh_index(spark, sf_dir, n_bits=4),
     )
 
 
@@ -714,7 +742,9 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     # testdata's max pairwise cosine is ~0.51).
     t = load_tables(spark, sf_dir)
     return lsh.near_dup_pairs_lsh(
-        t["embeddings"], threshold=0.4, index=_lsh_index(spark, sf_dir)
+        t["embeddings"],
+        threshold=0.4,
+        index=_lsh_index(spark, sf_dir, n_bits=_mining_bits(spark, sf_dir, 0.4)),
     )
 
 
@@ -1942,7 +1972,9 @@ def q_dedup_semantic_keep(spark, sf_dir):
     # doc_id (the bridge key every bridge_* op uses).
     t = load_tables(spark, sf_dir)
     drops = lsh.near_dup_pairs_lsh(
-        t["embeddings"], threshold=0.4, index=_lsh_index(spark, sf_dir)
+        t["embeddings"],
+        threshold=0.4,
+        index=_lsh_index(spark, sf_dir, n_bits=_mining_bits(spark, sf_dir, 0.4)),
     ).select(F.col("vec_b").alias("doc_id"))
     return t["documents"].join(
         F.broadcast(drops.distinct()), "doc_id", "left_anti"

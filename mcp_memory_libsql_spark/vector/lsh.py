@@ -39,6 +39,32 @@ from .similarity import cosine
 N_TABLES = 16
 N_BITS = 4  # ANN default: recall-oriented (see module docstring)
 BUCKET_CAP = 100  # max vectors per (table, sig) bucket in pair mining
+# Widest signature the shared index stores. Plane seeds are per
+# (table, bit) and independent of the total width, so the low w bits
+# of a 12-bit signature EQUAL the w-bit signature — one stored index
+# serves every consumer width via `sig % 2^w` masking.
+MAX_BITS = 12
+# Adaptive-width target: mean vectors per (table, sig) bucket. With a
+# FIXED width, bucket population grows linearly with corpus size and
+# the pair-mining cap eventually drops EVERY bucket (measured by the
+# cap-bite instrument: 100% of 4-bit buckets over cap at 2× sf0.1 —
+# recall collapses to zero exactly when scale makes the op matter).
+# Width must grow ~log2(N): pick the smallest w with N/2^w ≤ target.
+TARGET_BUCKET = 32
+
+
+def width_for_corpus(n: int) -> int:
+    """Smallest signature width in [N_BITS, MAX_BITS] whose mean
+    bucket width is ≤ TARGET_BUCKET at corpus size ``n`` — the same
+    rule the DuckDB oracle applies via a COUNT-driven CASE, so both
+    engines mask to the identical width at any sf. At 12 bits the
+    clamp binds around N≈131k per 100-wide cap; a real deployment
+    raises MAX_BITS with the corpus (each +1 bit doubles capacity and
+    costs one more plane dot at index build)."""
+    for w in range(N_BITS, MAX_BITS + 1):
+        if n <= TARGET_BUCKET * (1 << w):
+            return w
+    return MAX_BITS
 
 
 def n_bits_for_threshold(threshold: float) -> int:

@@ -157,7 +157,7 @@ def cap_bites(spark, sf_dir: str) -> dict:
             F.array(*[
                 F.struct(
                     F.lit(i).alias("ci"),
-                    ((F.col("simhash") >> (15 * i)) % (1 << 15)).alias("cv"),
+                    F.expr(f"(simhash >> {15 * i}) % {1 << 15}").alias("cv"),
                 )
                 for i in range(4)
             ])
