@@ -112,6 +112,7 @@ EXTENDED = [
     "text_bpe_pairs",
     "kg_metapaths",
     "vec_ivfpq_ann",
+    "vec_kmeans",
     "dedup_semantic_keep",
     "kg_suggest_relations",
     "events_bounce_rate",

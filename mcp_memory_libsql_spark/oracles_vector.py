@@ -618,6 +618,94 @@ WHERE d.doc_id NOT IN (SELECT DISTINCT vec_b FROM pairs)
 
 ORACLES["dedup_semantic_keep"] = _semantic_keep_oracle()
 
+def _kmeans_oracle(k: int = 8, iters: int = 3, scale: int = 1 << 20) -> str:
+    """vec_kmeans mirrored end-to-end: identical quantization
+    (floor(v·2²⁰+0.5) BIGINTs), identical md5-seeded init, ``iters``
+    Lloyd rounds UNROLLED as CTEs (exact integer distances, floor-avg
+    centroid updates with the same <2⁵³ double-exactness argument,
+    COALESCE for emptied clusters), final assignment against the
+    round-``iters`` centroids — the PageRank-oracle pattern applied
+    to clustering."""
+    parts = [
+        f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(list_transform(range(1, len(embedding) + 1),
+                i -> CAST(FLOOR(embedding[i]::DOUBLE * {scale} + 0.5)
+                          AS BIGINT))) AS qv
+  FROM embeddings
+),
+ids AS (
+  SELECT vec_id, CAST(rn - 1 AS INTEGER) AS cluster
+  FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (
+      ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= {k}
+),
+c0 AS (
+  SELECT i.cluster, q.pos, q.qv AS c
+  FROM ids i JOIN q ON i.vec_id = q.vec_id
+)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""",
+d{t} AS (
+  SELECT q.vec_id, c.cluster,
+         SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
+  FROM q JOIN c{t} c ON q.pos = c.pos
+  GROUP BY 1, 2
+),
+a{t} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+),
+s{t} AS (
+  SELECT a.cluster, q.pos,
+         CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM a{t} a JOIN q ON a.vec_id = q.vec_id
+  GROUP BY 1, 2
+),
+c{t + 1} AS (
+  SELECT old.cluster, old.pos, COALESCE(s.c, old.c) AS c
+  FROM c{t} old LEFT JOIN s{t} s
+    ON old.cluster = s.cluster AND old.pos = s.pos
+)"""
+        )
+    parts.append(
+        f""",
+df AS (
+  SELECT q.vec_id, c.cluster,
+         SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
+  FROM q JOIN c{iters} c ON q.pos = c.pos
+  GROUP BY 1, 2
+),
+af AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM df
+  ) WHERE rn = 1
+)
+SELECT af.vec_id, af.cluster, CAST(af.dist AS BIGINT) AS dist_q,
+       sz.n AS cluster_size
+FROM af JOIN (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n FROM af GROUP BY 1
+) sz ON af.cluster = sz.cluster
+"""
+    )
+    return "".join(parts)
+
+
+ORACLES["vec_kmeans"] = _kmeans_oracle()
+
 ORACLES["vec_knn_outliers"] = """
 WITH s AS (
   SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 300

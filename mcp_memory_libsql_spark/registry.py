@@ -2108,3 +2108,17 @@ def q_vec_knn_outliers(spark, sf_dir):
     # k-NN-distance outlier mining over a deterministic sample
     t = load_tables(spark, sf_dir)
     return knn.knn_outliers(t["embeddings"])
+
+
+# ----------------------------------------------------- coverage wave 4
+
+
+@query("vec_kmeans")
+def q_vec_kmeans(spark, sf_dir):
+    # integer-exact Lloyd k-means, 3 unrolled rounds — FULL oracle
+    # (oracles_vector._kmeans_oracle: the PageRank discipline applied
+    # to clustering; quantized BIGINT math end-to-end)
+    from .vector import kmeans
+
+    t = load_tables(spark, sf_dir)
+    return kmeans.kmeans_assign(t["embeddings"])

@@ -318,3 +318,26 @@ def test_lsh_prebuilt_index_identical_results(spark, sf_dir, emb, tmp_path):
         tuple(r) for r in lsh.bucket_profile(emb, dim=64, index=idx).collect()
     )
     assert prof_inline == prof_idx
+
+
+def test_kmeans_assign_invariants(spark, sf_dir):
+    from mcp_memory_libsql_spark.vector.kmeans import kmeans_assign
+    from mcp_memory_libsql_spark.io.tables import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    out = kmeans_assign(emb).collect()
+    n = emb.count()
+    # total assignment: every vector exactly once
+    assert len(out) == n
+    assert len({r.vec_id for r in out}) == n
+    clusters = {r.cluster for r in out}
+    assert clusters <= set(range(8))
+    # sizes are consistent with the assignment
+    from collections import Counter
+
+    sizes = Counter(r.cluster for r in out)
+    assert all(sizes[r.cluster] == r.cluster_size for r in out)
+    assert all(r.dist_q >= 0 for r in out)
+    # deterministic: a second run yields the identical assignment
+    again = {r.vec_id: (r.cluster, r.dist_q) for r in kmeans_assign(emb).collect()}
+    assert all(again[r.vec_id] == (r.cluster, r.dist_q) for r in out)
