@@ -113,6 +113,7 @@ EXTENDED = [
     "kg_metapaths",
     "vec_ivfpq_ann",
     "vec_kmeans",
+    "dedup_semantic_clusters",
     "dedup_semantic_keep",
     "kg_suggest_relations",
     "events_bounce_rate",

@@ -772,3 +772,31 @@ FROM widths GROUP BY table_id
 
 
 ORACLES["vec_lsh_bucket_profile"] = _bucket_profile_oracle()
+
+
+def _semantic_clusters_oracle() -> str:
+    """dedup_semantic_clusters: recursive-CTE connected components
+    (min reachable vec_id) over the mirrored adaptive-width LSH
+    near-dup pair SQL — the embedding twin of dedup_clusters'
+    oracle."""
+    pairs_sql = _neardup_lsh_oracle(0.4)
+    return f"""
+WITH p AS MATERIALIZED ({pairs_sql}),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM p
+  UNION
+  SELECT vec_b, vec_a FROM p
+),
+cc AS (
+  WITH RECURSIVE walk(node, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, walk.comp FROM walk JOIN edges e ON walk.node = e.a
+  )
+  SELECT node, MIN(comp) AS cluster_id FROM walk GROUP BY node
+)
+SELECT node AS vec_id, cluster_id FROM cc
+"""
+
+
+ORACLES["dedup_semantic_clusters"] = _semantic_clusters_oracle()

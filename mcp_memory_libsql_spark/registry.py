@@ -2122,3 +2122,25 @@ def q_vec_kmeans(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return kmeans.kmeans_assign(t["embeddings"])
+
+
+@query("dedup_semantic_clusters")
+def q_dedup_semantic_clusters(spark, sf_dir):
+    # transitive SEMANTIC near-dup clusters: connected components over
+    # the embedding-LSH pair graph (adaptive-width index) — the
+    # embedding twin of dedup_clusters; pair-level dedup misses
+    # transitivity (A~B, B~C keeps both A and C). FULL oracle
+    # (recursive-CTE fixpoint over the mirrored pair SQL).
+    from .kg.traverse import connected_components
+    from .vector import lsh
+
+    t = load_tables(spark, sf_dir)
+    pairs = lsh.near_dup_pairs_lsh(
+        t["embeddings"],
+        threshold=0.4,
+        index=_lsh_index(spark, sf_dir, n_bits=_mining_bits(spark, sf_dir, 0.4)),
+    ).select(F.col("vec_a").alias("source"), F.col("vec_b").alias("target"))
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("name").alias("vec_id"), F.col("component").alias("cluster_id")
+    )

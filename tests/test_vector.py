@@ -341,3 +341,21 @@ def test_kmeans_assign_invariants(spark, sf_dir):
     # deterministic: a second run yields the identical assignment
     again = {r.vec_id: (r.cluster, r.dist_q) for r in kmeans_assign(emb).collect()}
     assert all(again[r.vec_id] == (r.cluster, r.dist_q) for r in out)
+
+
+def test_semantic_clusters_transitivity(spark, sf_dir):
+    from mcp_memory_libsql_spark.registry import QUERIES
+
+    rows = QUERIES["dedup_semantic_clusters"](spark, sf_dir).collect()
+    pairs = QUERIES["dedup_embedding_lsh"](spark, sf_dir).collect()
+    cl = {r.vec_id: r.cluster_id for r in rows}
+    # every paired vector is clustered, both endpoints share a cluster
+    for p in pairs:
+        assert cl[p.vec_a] == cl[p.vec_b]
+    # cluster id is the min member (HashMin canonical form)
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for r in rows:
+        members[r.cluster_id].append(r.vec_id)
+    assert all(min(v) == c for c, v in members.items())
