@@ -114,6 +114,8 @@ EXTENDED = [
     "vec_ivfpq_ann",
     "vec_kmeans",
     "dedup_semantic_clusters",
+    "text_curriculum_order",
+    "data_epoch_plan",
     "dedup_semantic_keep",
     "kg_suggest_relations",
     "events_bounce_rate",

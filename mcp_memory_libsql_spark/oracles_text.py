@@ -1414,3 +1414,49 @@ hits AS (
 SELECT h.fp, h.keep_id, allhit = 1 AS maybe_dup, e.fp IS NOT NULL AS is_dup
 FROM hits h LEFT JOIN existing e ON h.fp = e.fp
 """
+
+
+# Per-language curriculum (easy->hard by FK grade, contiguous phase
+# cut) — the rank window partitions by lang exactly like the Spark op.
+ORACLES["text_curriculum_order"] = f"""
+WITH g AS ({ORACLES["text_readability"]}),
+d AS (
+  SELECT doc.doc_id, doc.lang, g.fk_grade
+  FROM documents doc JOIN g ON doc.doc_id = g.doc_id
+),
+r AS (
+  SELECT doc_id, lang, fk_grade,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY fk_grade, doc_id) AS rank,
+         COUNT(*) OVER (PARTITION BY lang) AS _n
+  FROM d
+)
+SELECT doc_id, lang, fk_grade, CAST(rank AS BIGINT) AS rank,
+       CAST((rank - 1) * 4 // _n AS INTEGER) AS phase
+FROM r
+"""
+
+# Integer epoch/repeat plan per source: pure BIGINT per-mille math,
+# uniform-by-tokens target across sources.
+ORACLES["data_epoch_plan"] = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\x0B]+'))
+              AS BIGINT) AS ws
+  FROM documents
+),
+per AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(ws) AS src_tokens
+  FROM t GROUP BY source
+),
+tot AS (SELECT SUM(src_tokens) AS _total, COUNT(*) AS _n_src FROM per)
+SELECT source,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(src_tokens AS BIGINT) AS src_tokens,
+  CAST(1000 * _total // (_n_src * src_tokens) AS BIGINT) AS weight_pm,
+  CAST((1000 * _total // (_n_src * src_tokens)) // 1000 AS BIGINT)
+    AS repeats,
+  CAST((1000 * _total // (_n_src * src_tokens)) % 1000 AS BIGINT)
+    AS extra_per_mille
+FROM per, tot
+"""

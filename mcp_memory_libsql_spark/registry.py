@@ -2144,3 +2144,24 @@ def q_dedup_semantic_clusters(spark, sf_dir):
     return cc.select(
         F.col("name").alias("vec_id"), F.col("component").alias("cluster_id")
     )
+
+
+@query("text_curriculum_order")
+def q_text_curriculum_order(spark, sf_dir):
+    # per-language curriculum schedule (easy->hard by FK grade, 4
+    # contiguous phases) — FULL oracle; the rank window partitions by
+    # lang so every stratum sorts in parallel at scale
+    from .textops import sampling
+
+    t = load_tables(spark, sf_dir)
+    return sampling.curriculum_order(t["documents"], phases=4)
+
+
+@query("data_epoch_plan")
+def q_data_epoch_plan(spark, sf_dir):
+    # integer epoch/repeat plan per source (uniform-by-token target),
+    # pure BIGINT per-mille math — FULL oracle
+    from .textops import sampling
+
+    t = load_tables(spark, sf_dir)
+    return sampling.epoch_plan(t["documents"])

@@ -312,3 +312,89 @@ def dsir_scores(documents, target_lang: str = "en"):
             "mean_target_share"
         ),
     )
+
+
+def curriculum_order(documents: DataFrame, phases: int = 4) -> DataFrame:
+    """Curriculum-learning ordering per language stratum → (doc_id,
+    lang, fk_grade, rank, phase): documents ranked easy→hard by
+    Flesch-Kincaid grade (ties by doc_id), then cut into ``phases``
+    contiguous curriculum phases (phase = (rank−1)·phases div n — the
+    training schedule feeds phase 0 first; cf. Bengio et al. 2009).
+
+    The rank window PARTITIONS BY lang on purpose: a global
+    ROW_NUMBER collapses to one task at 100 TB, while per-stratum
+    curricula sort every language in parallel (and per-language
+    scheduling is what multilingual curricula do anyway). The grade
+    is the existing deterministic readability formula (integer
+    counts, one fixed-shape double expression), so the whole op is
+    oracle-exact. Docs with no words carry no curriculum signal and
+    are excluded (mirrored)."""
+    from pyspark.sql.window import Window
+
+    from .quality import readability
+
+    grades = readability(documents).select("doc_id", "fk_grade")
+    d = documents.select("doc_id", "lang").join(grades, "doc_id")
+    w = Window.partitionBy("lang").orderBy("fk_grade", "doc_id")
+    n = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "fk_grade",
+        F.row_number().over(w).alias("rank"),
+        F.count("*").over(n).alias("_n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "fk_grade",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.expr(f"CAST((rank - 1) * {phases} DIV _n AS INTEGER)").alias(
+            "phase"
+        ),
+    )
+
+
+def epoch_plan(documents: DataFrame) -> DataFrame:
+    """Integer epoch/repeat plan per source → (source, n_docs,
+    src_tokens, weight_pm, repeats, extra_per_mille): how many times
+    to repeat each source (and what per-mille fraction to sample for
+    the remainder) so the trained-on mixture is UNIFORM across
+    sources by token count — the executable follow-up to
+    ``data_mixture_weights`` (which reports per-LANG weights but
+    doesn't integerize them into an epoch schedule; cf. the
+    "repeat small high-quality sources ~4 epochs" regime of Muennighoff
+    et al. 2023).
+
+    100% integer arithmetic: weight_pm = (1000·total) div
+    (n_sources·src_tokens); repeats = weight_pm div 1000;
+    extra_per_mille = weight_pm % 1000 (feed to the hash-threshold
+    sampler). No float ever — byte-identical in any engine. One tiny
+    rollup + a 1-row totals broadcast."""
+    from pyspark.sql.functions import broadcast
+    from .quality import token_counts
+
+    toks = token_counts(documents).join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("src_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("_total"), F.count("*").alias("_n_src")
+    )
+    return per_src.crossJoin(broadcast(totals)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("src_tokens").cast("bigint").alias("src_tokens"),
+        F.expr("1000 * _total DIV (_n_src * src_tokens)")
+        .cast("bigint")
+        .alias("weight_pm"),
+        F.expr("(1000 * _total DIV (_n_src * src_tokens)) DIV 1000")
+        .cast("bigint")
+        .alias("repeats"),
+        F.expr("(1000 * _total DIV (_n_src * src_tokens)) % 1000")
+        .cast("bigint")
+        .alias("extra_per_mille"),
+    )

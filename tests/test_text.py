@@ -317,3 +317,39 @@ def test_simhash_bucket_cap_bites(spark):
     got = {(r.doc_a, r.doc_b) for r in capped.collect()}
     assert (100, 101) in got, got
     assert all(a >= 100 for a, _ in got), got  # boiler bucket dropped
+
+
+def test_curriculum_order_phases(spark, sf_dir):
+    from mcp_memory_libsql_spark.registry import QUERIES
+
+    rows = QUERIES["text_curriculum_order"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rank)
+        # ranks dense 1..n, grades non-decreasing along the schedule
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        grades = [r.fk_grade for r in rs]
+        assert grades == sorted(grades)
+        # phases contiguous, 0..3, non-decreasing with rank
+        phases = [r.phase for r in rs]
+        assert phases == sorted(phases) and set(phases) <= {0, 1, 2, 3}
+
+
+def test_epoch_plan_integerizes_mixture(spark, sf_dir):
+    from mcp_memory_libsql_spark.registry import QUERIES
+
+    rows = QUERIES["data_epoch_plan"](spark, sf_dir).collect()
+    total = sum(r.src_tokens for r in rows)
+    n = len(rows)
+    for r in rows:
+        assert r.weight_pm == 1000 * total // (n * r.src_tokens)
+        assert r.repeats == r.weight_pm // 1000
+        assert r.extra_per_mille == r.weight_pm % 1000
+        # uniform target: repeating src_tokens weight_pm/1000 times
+        # lands within one per-mille step of total/n
+        approx = r.src_tokens * r.weight_pm / 1000
+        assert abs(approx - total / n) <= r.src_tokens / 1000 + 1
