@@ -116,6 +116,7 @@ EXTENDED = [
     "dedup_semantic_clusters",
     "text_curriculum_order",
     "data_epoch_plan",
+    "mm_video_stats",
     "dedup_semantic_keep",
     "kg_suggest_relations",
     "events_bounce_rate",

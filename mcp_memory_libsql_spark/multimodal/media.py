@@ -753,3 +753,57 @@ def media_dedup(media: DataFrame) -> DataFrame:
             F.col("total_bytes").cast("bigint").alias("total_bytes"),
         )
     )
+
+
+VIDEO_STATS_SCHEMA = (
+    "media_id bigint, n_frames int, min_frame_bytes int, "
+    "max_frame_bytes int, total_bytes bigint"
+)
+
+
+def video_stats(media: DataFrame) -> DataFrame:
+    """Per-video frame-size distribution from the REAL container →
+    (media_id, n_frames, min_frame_bytes, max_frame_bytes,
+    total_bytes): the first audit a video-curation pipeline runs on a
+    crawl (constant-size frames flag synthetic/looping content; a
+    zero-byte frame tail flags truncated encodes; total_bytes drives
+    storage accounting). Frame boundaries come from the AVI ``00dc``
+    chunk walk (make_frame_parser) — a raw byte split cannot see
+    them. Narrow Arrow map; only the 5-number summary leaves the
+    scan, payloads never shuffle."""
+
+    _frames = make_frame_parser()
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                frames = _frames(
+                    bytes(r.payload), r.kind, int(r.meta["n_frames"])
+                )
+                sizes = [len(fr) for fr in frames]
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "n_frames": len(sizes),
+                        "min_frame_bytes": min(sizes) if sizes else 0,
+                        "max_frame_bytes": max(sizes) if sizes else 0,
+                        "total_bytes": sum(sizes),
+                    }
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "min_frame_bytes",
+                    "max_frame_bytes",
+                    "total_bytes",
+                ],
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        batches, schema=VIDEO_STATS_SCHEMA
+    )

@@ -1460,3 +1460,32 @@ SELECT source,
     AS extra_per_mille
 FROM per, tot
 """
+
+
+# Frame sizes of the balanced AVI chunk split: size_i =
+# ((i+1)n)//k - (i*n)//k — min over i is n//k, max is ceil(n/k) when
+# n>0; computed per-frame anyway so the mirror is structural.
+ORACLES["mm_video_stats"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(n_chars % 10 + 1 AS INTEGER) AS k,
+         CAST(length(text) AS INTEGER) AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT media_id, k,
+         CAST(unnest(range(0, k)) AS INTEGER) AS i, n
+  FROM m
+),
+s AS (
+  SELECT media_id, k,
+         ((i + 1) * n) // k - (i * n) // k AS sz
+  FROM f
+)
+SELECT media_id,
+       CAST(k AS INTEGER) AS n_frames,
+       CAST(MIN(sz) AS INTEGER) AS min_frame_bytes,
+       CAST(MAX(sz) AS INTEGER) AS max_frame_bytes,
+       CAST(SUM(sz) AS BIGINT) AS total_bytes
+FROM s GROUP BY media_id, k
+"""

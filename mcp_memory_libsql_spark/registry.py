@@ -2165,3 +2165,13 @@ def q_data_epoch_plan(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return sampling.epoch_plan(t["documents"])
+
+
+@query("mm_video_stats")
+def q_mm_video_stats(spark, sf_dir):
+    # per-video frame-size audit over REAL AVI chunk boundaries —
+    # FULL oracle (balanced-split sizes mirrored in SQL)
+    from .multimodal import media as mm
+
+    t = load_tables(spark, sf_dir)
+    return mm.video_stats(mm.encode_media(t["documents"]))

@@ -202,3 +202,19 @@ def test_mm_neardup_non_ascii_oracle_parity(spark):
     cmp = compare(result, con, ORACLES["mm_neardup"])
     assert cmp["ok"], cmp
     assert cmp["spark_rows"] >= 3  # injected pairs actually found
+
+
+def test_video_stats_real_frame_sizes(spark):
+    # balanced split: sizes differ by at most 1 and sum to the stream
+    texts = ["v" * 47, "w" * 10, ""]
+    df = spark.createDataFrame(
+        [(3 * i + 2, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = {r.media_id: r for r in mm.video_stats(mm.encode_media(df)).collect()}
+    for i, t in enumerate(texts):
+        r = rows[3 * i + 2]
+        k = len(t) % 10 + 1
+        assert r.n_frames == k
+        assert r.total_bytes == len(t)
+        assert r.max_frame_bytes - r.min_frame_bytes <= 1
