@@ -117,6 +117,7 @@ EXTENDED = [
     "text_curriculum_order",
     "data_epoch_plan",
     "mm_video_stats",
+    "vec_kmeans_profile",
     "dedup_semantic_keep",
     "kg_suggest_relations",
     "events_bounce_rate",

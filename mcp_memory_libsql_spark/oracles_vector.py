@@ -800,3 +800,13 @@ SELECT node AS vec_id, cluster_id FROM cc
 
 
 ORACLES["dedup_semantic_clusters"] = _semantic_clusters_oracle()
+
+
+ORACLES["vec_kmeans_profile"] = f"""
+WITH a AS ({_kmeans_oracle()})
+SELECT cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(dist_q) AS BIGINT) AS inertia_q,
+       CAST(MAX(dist_q) AS BIGINT) AS max_dist_q
+FROM a GROUP BY cluster
+"""

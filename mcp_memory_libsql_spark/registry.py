@@ -2175,3 +2175,20 @@ def q_mm_video_stats(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return mm.video_stats(mm.encode_media(t["documents"]))
+
+
+@query("vec_kmeans_profile")
+def q_vec_kmeans_profile(spark, sf_dir):
+    # per-cluster quality rollup over the k-means assignment:
+    # size, exact integer inertia, worst member — the index-health
+    # readout for the coarse quantizer (IVF cell balance). FULL
+    # oracle (wraps the unrolled-Lloyd SQL).
+    from .vector import kmeans
+
+    t = load_tables(spark, sf_dir)
+    a = kmeans.kmeans_assign(t["embeddings"])
+    return a.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("dist_q").cast("bigint").alias("inertia_q"),
+        F.max("dist_q").cast("bigint").alias("max_dist_q"),
+    )

@@ -564,3 +564,59 @@ def read_bloom(spark: SparkSession, sink_dir: str) -> DataFrame:
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("mask"))
     )
+
+
+def kmeans_serve_stream(
+    vectors: DataFrame,
+    centroids: list,
+    sink_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming k-means serving — the batch-fitted coarse quantizer
+    (vector.kmeans.fit_centroids, k rows of quantized BIGINT
+    centroids) deployed against a vector firehose: each micro-batch
+    quantizes its embeddings with the IDENTICAL floor(v·2²⁰+0.5) rule
+    and appends nearest-centroid assignments to a parquet log. The
+    model is integers, the distances are exact integers, so the
+    streamed assignment is provably EQUAL to the batch one row-for-row
+    (tested) — the fit/serve split every production clustering
+    deployment has, with the serve side a stateless narrow map
+    (O(k·dim) broadcast, no state store).
+
+    ``centroids``: list of (cluster:int, q:list[int]) collected from
+    fit_centroids — k·dim ints, the deployable artifact."""
+    from ..vector.kmeans import DIST_EXPR, SCALE
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cdf = spark.createDataFrame(
+            centroids, "cluster int, c array<bigint>"
+        )
+        q = batch_df.select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, v -> "
+                f"CAST(FLOOR(CAST(v AS DOUBLE) * {SCALE} + 0.5) AS BIGINT))"
+            ).alias("q"),
+        )
+        d = q.crossJoin(F.broadcast(cdf)).select(
+            "vec_id", "cluster", F.expr(DIST_EXPR).alias("dist")
+        )
+        (
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("s"))
+            .select(
+                "vec_id",
+                F.col("s.cluster").cast("int").alias("cluster"),
+                F.col("s.dist").cast("bigint").alias("dist_q"),
+            )
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    return (
+        vectors.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

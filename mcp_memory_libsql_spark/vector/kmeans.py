@@ -47,13 +47,11 @@ ITERS = 3
 SCALE = 1 << 20
 
 
-def kmeans_assign(
-    embeddings: DataFrame, k: int = K, iters: int = ITERS
-) -> DataFrame:
-    """→ (vec_id, cluster, dist_q, cluster_size): final assignment
-    against the round-``iters`` centroids, quantized squared distance
-    (exact BIGINT at 2⁻²⁰ component resolution), and the size of the
-    assigned cluster."""
+def _fit(embeddings: DataFrame, k: int = K, iters: int = ITERS):
+    """Run the Lloyd loop → (quantized table, final centroid DF
+    (cluster, q)) — shared by the batch assignment and the streaming
+    serving twin (which collects the k·dim centroid ints as the
+    deployed model)."""
     q = embeddings.select(
         "vec_id",
         F.expr(
@@ -80,28 +78,8 @@ def kmeans_assign(
         (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).cast("int"),
     ).select("cluster", "q")
 
-    dist = F.expr(
-        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    )
-
-    def assign(c):
-        d = q.crossJoin(
-            broadcast(c.select("cluster", F.col("q").alias("c")))
-        ).select("vec_id", "q", "cluster", dist.alias("dist"))
-        return (
-            d.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cluster", "q")).alias("s"))
-            .select(
-                "vec_id",
-                F.col("s.cluster").alias("cluster"),
-                F.col("s.q").alias("q"),
-                F.col("s.dist").alias("dist"),
-            )
-        )
-
     for _ in range(iters):
-        a = assign(cents)
+        a = _assign(q, cents)
         sums = (
             a.select("cluster", F.posexplode("q").alias("pos", "v"))
             .groupBy("cluster", "pos")
@@ -131,7 +109,49 @@ def kmeans_assign(
             .localCheckpoint(eager=True)
         )
 
-    final = assign(cents)
+    return q, cents
+
+
+DIST_EXPR = (
+    "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+
+
+def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    d = q.crossJoin(
+        broadcast(cents.select("cluster", F.col("q").alias("c")))
+    ).select("vec_id", "q", "cluster", F.expr(DIST_EXPR).alias("dist"))
+    return (
+        d.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster", "q")).alias("s"))
+        .select(
+            "vec_id",
+            F.col("s.cluster").alias("cluster"),
+            F.col("s.q").alias("q"),
+            F.col("s.dist").alias("dist"),
+        )
+    )
+
+
+def fit_centroids(
+    embeddings: DataFrame, k: int = K, iters: int = ITERS
+) -> DataFrame:
+    """The deployable model: (cluster, q) — k rows of quantized
+    centroid ints after ``iters`` Lloyd rounds."""
+    _, cents = _fit(embeddings, k, iters)
+    return cents
+
+
+def kmeans_assign(
+    embeddings: DataFrame, k: int = K, iters: int = ITERS
+) -> DataFrame:
+    """→ (vec_id, cluster, dist_q, cluster_size): final assignment
+    against the round-``iters`` centroids, quantized squared distance
+    (exact BIGINT at 2⁻²⁰ component resolution), and the size of the
+    assigned cluster."""
+    q, cents = _fit(embeddings, k, iters)
+    final = _assign(q, cents)
     sizes = final.groupBy("cluster").agg(
         F.count("*").cast("bigint").alias("cluster_size")
     )

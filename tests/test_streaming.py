@@ -853,3 +853,56 @@ def test_entity_upsert_stream_obs_only_rows_keep_entity_type(spark, tmp_path):
     rows = g["entities"].collect()
     assert [(r.name, r.entity_type) for r in rows] == [("E1", "person")]
     assert g["observations"].count() == 1
+
+
+def test_kmeans_serve_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed nearest-centroid assignments (batch-fitted integer
+    model, stateless serve map) equal the batch k-means assignment
+    row-for-row."""
+    from mcp_memory_libsql_spark.vector.kmeans import (
+        fit_centroids,
+        kmeans_assign,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    model = [
+        (int(r.cluster), [int(x) for x in r.q])
+        for r in fit_centroids(emb).collect()
+    ]
+    batch = {
+        r.vec_id: (r.cluster, r.dist_q) for r in kmeans_assign(emb).collect()
+    }
+
+    src = tmp_path / "km_src"
+    src.mkdir()
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    for i in range(3):
+        chunk = pdf.iloc[i * len(pdf) // 3 : (i + 1) * len(pdf) // 3]
+        with open(src / f"p{i}.json", "w") as f:
+            for _, row in chunk.iterrows():
+                f.write(
+                    json.dumps(
+                        {
+                            "vec_id": int(row.vec_id),
+                            "embedding": [float(x) for x in row.embedding],
+                        }
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sink = str(tmp_path / "km_sink")
+    q = pipeline.kmeans_serve_stream(
+        stream, model, sink, str(tmp_path / "km_ckpt")
+    )
+    _wait(q)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.vec_id: (r.cluster, r.dist_q)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == batch
