@@ -118,6 +118,7 @@ EXTENDED = [
     "data_epoch_plan",
     "mm_video_stats",
     "vec_kmeans_profile",
+    "bridge_cluster_lang",
     "dedup_semantic_keep",
     "kg_suggest_relations",
     "events_bounce_rate",

@@ -810,3 +810,11 @@ SELECT cluster,
        CAST(MAX(dist_q) AS BIGINT) AS max_dist_q
 FROM a GROUP BY cluster
 """
+
+
+ORACLES["bridge_cluster_lang"] = f"""
+WITH a AS ({_kmeans_oracle()})
+SELECT a.cluster, d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM a JOIN documents d ON a.vec_id = d.doc_id
+GROUP BY a.cluster, d.lang
+"""

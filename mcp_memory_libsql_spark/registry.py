@@ -2192,3 +2192,21 @@ def q_vec_kmeans_profile(spark, sf_dir):
         F.sum("dist_q").cast("bigint").alias("inertia_q"),
         F.max("dist_q").cast("bigint").alias("max_dist_q"),
     )
+
+
+@query("bridge_cluster_lang")
+def q_bridge_cluster_lang(spark, sf_dir):
+    # k-means cluster x language confusion: do embedding clusters
+    # track language strata? (vec_id = doc_id bridge key). The
+    # cluster-purity readout that decides whether per-cluster
+    # sampling quotas duplicate per-lang quotas. FULL oracle.
+    from .vector import kmeans
+
+    t = load_tables(spark, sf_dir)
+    a = kmeans.kmeans_assign(t["embeddings"]).select("vec_id", "cluster")
+    d = t["documents"].select(F.col("doc_id").alias("vec_id"), "lang")
+    return (
+        a.join(d, "vec_id")
+        .groupBy("cluster", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
