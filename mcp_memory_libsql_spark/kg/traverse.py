@@ -826,26 +826,38 @@ def community_modularity(
     lb = comms.select(
         F.col("name").alias("b"), F.col("community").alias("cb")
     )
-    # label map is O(V): no broadcast hint — AQE decides
-    edges = und.join(la, "a").join(lb, "b")
+    # label map is O(V): no broadcast hint — AQE decides. The labeled
+    # edge table feeds THREE rollups (edge total, internal count,
+    # endpoint-degree total), so it's materialized ONCE — without the
+    # checkpoint each consumer re-plans both label joins and the plan
+    # carries 3× the exchanges (census read 12; now ≤9).
+    edges = (
+        und.join(la, "a").join(lb, "b").localCheckpoint(eager=True)
+    )
     m_total = edges.agg(F.count("*").alias("m"))  # 1 row, stays in-plan
     internal = (
         edges.where(F.col("ca") == F.col("cb"))
         .groupBy(F.col("ca").alias("community"))
         .agg(F.count("*").alias("internal_edges"))
     )
-    sym = und.select("a").unionByName(und.select(F.col("b").alias("a")))
-    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    # Σ deg(v) per community = endpoint occurrences in the undirected
+    # distinct edge set — ONE explode-rollup over the labeled edges
+    # replaces the old sym-union → per-node degree → label-join →
+    # rollup chain (2 shuffles + a join fewer, same integers).
     comm_deg = (
-        comms.join(deg, comms["name"] == deg["a"], "left")
-        .groupBy("community")
-        .agg(
-            F.count("*").alias("n_nodes"),
-            F.sum(F.coalesce("d", F.lit(0))).alias("total_degree"),
+        edges.select(
+            F.explode(F.array("ca", "cb")).alias("community")
         )
+        .groupBy("community")
+        .agg(F.count("*").alias("total_degree"))
     )
+    n_nodes = comms.groupBy("community").agg(F.count("*").alias("n_nodes"))
     joined = (
-        comm_deg.join(internal, "community", "left")
+        n_nodes.join(comm_deg, "community", "left")
+        .withColumn(
+            "total_degree", F.coalesce("total_degree", F.lit(0))
+        )
+        .join(internal, "community", "left")
         .crossJoin(broadcast(m_total))
         .select(
             "community",

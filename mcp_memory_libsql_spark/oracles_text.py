@@ -1489,3 +1489,52 @@ SELECT media_id,
        CAST(SUM(sz) AS BIGINT) AS total_bytes
 FROM s GROUP BY media_id, k
 """
+
+
+# Interpolated bigram LM (λ=0.75 Jelinek-Mercer) — same millibit
+# quantization discipline as text_lm_score; probability is ONE
+# fixed-shape double expression over exact BIGINT counts.
+ORACLES["text_lm_score_bigram"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           AS token
+  FROM documents
+),
+wl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+         unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+  FROM wl WHERE len(w) >= 2
+),
+vocab AS (SELECT token, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1),
+tot AS (
+  SELECT SUM(c)::BIGINT AS n_total, COUNT(*)::BIGINT AS v_size FROM vocab
+),
+ctx AS (SELECT w1, COUNT(*)::BIGINT AS c1 FROM bg GROUP BY 1),
+bgc AS (SELECT w1, w2, COUNT(*)::BIGINT AS cb FROM bg GROUP BY 1, 2),
+db AS (
+  SELECT doc_id, w1, w2, COUNT(*)::BIGINT AS m FROM bg GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT db.doc_id, db.m,
+    CAST(round(1000.0 * log2(
+      0.75 * (cb / c1) + 0.25 * ((c + 1) / (n_total + v_size))), 0)
+      AS BIGINT) AS mb
+  FROM db
+  JOIN bgc USING (w1, w2)
+  JOIN ctx USING (w1)
+  JOIN vocab ON vocab.token = db.w2, tot
+),
+agg AS (
+  SELECT doc_id, SUM(m)::BIGINT AS n_bigrams,
+         (-SUM(m * mb))::BIGINT AS ce_millibits
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_bigrams, ce_millibits,
+       ROUND(ce_millibits / (1000.0 * n_bigrams), 6) AS cross_entropy
+FROM agg
+"""

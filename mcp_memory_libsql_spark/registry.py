@@ -2210,3 +2210,11 @@ def q_bridge_cluster_lang(spark, sf_dir):
         .groupBy("cluster", "lang")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
+
+
+@query("text_lm_score_bigram")
+def q_text_lm_score_bigram(spark, sf_dir):
+    # interpolated bigram LM perplexity filter (millibit-quantized,
+    # Jelinek-Mercer lambda=0.75) — FULL oracle
+    t = load_tables(spark, sf_dir)
+    return tq.lm_score_bigram(t["documents"])

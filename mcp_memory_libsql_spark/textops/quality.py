@@ -688,3 +688,81 @@ def readability(documents: DataFrame) -> DataFrame:
             F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w) - F.lit(15.59), 4
         ).alias("fk_grade"),
     )
+
+
+def lm_score_bigram(documents: DataFrame, lam: float = 0.75) -> DataFrame:
+    """Interpolated BIGRAM LM scoring → (doc_id, n_bigrams,
+    ce_millibits, cross_entropy): per-document cross-entropy under
+    p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·(c(w2)+1)/(N+V), fit on the
+    corpus itself — one order up from :func:`lm_score` toward the
+    KenLM n-gram filter CCNet actually deploys (Jelinek-Mercer
+    interpolation with a fixed λ keeps the closed form exactly
+    verifiable; backoff weights would need per-context normalization
+    state).
+
+    Same determinism discipline as the unigram op: the interpolated
+    probability is one fixed-shape double expression over exact
+    BIGINT counts (identical IEEE evaluation in both engines),
+    QUANTIZED to integer millibits before any summation, so the
+    per-doc total is order-independent integer math. Docs with < 2
+    tokens have no bigrams and are excluded (mirrored).
+
+    Scale: bigrams pair IN-ROW (array zip — no self-join of the
+    token stream); the count tables shuffle once each on their key;
+    scoring joins shuffle on the bigram key with map-side combine.
+    At 100 TB: frequency-cap the bigram vocab and freeze the LM as
+    a static broadcast table (same plan shape, no refit)."""
+    w = words(F.col("text"))
+    bg = (
+        documents.select("doc_id", w.alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(w[i-1] AS w1, w[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    toks = documents.select("doc_id", F.explode(w).alias("token"))
+    uni = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("c"))
+    totals = uni.agg(
+        F.sum("c").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("v_size"),
+    )
+    ctx = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
+    bgc = bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("cb")
+    )
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    p = F.lit(lam) * (F.col("cb") / F.col("c1")) + F.lit(1.0 - lam) * (
+        (F.col("c") + 1) / (F.col("n_total") + F.col("v_size"))
+    )
+    scored = (
+        doc_bg.join(bgc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni.select(F.col("token").alias("w2"), "c"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "m",
+            F.round(F.lit(1000.0) * F.log2(p), 0).cast("bigint").alias("mb"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_bigrams"),
+        (-F.sum(F.col("m") * F.col("mb"))).cast("bigint").alias("ce_millibits"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "ce_millibits",
+        F.round(
+            F.col("ce_millibits") / (F.lit(1000.0) * F.col("n_bigrams")), 6
+        ).alias("cross_entropy"),
+    )

@@ -353,3 +353,30 @@ def test_epoch_plan_integerizes_mixture(spark, sf_dir):
         # lands within one per-mille step of total/n
         approx = r.src_tokens * r.weight_pm / 1000
         assert abs(approx - total / n) <= r.src_tokens / 1000 + 1
+
+
+def test_lm_score_bigram_invariants(spark, sf_dir):
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.textops.quality import lm_score_bigram
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    rows = lm_score_bigram(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bigrams >= 1
+        # -log2 p > 0 for p < 1; interpolated p is always < 1 here
+        assert r.ce_millibits > 0
+        assert abs(r.cross_entropy - r.ce_millibits / (1000 * r.n_bigrams)) < 1e-6
+    # deterministic chains (every context has ONE continuation) must
+    # score lower CE than ambiguous contexts (x followed by y or z
+    # 50/50) — the defining property of a conditional bigram model
+    probe = spark.createDataFrame(
+        [(900001, "qxa qxb " * 20, "en", "s", 0),
+         (900002, "qxa qxb qxa qxc " * 10, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    both = lm_score_bigram(docs.unionByName(probe)).where(
+        F.col("doc_id") >= 900001
+    ).collect()
+    ce = {r.doc_id: r.cross_entropy for r in both}
+    assert ce[900001] < ce[900002]
