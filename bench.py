@@ -102,6 +102,7 @@ EXTENDED = [
     "vec_centroid_drift",
     "text_dsir_scores",
     "text_lm_score",
+    "text_lm_score_bigram",
     "text_fertility",
     "vec_rp_distortion",
     "supplier_scorecard",
