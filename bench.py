@@ -103,6 +103,7 @@ EXTENDED = [
     "text_dsir_scores",
     "text_lm_score",
     "text_lm_score_bigram",
+    "text_perplexity_keep",
     "text_fertility",
     "vec_rp_distortion",
     "supplier_scorecard",

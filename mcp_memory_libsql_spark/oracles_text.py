@@ -1538,3 +1538,21 @@ SELECT doc_id, n_bigrams, ce_millibits,
        ROUND(ce_millibits / (1000.0 * n_bigrams), 6) AS cross_entropy
 FROM agg
 """
+
+
+# Keep list under the corpus-mean bigram cross-entropy: exact integer
+# cross-multiplication (HUGEINT — BIGINT·BIGINT overflows at scale).
+ORACLES["text_perplexity_keep"] = f"""
+WITH ce AS ({ORACLES["text_lm_score_bigram"]}),
+tot AS (
+  SELECT SUM(ce_millibits)::HUGEINT AS s_ce,
+         SUM(n_bigrams)::HUGEINT AS s_n
+  FROM ce
+),
+kept AS (
+  SELECT doc_id FROM ce, tot
+  WHERE ce_millibits::HUGEINT * s_n < s_ce * n_bigrams::HUGEINT
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN kept USING (doc_id)
+"""

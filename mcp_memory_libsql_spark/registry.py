@@ -2218,3 +2218,32 @@ def q_text_lm_score_bigram(spark, sf_dir):
     # Jelinek-Mercer lambda=0.75) — FULL oracle
     t = load_tables(spark, sf_dir)
     return tq.lm_score_bigram(t["documents"])
+
+
+@query("text_perplexity_keep")
+def q_text_perplexity_keep(spark, sf_dir):
+    # perplexity-filter keep list: documents whose bigram-LM cross-
+    # entropy is below the CORPUS MEAN — the CCNet "head+middle" cut.
+    # The comparison is exact integer cross-multiplication
+    # (ce_i·Σn < Σce·n_i) so no float mean ever exists; BIGINT
+    # products are lifted to DECIMAL(38,0) (HUGEINT in the oracle)
+    # because at 100 TB Σce·n_i overflows int64. FULL oracle.
+    t = load_tables(spark, sf_dir)
+    ce = tq.lm_score_bigram(t["documents"]).select(
+        "doc_id", "n_bigrams", "ce_millibits"
+    )
+    totals = ce.agg(
+        F.sum("ce_millibits").cast("decimal(38,0)").alias("s_ce"),
+        F.sum("n_bigrams").cast("decimal(38,0)").alias("s_n"),
+    )
+    kept = (
+        ce.crossJoin(F.broadcast(totals))
+        .where(
+            F.col("ce_millibits").cast("decimal(38,0)") * F.col("s_n")
+            < F.col("s_ce") * F.col("n_bigrams").cast("decimal(38,0)")
+        )
+        .select("doc_id")
+    )
+    return t["documents"].join(kept, "doc_id", "leftsemi").select(
+        "doc_id", "lang", "n_chars"
+    )

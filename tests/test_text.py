@@ -380,3 +380,21 @@ def test_lm_score_bigram_invariants(spark, sf_dir):
     ).collect()
     ce = {r.doc_id: r.cross_entropy for r in both}
     assert ce[900001] < ce[900002]
+
+
+def test_perplexity_keep_is_below_mean_half(spark, sf_dir):
+    from mcp_memory_libsql_spark.registry import QUERIES
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    kept = {r.doc_id for r in QUERIES["text_perplexity_keep"](spark, sf_dir).collect()}
+    n = docs.count()
+    # strictly-below-token-weighted-mean keeps a non-trivial,
+    # non-total subset
+    assert 0 < len(kept) < n
+    from mcp_memory_libsql_spark.textops.quality import lm_score_bigram
+
+    ce = lm_score_bigram(docs).collect()
+    s_ce = sum(r.ce_millibits for r in ce)
+    s_n = sum(r.n_bigrams for r in ce)
+    expect = {r.doc_id for r in ce if r.ce_millibits * s_n < s_ce * r.n_bigrams}
+    assert kept == expect
