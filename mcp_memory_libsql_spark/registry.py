@@ -2229,8 +2229,13 @@ def q_text_perplexity_keep(spark, sf_dir):
     # products are lifted to DECIMAL(38,0) (HUGEINT in the oracle)
     # because at 100 TB Σce·n_i overflows int64. FULL oracle.
     t = load_tables(spark, sf_dir)
-    ce = tq.lm_score_bigram(t["documents"]).select(
-        "doc_id", "n_bigrams", "ce_millibits"
+    # per-doc CE feeds TWO consumers (corpus totals + the keep
+    # filter); materialize once or the whole bigram-LM pipeline
+    # re-plans per consumer (census read 15 shuffles, now 3)
+    ce = (
+        tq.lm_score_bigram(t["documents"])
+        .select("doc_id", "n_bigrams", "ce_millibits")
+        .localCheckpoint(eager=True)
     )
     totals = ce.agg(
         F.sum("ce_millibits").cast("decimal(38,0)").alias("s_ce"),
