@@ -121,6 +121,8 @@ EXTENDED = [
     "mm_video_stats",
     "vec_kmeans_profile",
     "bridge_cluster_lang",
+    "dedup_semantic_cluster_keep",
+    "vec_ivf_kmeans_ann",
     "dedup_semantic_keep",
     "kg_suggest_relations",
     "events_bounce_rate",

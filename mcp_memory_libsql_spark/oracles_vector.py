@@ -818,3 +818,13 @@ SELECT a.cluster, d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM a JOIN documents d ON a.vec_id = d.doc_id
 GROUP BY a.cluster, d.lang
 """
+
+
+ORACLES["dedup_semantic_cluster_keep"] = f"""
+WITH members AS ({ORACLES["dedup_semantic_clusters"]})
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT vec_id FROM members WHERE vec_id <> cluster_id
+)
+"""

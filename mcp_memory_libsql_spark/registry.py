@@ -2252,3 +2252,38 @@ def q_text_perplexity_keep(spark, sf_dir):
     return t["documents"].join(kept, "doc_id", "leftsemi").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@query("dedup_semantic_cluster_keep")
+def q_dedup_semantic_cluster_keep(spark, sf_dir):
+    # corpus after transitive SEMANTIC dedup: drop every non-canonical
+    # cluster member (vec_id != min of its embedding near-dup
+    # cluster); singletons pass through. The cluster-level upgrade of
+    # dedup_semantic_keep (pairwise drop misses transitivity). FULL
+    # oracle; drop set is tiny -> broadcast anti-join.
+    members = QUERIES["dedup_semantic_clusters"](spark, sf_dir)
+    drops = members.where(F.col("vec_id") != F.col("cluster_id")).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    t = load_tables(spark, sf_dir)
+    return t["documents"].join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query("vec_ivf_kmeans_ann")
+def q_vec_ivf_kmeans_ann(spark, sf_dir):
+    # IVF serving against the integer-exact Lloyd coarse quantizer
+    # (vec_kmeans centroids dequantized) — the fit/serve composition
+    # an IVF index actually deploys. Approximate: rows-only gate;
+    # recall floor vs brute force in pytest.
+    from .vector import ivf, kmeans
+
+    t = load_tables(spark, sf_dir)
+    cents = kmeans.fit_centroids(t["embeddings"]).select(
+        F.col("cluster").alias("cell"),
+        F.expr(
+            f"transform(q, v -> CAST(v AS DOUBLE) / {kmeans.SCALE})"
+        ).alias("centroid"),
+    )
+    return ivf.ivf_ann(t["embeddings"], query_vec_id=0, k=10, cents=cents)

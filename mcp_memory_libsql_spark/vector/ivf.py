@@ -96,12 +96,18 @@ def ivf_ann(
     dim: int = 64,
     n_probe: int = 3,
     refine_steps: int = 1,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via IVF probing
-    → (vec_id, label, cosine_sim)."""
-    cents = label_centroids(embeddings, dim)
-    if refine_steps:
-        cents = kmeans_refine(embeddings, cents, dim, refine_steps)
+    → (vec_id, label, cosine_sim). Pass ``cents`` ((cell, centroid
+    array<double>)) to serve against an EXTERNALLY trained coarse
+    quantizer — e.g. the integer-exact Lloyd centroids of
+    vector.kmeans (dequantized) — instead of the label-seeded cells;
+    the serve path is identical either way."""
+    if cents is None:
+        cents = label_centroids(embeddings, dim)
+        if refine_steps:
+            cents = kmeans_refine(embeddings, cents, dim, refine_steps)
     assigned = assign_cells(embeddings, cents)
 
     q = broadcast(

@@ -47,6 +47,7 @@ ROWS_ONLY = {
     "text_quality_classifier",
     "text_semantic_search",
     "vec_ivf_ann",
+    "vec_ivf_kmeans_ann",
     "vec_ivfpq_ann",
     "vec_pca",
     "vec_pq_ann",

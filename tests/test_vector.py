@@ -359,3 +359,15 @@ def test_semantic_clusters_transitivity(spark, sf_dir):
     for r in rows:
         members[r.cluster_id].append(r.vec_id)
     assert all(min(v) == c for c, v in members.items())
+
+
+def test_ivf_kmeans_recall_vs_brute(spark, sf_dir):
+    from mcp_memory_libsql_spark.registry import QUERIES
+    from mcp_memory_libsql_spark.vector import knn
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    truth = [r.vec_id for r in knn.knn_cosine(emb, 0, k=10).collect()]
+    got = [r.vec_id for r in QUERIES["vec_ivf_kmeans_ann"](spark, sf_dir).collect()]
+    assert len(got) == 10
+    recall = len(set(truth) & set(got)) / 10
+    assert recall >= 0.3, recall
