@@ -132,6 +132,7 @@ EXTENDED = [
     "kg_obs_staleness",
     "dedup_simhash_capped",
     "kg_similar_entities",
+    "kg_similar_content",
     "ann_lsh_cosine",
     "dedup_embedding_lsh",
 ]
@@ -145,6 +146,7 @@ EXT_MEDIAN3 = {
     "kg_suggest_relations",
     "dedup_winnowing",
     "kg_similar_entities",
+    "kg_similar_content",
     "kg_communities",
     "kg_ppr",
     "kg_hits",

@@ -614,3 +614,77 @@ def suggest_relations_minhash(
         .orderBy(F.col("est_jaccard").desc(), "entity_a", "entity_b")
         .limit(k)
     )
+
+
+CONTENT_DF_CAP = 100
+
+
+def similar_entities_content(
+    observations: DataFrame,
+    n: int = 3,
+    threshold: float = 0.15,
+    cap: int = CONTENT_DF_CAP,
+) -> DataFrame:
+    """CONTENT-based entity similarity → (entity_a, entity_b,
+    inter_size, size_a, size_b, jaccard): entities whose observation
+    texts share word-``n``-gram shingles (Jaccard over each entity's
+    shingle SET, unioned across its observations). The complement of
+    the structural :func:`similar_entities` — "entities that talk
+    about the same things" vs "entities that link to the same things"
+    — and the similarity axis behind the reference's observation-
+    content search ranking (client.ts:231-245 matches observation
+    text at weight 1).
+
+    Same bounded postings plan as textops.dedup.ngram_jaccard_pairs:
+    one shuffle builds per-shingle postings, boilerplate shingles die
+    at the DF cap (an observation template stamped on every entity
+    carries no signal — and would make Σ C(w,2) quadratic), pairs are
+    in-row combos of surviving postings. Never entity×entity."""
+    from ..textops.tokenize import word_shingles, words
+
+    toks = observations.select(
+        F.col("entity_name").alias("eid"), words(F.col("content")).alias("w")
+    )
+    sh = toks.select(
+        "eid", F.explode(word_shingles(F.col("w"), n)).alias("shingle")
+    ).distinct()
+    postings = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("eid")).alias("ids"))
+        .where(F.size("ids") <= cap)
+        .persist()
+    )
+    sizes = (
+        postings.select(F.explode("ids").alias("eid"))
+        .groupBy("eid")
+        .agg(F.count("*").alias("sz"))
+    )
+    pairs = (
+        postings.where(F.size("ids") >= 2)
+        .select(F.explode(pair_combos("ids")).alias("p"))
+        .groupBy(F.col("p.a").alias("entity_a"), F.col("p.b").alias("entity_b"))
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sa = sizes.select(F.col("eid").alias("entity_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("eid").alias("entity_b"), F.col("sz").alias("size_b"))
+    return (
+        pairs.join(sa, "entity_a")
+        .join(sb, "entity_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter_size")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            "entity_a",
+            "entity_b",
+            F.col("inter_size").cast("bigint").alias("inter_size"),
+            F.col("size_a").cast("bigint").alias("size_a"),
+            F.col("size_b").cast("bigint").alias("size_b"),
+            "jaccard",
+        )
+    )

@@ -1111,3 +1111,35 @@ _PRF_BODY = _PRF_BODY.rstrip(",")
 ORACLES["kg_pagerank_full"] = (
     KG_CTE + _PRF_BODY + "\nSELECT name, ROUND(rank, 8) AS rank FROM r5"
 )
+
+
+ORACLES["kg_similar_content"] = f"""{KG_CTE},
+ot AS (
+  SELECT entity_name AS eid,
+         regexp_extract_all(lower(content), '[a-z0-9]+') AS w
+  FROM observations
+),
+sh AS (
+  SELECT DISTINCT eid, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE []::VARCHAR[] END)) AS shingle
+  FROM ot
+),
+post AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 100),
+kept AS (SELECT sh.eid, sh.shingle FROM sh JOIN post USING (shingle)),
+sizes AS (SELECT eid, COUNT(*) AS sz FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.eid AS entity_a, b.eid AS entity_b, COUNT(*)::BIGINT AS inter_size
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.eid < b.eid
+  GROUP BY 1, 2
+)
+SELECT entity_a, entity_b, inter_size,
+       CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+       ROUND(inter_size / (sa.sz + sb.sz - inter_size), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON pairs.entity_a = sa.eid
+JOIN sizes sb ON pairs.entity_b = sb.eid
+WHERE ROUND(inter_size / (sa.sz + sb.sz - inter_size), 6) >= 0.15
+"""

@@ -2287,3 +2287,15 @@ def q_vec_ivf_kmeans_ann(spark, sf_dir):
         ).alias("centroid"),
     )
     return ivf.ivf_ann(t["embeddings"], query_vec_id=0, k=10, cents=cents)
+
+
+@query("kg_similar_content")
+def q_kg_similar_content(spark, sf_dir):
+    # content-based entity similarity: observation-shingle Jaccard
+    # (the "talk about the same things" axis, complementing the
+    # structural neighbor-overlap of kg_similar_entities) — FULL
+    # oracle (same postings/DF-cap plan as dedup_ngram_jaccard)
+    from .kg import similarity
+
+    g, _ = _kg(spark, sf_dir)
+    return similarity.similar_entities_content(g["observations"])

@@ -584,3 +584,16 @@ def test_pagerank_full_conserves_mass(spark, t):
     leaky = kg_traverse.pagerank(rel, iterations=5)
     leaky_total = leaky.agg(F.sum("rank")).collect()[0][0]
     assert leaky_total < total  # the leak the full variant repairs
+
+
+def test_similar_content_jaccard_bounds(spark, sf_dir):
+    from mcp_memory_libsql_spark.registry import QUERIES
+
+    rows = QUERIES["kg_similar_content"](spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.entity_a < r.entity_b
+        assert 0.15 <= r.jaccard <= 1.0
+        assert r.inter_size <= min(r.size_a, r.size_b)
+        # J = i/(sa+sb-i) recomputes exactly
+        assert abs(r.jaccard - round(r.inter_size / (r.size_a + r.size_b - r.inter_size), 6)) < 1e-9
