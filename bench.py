@@ -126,6 +126,7 @@ EXTENDED = [
     "dedup_semantic_keep",
     "kg_suggest_relations",
     "events_bounce_rate",
+    "events_bot_score",
     "table_stats",
     "events_type_overlap",
     "events_user_histogram",

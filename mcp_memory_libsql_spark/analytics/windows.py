@@ -273,3 +273,43 @@ def gap_histogram(t) -> DataFrame:
         .withColumn("is_zero", F.lit(False))
     )
     return zero.unionByName(pos)
+
+
+def bot_scores(t) -> DataFrame:
+    """Gap-regularity bot detector → (user_id, n_gaps, total_gap_s,
+    cv, is_regular): per-user coefficient of variation of inter-event
+    gaps. Scripted traffic fires on a timer (cv → 0); humans are
+    bursty (cv ≳ 1) — the first-pass automation screen a training-
+    data pipeline runs before trusting behavioral events (cf. the
+    periodicity features in classic click-fraud detection).
+
+    Determinism: gaps are exact BIGINT seconds; per-user Σgap and
+    Σgap² are integer sums (the square lifted to DECIMAL(38,0) —
+    n·gap² can pass 2⁶³); the only floats are one fixed-shape
+    mean/variance/сv expression evaluated from those exact integers
+    (identical IEEE rounding both engines), variance clamped at 0
+    against cancellation. Users need ≥ 2 gaps; zero-mean users (all
+    events same second) get NULL cv — mirrored."""
+    gaps = event_gaps(t)
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.sum("gap_s").cast("bigint").alias("total_gap_s"),
+        F.sum(
+            (F.col("gap_s").cast("decimal(19,0)") * F.col("gap_s"))
+        ).cast("decimal(38,0)").alias("_ss"),
+    ).where(F.col("n_gaps") >= 2)
+    mean = F.col("total_gap_s") / F.col("n_gaps")
+    var = F.greatest(
+        F.col("_ss").cast("double") / F.col("n_gaps") - mean * mean,
+        F.lit(0.0),
+    )
+    cv = F.when(
+        F.col("total_gap_s") > 0, F.round(F.sqrt(var) / mean, 6)
+    )
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        "total_gap_s",
+        cv.alias("cv"),
+        (cv <= 0.1).alias("is_regular"),
+    )

@@ -1759,3 +1759,40 @@ SELECT nation, n_suppliers,
   ROUND(1.0 / ROUND(_sumsq / (_total * _total), 6), 2) AS equiv_suppliers
 FROM agg
 """
+
+
+ORACLES["events_bot_score"] = (
+    _EV_CTE
+    + """,
+gaps AS (
+  SELECT user_id, gap_s FROM (
+    SELECT user_id,
+           epoch - LAG(epoch) OVER (PARTITION BY user_id
+                                    ORDER BY epoch, event_id) AS gap_s
+    FROM ev
+  ) WHERE gap_s IS NOT NULL
+),
+agg AS (
+  SELECT user_id,
+         COUNT(*)::BIGINT AS n_gaps,
+         SUM(gap_s)::BIGINT AS total_gap_s,
+         SUM(gap_s::DECIMAL(19,0) * gap_s)::DECIMAL(38,0) AS ss
+  FROM gaps GROUP BY 1
+  HAVING COUNT(*) >= 2
+)
+SELECT user_id, n_gaps, total_gap_s,
+  CASE WHEN total_gap_s > 0 THEN
+    ROUND(sqrt(GREATEST(
+      ss::DOUBLE / n_gaps
+      - (total_gap_s / n_gaps) * (total_gap_s / n_gaps), 0.0))
+      / (total_gap_s / n_gaps), 6)
+  END AS cv,
+  CASE WHEN total_gap_s > 0 THEN
+    ROUND(sqrt(GREATEST(
+      ss::DOUBLE / n_gaps
+      - (total_gap_s / n_gaps) * (total_gap_s / n_gaps), 0.0))
+      / (total_gap_s / n_gaps), 6) <= 0.1
+  END AS is_regular
+FROM agg
+"""
+)

@@ -2299,3 +2299,13 @@ def q_kg_similar_content(spark, sf_dir):
 
     g, _ = _kg(spark, sf_dir)
     return similarity.similar_entities_content(g["observations"])
+
+
+@query("events_bot_score")
+def q_events_bot_score(spark, sf_dir):
+    # gap-regularity automation screen (cv of inter-event gaps;
+    # integer-exact moments, one fixed-shape float formula) — FULL
+    # oracle
+    from .analytics import windows
+
+    return windows.bot_scores(load_tables(spark, sf_dir))

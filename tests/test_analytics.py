@@ -288,3 +288,30 @@ def test_data_quality_checks_empty_tables_pass_cleanly(spark, sf_dir):
     assert len(rows) == 7
     for r in rows:
         assert r.n_violations == 0 and r.passed is True
+
+
+def test_bot_score_flags_timer_traffic(spark, sf_dir):
+    from mcp_memory_libsql_spark.analytics.windows import bot_scores
+    from mcp_memory_libsql_spark.io.tables import load_tables
+
+    # real corpus: sane ranges, sizes consistent
+    rows = bot_scores(load_tables(spark, sf_dir)).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps >= 2
+        if r.cv is not None:
+            assert r.cv >= 0.0
+            assert r.is_regular == (r.cv <= 0.1)
+    # synthetic: a metronome user is regular, a bursty user is not
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    evs = [(i, 900001, "c", float(i), base + dt.timedelta(seconds=60 * i)) for i in range(10)]
+    evs += [(100 + i, 900002, "c", 0.0, base + dt.timedelta(seconds=s))
+            for i, s in enumerate([0, 5, 6, 300, 301, 2000, 2004, 9000, 9001, 9002])]
+    df = spark.createDataFrame(
+        evs, "event_id long, user_id long, event_type string, value double, ts timestamp"
+    )
+    out = {r.user_id: r for r in bot_scores({"events": df}).collect()}
+    assert out[900001].is_regular and out[900001].cv == 0.0
+    assert not out[900002].is_regular
