@@ -127,6 +127,7 @@ EXTENDED = [
     "kg_suggest_relations",
     "events_bounce_rate",
     "events_bot_score",
+    "events_type_entropy",
     "table_stats",
     "events_type_overlap",
     "events_user_histogram",

@@ -1379,3 +1379,48 @@ def user_features(t) -> DataFrame:
         F.date_format(F.min("d"), "yyyy-MM-dd").alias("first_day"),
         F.date_format(F.max("d"), "yyyy-MM-dd").alias("last_day"),
     )
+
+
+def user_type_entropy(events: DataFrame) -> DataFrame:
+    """Per-user event-type entropy → (user_id, n_events, n_types,
+    h_millibits, entropy_bits): Shannon entropy of the user's
+    event-type distribution — the behavioral-diversity axis of the
+    automation screen (single-action scripts have H=0; organic users
+    spread mass; cf. the entropy features in session-quality
+    scoring). Complement of the timing-based bot score.
+
+    Same millibit discipline as textops.quality.lm_score: per-type
+    information round(1000·log2(n_t/n)) is quantized to an integer
+    BEFORE the Σ n_t·mb_t summation, so the per-user total is exact
+    BIGINT math in any engine; one division at the end. Two tiny
+    rollups on (user, type) then user — map-side combinable."""
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_t")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("n_t").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    scored = per_type.join(per_user, "user_id").select(
+        "user_id",
+        "n",
+        "n_types",
+        "n_t",
+        F.round(F.lit(1000.0) * F.log2(F.col("n_t") / F.col("n")), 0)
+        .cast("bigint")
+        .alias("mb"),
+    )
+    agg = scored.groupBy("user_id").agg(
+        F.first("n").alias("n_events"),
+        F.first("n_types").alias("n_types"),
+        (-F.sum(F.col("n_t") * F.col("mb"))).cast("bigint").alias("h_millibits"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "n_types",
+        "h_millibits",
+        F.round(
+            F.col("h_millibits") / (F.lit(1000.0) * F.col("n_events")), 6
+        ).alias("entropy_bits"),
+    )

@@ -1796,3 +1796,29 @@ SELECT user_id, n_gaps, total_gap_s,
 FROM agg
 """
 )
+
+
+ORACLES["events_type_entropy"] = """
+WITH pt AS (
+  SELECT user_id, event_type, COUNT(*)::BIGINT AS n_t
+  FROM events GROUP BY 1, 2
+),
+pu AS (
+  SELECT user_id, SUM(n_t)::BIGINT AS n, COUNT(*)::BIGINT AS n_types
+  FROM pt GROUP BY 1
+),
+scored AS (
+  SELECT pt.user_id, pu.n, pu.n_types, pt.n_t,
+         CAST(round(1000.0 * log2(pt.n_t / pu.n), 0) AS BIGINT) AS mb
+  FROM pt JOIN pu USING (user_id)
+),
+agg AS (
+  SELECT user_id, MIN(n) AS n_events, MIN(n_types) AS n_types,
+         (-SUM(n_t * mb))::BIGINT AS h_millibits
+  FROM scored GROUP BY 1
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_types AS BIGINT) AS n_types, h_millibits,
+       ROUND(h_millibits / (1000.0 * n_events), 6) AS entropy_bits
+FROM agg
+"""

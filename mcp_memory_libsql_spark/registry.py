@@ -2309,3 +2309,12 @@ def q_events_bot_score(spark, sf_dir):
     from .analytics import windows
 
     return windows.bot_scores(load_tables(spark, sf_dir))
+
+
+@query("events_type_entropy")
+def q_events_type_entropy(spark, sf_dir):
+    # per-user event-type Shannon entropy (millibit-quantized integer
+    # totals) — the diversity half of the automation screen; FULL
+    # oracle
+    t = load_tables(spark, sf_dir)
+    return ev_ops.user_type_entropy(t["events"])

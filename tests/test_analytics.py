@@ -315,3 +315,25 @@ def test_bot_score_flags_timer_traffic(spark, sf_dir):
     out = {r.user_id: r for r in bot_scores({"events": df}).collect()}
     assert out[900001].is_regular and out[900001].cv == 0.0
     assert not out[900002].is_regular
+
+
+def test_type_entropy_bounds(spark, sf_dir):
+    import math
+
+    from mcp_memory_libsql_spark.analytics.events import user_type_entropy
+    from mcp_memory_libsql_spark.io.tables import load_tables
+
+    rows = user_type_entropy(load_tables(spark, sf_dir)["events"]).collect()
+    assert rows
+    for r in rows:
+        # 0 <= H <= log2(n_types); millibit quantization error < 1e-3·n
+        assert -1e-3 <= r.entropy_bits <= math.log2(r.n_types) + 1e-3
+    # single-type user has exactly zero entropy
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(i, 900009, "only", 0.0, dt.datetime(2024, 1, 1, 0, 0, i)) for i in range(5)],
+        "event_id long, user_id long, event_type string, value double, ts timestamp",
+    )
+    one = user_type_entropy(df).collect()[0]
+    assert one.entropy_bits == 0.0 and one.n_types == 1
