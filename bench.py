@@ -119,6 +119,7 @@ EXTENDED = [
     "text_curriculum_order",
     "data_epoch_plan",
     "mm_video_stats",
+    "mm_container_audit",
     "vec_kmeans_profile",
     "bridge_cluster_lang",
     "dedup_semantic_cluster_keep",

@@ -807,3 +807,61 @@ def video_stats(media: DataFrame) -> DataFrame:
     return media.where(F.col("kind") == "video").mapInPandas(
         batches, schema=VIDEO_STATS_SCHEMA
     )
+
+
+AUDIT_ROW_SCHEMA = "kind string, payload_bytes bigint, content_bytes bigint"
+
+
+def container_audit(media: DataFrame) -> DataFrame:
+    """Per-kind container-overhead audit → (kind, n_media,
+    payload_bytes, content_bytes, overhead_ratio): measured container
+    bytes vs decoded sample-stream bytes — the storage-accounting
+    readout that decides when re-encoding a crawl pays for itself.
+    The DuckDB oracle recomputes BOTH totals from the documents'
+    text lengths via the exact container formulas (BMP header+
+    palette+row padding, 44-byte WAV header, AVI RIFF/hdrl/movi chunk
+    framing with 2-byte alignment), so a single byte of drift in
+    encode_media breaks the hash — the audit IS a bit-level test of
+    the codec. Narrow Arrow map emitting two ints per row; rollup is
+    JVM-side."""
+
+    _decode = make_decoder()
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                out.append(
+                    {
+                        "kind": r.kind,
+                        "payload_bytes": len(payload),
+                        "content_bytes": len(_decode(payload, r.kind)),
+                    }
+                )
+            yield _pd.DataFrame(
+                out, columns=["kind", "payload_bytes", "content_bytes"]
+            )
+
+    per_row = media.mapInPandas(batches, schema=AUDIT_ROW_SCHEMA)
+    agg = per_row.groupBy("kind").agg(
+        F.count("*").cast("bigint").alias("n_media"),
+        F.sum("payload_bytes").cast("bigint").alias("payload_bytes"),
+        F.sum("content_bytes").cast("bigint").alias("content_bytes"),
+    )
+    return agg.select(
+        "kind",
+        "n_media",
+        "payload_bytes",
+        "content_bytes",
+        F.when(
+            F.col("payload_bytes") > 0,
+            F.round(
+                (F.col("payload_bytes") - F.col("content_bytes"))
+                / F.col("payload_bytes"),
+                6,
+            ),
+        ).alias("overhead_ratio"),
+    )

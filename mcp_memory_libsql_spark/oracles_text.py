@@ -1556,3 +1556,38 @@ kept AS (
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN kept USING (doc_id)
 """
+
+
+# Container sizes recomputed from text length L (ascii testdata):
+# BMP = 14 + 40 + 1024-byte palette + 4-aligned row (empty text stays
+# raw); WAV = 44 + L; AVI = 12 (RIFF) + 76 (hdrl/avih) + 12 (movi
+# LIST hdr) + per balanced frame (8 + size + odd-pad).
+ORACLES["mm_container_audit"] = """
+WITH m AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+         CAST(n_chars % 10 + 1 AS BIGINT) AS k
+  FROM documents
+),
+per AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    CASE doc_id % 3
+      WHEN 0 THEN CASE WHEN L > 0
+                       THEN 14 + 40 + 1024 + ((L + 3) // 4) * 4
+                       ELSE 0 END
+      WHEN 1 THEN 44 + L
+      ELSE 100 + list_sum(list_transform(range(0, CAST(k AS INTEGER)),
+             i -> 8 + (((i + 1) * L) // k - (i * L) // k)
+                  + (((i + 1) * L) // k - (i * L) // k) % 2))
+    END AS pb,
+    L AS cb
+  FROM m
+)
+SELECT kind, COUNT(*)::BIGINT AS n_media,
+       SUM(pb)::BIGINT AS payload_bytes,
+       SUM(cb)::BIGINT AS content_bytes,
+       CASE WHEN SUM(pb) > 0
+            THEN ROUND((SUM(pb) - SUM(cb)) / CAST(SUM(pb) AS DOUBLE), 6)
+       END AS overhead_ratio
+FROM per GROUP BY kind
+"""

@@ -2318,3 +2318,13 @@ def q_events_type_entropy(spark, sf_dir):
     # oracle
     t = load_tables(spark, sf_dir)
     return ev_ops.user_type_entropy(t["events"])
+
+
+@query("mm_container_audit")
+def q_mm_container_audit(spark, sf_dir):
+    # container overhead per kind, oracle-recomputed from the exact
+    # BMP/WAV/AVI byte-layout formulas — a bit-level codec test
+    from .multimodal import media as mm
+
+    t = load_tables(spark, sf_dir)
+    return mm.container_audit(mm.encode_media(t["documents"]))

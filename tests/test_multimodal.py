@@ -218,3 +218,21 @@ def test_video_stats_real_frame_sizes(spark):
         assert r.n_frames == k
         assert r.total_bytes == len(t)
         assert r.max_frame_bytes - r.min_frame_bytes <= 1
+
+
+def test_container_audit_formulas(spark):
+    # known layouts: BMP 14+40+1024+padded-row, WAV 44+L, AVI framing
+    texts = ["a" * 41, "b" * 42, "c" * 43]
+    df = spark.createDataFrame(
+        [(i, texts[i], "en", "s", len(texts[i])) for i in range(3)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    rows = {r.kind: r for r in mm.container_audit(mm.encode_media(df)).collect()}
+    assert rows["image"].payload_bytes == 14 + 40 + 1024 + 44  # 41 -> pad 44
+    assert rows["audio"].payload_bytes == 44 + 42
+    L, k = 43, 43 % 10 + 1
+    sizes = [((i + 1) * L) // k - (i * L) // k for i in range(k)]
+    assert rows["video"].payload_bytes == 100 + sum(8 + s + s % 2 for s in sizes)
+    for r in rows.values():
+        assert r.content_bytes in (41, 42, 43)
+        assert 0 < r.overhead_ratio < 1
