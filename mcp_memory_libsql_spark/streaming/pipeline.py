@@ -620,3 +620,70 @@ def kmeans_serve_stream(
         .outputMode("update")
         .start()
     )
+
+
+def type_count_stream(events: DataFrame, sink_dir: str, checkpoint_dir: str):
+    """Streaming (user_id, event_type) count maintenance — the
+    sufficient statistic behind events_type_entropy kept fresh per
+    micro-batch: counts are addition-mergeable, so each batch appends
+    its partial rows to a parquet delta log and ``read_type_entropy``
+    merges on read and applies the IDENTICAL millibit entropy formula
+    — streamed result provably equal to the batch op (tested). State
+    is O(users×types) counter rows per batch, no state store."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id", "event_type")
+            .agg(F.count("*").cast("bigint").alias("n_t"))
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_type_entropy(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Merge-on-read over streamed type-count partials → the exact
+    events_type_entropy output (same millibit quantization)."""
+    from ..analytics.events import user_type_entropy
+
+    merged = (
+        spark.read.parquet(sink_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("n_t").cast("bigint").alias("n_t"))
+    )
+    # user_type_entropy only needs (user_id, event_type) rows — feed
+    # it the merged counts re-expanded as weights is unnecessary:
+    # replicate its rollup from the merged per-type counts directly.
+    per_user = merged.groupBy("user_id").agg(
+        F.sum("n_t").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    scored = merged.join(per_user, "user_id").select(
+        "user_id",
+        "n",
+        "n_types",
+        "n_t",
+        F.round(F.lit(1000.0) * F.log2(F.col("n_t") / F.col("n")), 0)
+        .cast("bigint")
+        .alias("mb"),
+    )
+    agg = scored.groupBy("user_id").agg(
+        F.first("n").alias("n_events"),
+        F.first("n_types").alias("n_types"),
+        (-F.sum(F.col("n_t") * F.col("mb"))).cast("bigint").alias("h_millibits"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "n_types",
+        "h_millibits",
+        F.round(
+            F.col("h_millibits") / (F.lit(1000.0) * F.col("n_events")), 6
+        ).alias("entropy_bits"),
+    )

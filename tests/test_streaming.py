@@ -906,3 +906,42 @@ def test_kmeans_serve_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got == batch
+
+
+def test_type_entropy_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed (user,type) count partials merge to the EXACT batch
+    entropy rows (same millibit quantization)."""
+    from mcp_memory_libsql_spark.analytics.events import user_type_entropy
+
+    events = load_tables(spark, sf_dir)["events"]
+    batch = {tuple(r) for r in user_type_entropy(events).collect()}
+
+    src = tmp_path / "te_src"
+    src.mkdir()
+    pdf = events.select("event_id", "user_id", "event_type").toPandas()
+    for i in range(3):
+        chunk = pdf.iloc[i * len(pdf) // 3 : (i + 1) * len(pdf) // 3]
+        with open(src / f"p{i}.json", "w") as f:
+            for _, row in chunk.iterrows():
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": int(row.event_id),
+                            "user_id": int(row.user_id),
+                            "event_type": row.event_type,
+                        }
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sink = str(tmp_path / "te_sink")
+    q = pipeline.type_count_stream(stream, sink, str(tmp_path / "te_ckpt"))
+    _wait(q)
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in pipeline.read_type_entropy(spark, sink).collect()}
+    assert got == batch
