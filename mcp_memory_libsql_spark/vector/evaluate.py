@@ -86,13 +86,20 @@ def _lsh_candidates(
 
 
 def _ivf_candidates(
-    embeddings: DataFrame, queries: DataFrame, dim: int, n_probe: int
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_probe: int,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """(q_id, vec_id) IVF candidates: every probe scans only its
-    ``n_probe`` nearest cells of the (refined) coarse quantizer."""
-    cents = ivf_mod.kmeans_refine(
-        embeddings, ivf_mod.label_centroids(embeddings, dim), dim, steps=1
-    )
+    ``n_probe`` nearest cells of the coarse quantizer (label-seeded +
+    refined by default; pass ``cents`` to evaluate an externally
+    trained quantizer, e.g. the integer-exact Lloyd centroids)."""
+    if cents is None:
+        cents = ivf_mod.kmeans_refine(
+            embeddings, ivf_mod.label_centroids(embeddings, dim), dim, steps=1
+        )
     assigned = ivf_mod.assign_cells(embeddings, cents)
     probe = (
         broadcast(queries)
@@ -140,6 +147,14 @@ def recall_eval(
         "ivf": _rescore_topk(
             _ivf_candidates(embeddings, queries, dim, n_probe), embeddings, queries, k
         ),
+        "ivfk": _rescore_topk(
+            _ivf_candidates(
+                embeddings, queries, dim, n_probe, cents=_kmeans_cents(embeddings)
+            ),
+            embeddings,
+            queries,
+            k,
+        ),
     }
     outs = []
     for method, approx in paths.items():
@@ -156,7 +171,24 @@ def recall_eval(
                 F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 6).alias("recall"),
             )
         )
-    return outs[0].unionByName(outs[1])
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _kmeans_cents(embeddings: DataFrame) -> DataFrame:
+    """(cell, centroid array<double>): the vec_kmeans Lloyd centroids
+    dequantized — lets the recall harness compare the label-seeded
+    quantizer against the geometry-only trained one."""
+    from .kmeans import SCALE, fit_centroids
+
+    return fit_centroids(embeddings).select(
+        F.col("cluster").alias("cell"),
+        F.expr(f"transform(q, v -> CAST(v AS DOUBLE) / {SCALE})").alias(
+            "centroid"
+        ),
+    )
 
 
 MATRYOSHKA_DIMS = (8, 16, 32)

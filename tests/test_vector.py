@@ -220,11 +220,12 @@ def test_recall_eval_floors(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.recall <= 1.0
         by_method.setdefault(r.method, []).append(r.recall)
-    assert set(by_method) == {"lsh", "ivf"}
+    assert set(by_method) == {"lsh", "ivf", "ivfk"}
     assert all(len(v) == 5 for v in by_method.values())
     # floors: LSH with recall-oriented defaults beats IVF at n_probe=3
     assert sum(by_method["lsh"]) / 5 >= 0.6
     assert sum(by_method["ivf"]) / 5 >= 0.3
+    assert sum(by_method["ivfk"]) / 5 >= 0.3
 
 
 def test_rp_distortion_concentrates_near_one(spark, sf_dir):
