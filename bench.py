@@ -183,6 +183,9 @@ def _build_indexes(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     reg._lpa(spark, sf_dir, g)
     builds["lpa_labels_index_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    reg._lsh_pairs(spark, sf_dir)
+    builds["lsh_neardup_pairs_build"] = round(time.perf_counter() - t0, 3)
     return builds
 
 

@@ -63,6 +63,10 @@ _NBR_DIRS: dict[tuple[str, str], str] = {}
 # Embedding LSH signature index (vector/lsh.bucketize): the ANN
 # index-build artifact — four serving/dedup surfaces share it.
 _LSH_DIRS: dict[tuple[str, str], str] = {}
+# Scored near-dup PAIR stream at the mining threshold (the artifact
+# one level above the signatures, like the KG scored-pair stream):
+# four dedup surfaces consume the identical pair set.
+_LSH_PAIR_DIRS: dict[tuple[str, str], str] = {}
 
 
 def _evict_stale(app_id: str) -> None:
@@ -79,7 +83,7 @@ def _evict_stale(app_id: str) -> None:
     for cache in (_KG_CACHE, _TFIDF_CACHE, _LPA_CACHE, _EMB_COUNTS):
         for k in [k for k in cache if k[0] != app_id]:
             del cache[k]
-    for dirs in (_KG_DIRS, _NBR_DIRS, _LSH_DIRS):
+    for dirs in (_KG_DIRS, _NBR_DIRS, _LSH_DIRS, _LSH_PAIR_DIRS):
         for k in [k for k in dirs if k[0] != app_id]:
             shutil.rmtree(dirs.pop(k), ignore_errors=True)
 
@@ -87,7 +91,7 @@ def _evict_stale(app_id: str) -> None:
 def _cleanup_index_dirs() -> None:
     import shutil
 
-    for dirs in (_KG_DIRS, _NBR_DIRS, _LSH_DIRS):
+    for dirs in (_KG_DIRS, _NBR_DIRS, _LSH_DIRS, _LSH_PAIR_DIRS):
         for path in dirs.values():
             shutil.rmtree(path, ignore_errors=True)
         dirs.clear()
@@ -163,6 +167,34 @@ def _lsh_index(spark: SparkSession, sf_dir: str, n_bits: int | None = None):
     if n_bits is not None:
         out = out.withColumn("sig", F.col("sig") % F.lit(1 << n_bits))
     return out
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str):
+    """Disk-backed scored near-dup pair stream (vec_a, vec_b,
+    cosine_sim) at τ=0.4 with the corpus-adaptive signature width —
+    the artifact one level above the signature index, exactly like
+    the KG scored-pair stream: FOUR dedup surfaces
+    (dedup_embedding_lsh, dedup_semantic_keep,
+    dedup_semantic_clusters, dedup_semantic_cluster_keep) consume the
+    identical pair set, so the bucket join + exact rescore runs once
+    per (session, sf_dir) and every consumer reads one parquet."""
+    import tempfile
+
+    from .io.tables import load_tables as _lt
+    from .vector import lsh as _lsh
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_stale(key[0])
+    if key not in _LSH_PAIR_DIRS:
+        path = tempfile.mkdtemp(prefix="spark_lsh_pairs_")
+        emb = _lt(spark, sf_dir)["embeddings"]
+        _lsh.near_dup_pairs_lsh(
+            emb,
+            threshold=0.4,
+            index=_lsh_index(spark, sf_dir, n_bits=_mining_bits(spark, sf_dir, 0.4)),
+        ).write.mode("overwrite").parquet(path)
+        _LSH_PAIR_DIRS[key] = path
+    return spark.read.parquet(_LSH_PAIR_DIRS[key])
 
 
 # Corpus size for the adaptive LSH width — one scalar metadata read
@@ -740,12 +772,7 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     # recall vs brute force covered in tests/test_vector.py. τ=0.4
     # like the brute twin so the gate checks non-trivial pairs (the
     # testdata's max pairwise cosine is ~0.51).
-    t = load_tables(spark, sf_dir)
-    return lsh.near_dup_pairs_lsh(
-        t["embeddings"],
-        threshold=0.4,
-        index=_lsh_index(spark, sf_dir, n_bits=_mining_bits(spark, sf_dir, 0.4)),
-    )
+    return _lsh_pairs(spark, sf_dir).select("vec_a", "vec_b", "cosine_sim")
 
 
 @query("ann_recall_eval")
@@ -1971,11 +1998,7 @@ def q_dedup_semantic_keep(spark, sf_dir):
     # documents. The embedding twin of dedup_keep_docs; vec_id is the
     # doc_id (the bridge key every bridge_* op uses).
     t = load_tables(spark, sf_dir)
-    drops = lsh.near_dup_pairs_lsh(
-        t["embeddings"],
-        threshold=0.4,
-        index=_lsh_index(spark, sf_dir, n_bits=_mining_bits(spark, sf_dir, 0.4)),
-    ).select(F.col("vec_b").alias("doc_id"))
+    drops = _lsh_pairs(spark, sf_dir).select(F.col("vec_b").alias("doc_id"))
     return t["documents"].join(
         F.broadcast(drops.distinct()), "doc_id", "left_anti"
     ).select("doc_id", "lang", "n_chars")
@@ -2132,14 +2155,10 @@ def q_dedup_semantic_clusters(spark, sf_dir):
     # transitivity (A~B, B~C keeps both A and C). FULL oracle
     # (recursive-CTE fixpoint over the mirrored pair SQL).
     from .kg.traverse import connected_components
-    from .vector import lsh
 
-    t = load_tables(spark, sf_dir)
-    pairs = lsh.near_dup_pairs_lsh(
-        t["embeddings"],
-        threshold=0.4,
-        index=_lsh_index(spark, sf_dir, n_bits=_mining_bits(spark, sf_dir, 0.4)),
-    ).select(F.col("vec_a").alias("source"), F.col("vec_b").alias("target"))
+    pairs = _lsh_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("source"), F.col("vec_b").alias("target")
+    )
     cc = connected_components(pairs)
     return cc.select(
         F.col("name").alias("vec_id"), F.col("component").alias("cluster_id")
