@@ -305,6 +305,12 @@ def encode_media(documents: DataFrame) -> DataFrame:
                 n = int(r.n_chars)
                 if kind == "image" and data:
                     payload = bmp(data)
+                elif kind == "image":
+                    # Empty image: 0-byte passthrough — matches the
+                    # mm_container_audit oracle's L=0 image branch and
+                    # decode()'s no-magic passthrough. Without this the
+                    # video arm below would wrap it in a 108-byte AVI.
+                    payload = data
                 elif kind == "audio":
                     payload = wav(data)
                 else:

@@ -10,6 +10,7 @@ by name and hashes values order-insensitively).
 from __future__ import annotations
 
 import atexit
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -67,6 +68,14 @@ _LSH_DIRS: dict[tuple[str, str], str] = {}
 # one level above the signatures, like the KG scored-pair stream):
 # four dedup surfaces consume the identical pair set.
 _LSH_PAIR_DIRS: dict[tuple[str, str], str] = {}
+# One re-entrant guard for every check-then-build index cache above:
+# without it, two threads racing the same (appId, sf_dir) key would
+# both write parquet and one tempdir would clobber the other's dict
+# entry, leaking disk until process exit — the same race
+# io/tables._SPLIT_LOCK closes for the sf-split cache. RLock because
+# _lsh_pairs builds THROUGH _lsh_index/_mining_bits on the same
+# thread.
+_INDEX_LOCK = threading.RLock()
 
 
 def _evict_stale(app_id: str) -> None:
@@ -118,17 +127,18 @@ def _nbr_index(spark: SparkSession, sf_dir: str, g) -> tuple:
     from .kg import similarity
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    _evict_stale(key[0])
-    if key not in _NBR_DIRS:
-        path = tempfile.mkdtemp(prefix="spark_kg_nbr_")
-        postings, names = similarity.neighbor_postings(g["relations"])
-        postings.write.mode("overwrite").parquet(path + "/postings")
-        names.write.mode("overwrite").parquet(path + "/names")
-        similarity.scored_pairs(
-            spark.read.parquet(path + "/postings")
-        ).write.mode("overwrite").parquet(path + "/pairs")
-        _NBR_DIRS[key] = path
-    p = _NBR_DIRS[key]
+    with _INDEX_LOCK:
+        _evict_stale(key[0])
+        if key not in _NBR_DIRS:
+            path = tempfile.mkdtemp(prefix="spark_kg_nbr_")
+            postings, names = similarity.neighbor_postings(g["relations"])
+            postings.write.mode("overwrite").parquet(path + "/postings")
+            names.write.mode("overwrite").parquet(path + "/names")
+            similarity.scored_pairs(
+                spark.read.parquet(path + "/postings")
+            ).write.mode("overwrite").parquet(path + "/pairs")
+            _NBR_DIRS[key] = path
+        p = _NBR_DIRS[key]
     return (
         spark.read.parquet(p + "/postings"),
         spark.read.parquet(p + "/names"),
@@ -141,7 +151,7 @@ def _lsh_index(spark: SparkSession, sf_dir: str, n_bits: int | None = None):
     sf_dir): four serving/dedup surfaces (ann_lsh_cosine,
     vec_lsh_bucket_profile, dedup_embedding_lsh, dedup_semantic_keep)
     share ONE stored index, built at the WIDEST signature
-    (lsh.MAX_BITS = 12). Plane seeds are per (table, bit), so the low
+    (lsh.MAX_BITS = 16). Plane seeds are per (table, bit), so the low
     w bits of the stored signature equal a w-bit signature exactly —
     each consumer masks down (``sig % 2^w``) to its own width:
     serving keeps the narrow recall-oriented 4 bits, pair mining uses
@@ -156,13 +166,14 @@ def _lsh_index(spark: SparkSession, sf_dir: str, n_bits: int | None = None):
     from .vector import lsh as _lsh
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    _evict_stale(key[0])
-    if key not in _LSH_DIRS:
-        path = tempfile.mkdtemp(prefix="spark_lsh_idx_")
-        emb = _lt(spark, sf_dir)["embeddings"]
-        idx = _lsh.bucketize(emb, dim=64, n_bits=_lsh.MAX_BITS)
-        idx.write.mode("overwrite").partitionBy("table_id").parquet(path)
-        _LSH_DIRS[key] = path
+    with _INDEX_LOCK:
+        _evict_stale(key[0])
+        if key not in _LSH_DIRS:
+            path = tempfile.mkdtemp(prefix="spark_lsh_idx_")
+            emb = _lt(spark, sf_dir)["embeddings"]
+            idx = _lsh.bucketize(emb, dim=64, n_bits=_lsh.MAX_BITS)
+            idx.write.mode("overwrite").partitionBy("table_id").parquet(path)
+            _LSH_DIRS[key] = path
     out = spark.read.parquet(_LSH_DIRS[key]).select("vec_id", "table_id", "sig")
     if n_bits is not None:
         out = out.withColumn("sig", F.col("sig") % F.lit(1 << n_bits))
@@ -184,16 +195,19 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str):
     from .vector import lsh as _lsh
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    _evict_stale(key[0])
-    if key not in _LSH_PAIR_DIRS:
-        path = tempfile.mkdtemp(prefix="spark_lsh_pairs_")
-        emb = _lt(spark, sf_dir)["embeddings"]
-        _lsh.near_dup_pairs_lsh(
-            emb,
-            threshold=0.4,
-            index=_lsh_index(spark, sf_dir, n_bits=_mining_bits(spark, sf_dir, 0.4)),
-        ).write.mode("overwrite").parquet(path)
-        _LSH_PAIR_DIRS[key] = path
+    with _INDEX_LOCK:
+        _evict_stale(key[0])
+        if key not in _LSH_PAIR_DIRS:
+            path = tempfile.mkdtemp(prefix="spark_lsh_pairs_")
+            emb = _lt(spark, sf_dir)["embeddings"]
+            _lsh.near_dup_pairs_lsh(
+                emb,
+                threshold=0.4,
+                index=_lsh_index(
+                    spark, sf_dir, n_bits=_mining_bits(spark, sf_dir, 0.4)
+                ),
+            ).write.mode("overwrite").parquet(path)
+            _LSH_PAIR_DIRS[key] = path
     return spark.read.parquet(_LSH_PAIR_DIRS[key])
 
 
@@ -209,8 +223,9 @@ def _mining_bits(spark: SparkSession, sf_dir: str, threshold: float) -> int:
     from .vector import lsh as _lsh
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _EMB_COUNTS:
-        _EMB_COUNTS[key] = load_tables(spark, sf_dir)["embeddings"].count()
+    with _INDEX_LOCK:
+        if key not in _EMB_COUNTS:
+            _EMB_COUNTS[key] = load_tables(spark, sf_dir)["embeddings"].count()
     return max(
         _lsh.n_bits_for_threshold(threshold),
         _lsh.width_for_corpus(_EMB_COUNTS[key]),
@@ -222,20 +237,22 @@ def _kg(spark: SparkSession, sf_dir: str):
 
     t = load_tables(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
-    _evict_stale(key[0])
-    if key not in _KG_CACHE:
-        path = tempfile.mkdtemp(prefix="spark_kg_store_")
-        store = kg_store.GraphStore(spark, path)
-        # One-time ingest, BUCKETED on each table's natural join key
-        # (entities:name, observations:entity_name, relations:source):
-        # entity⋈observation attach joins and every per-iteration
-        # rank⋈edges join in the graph algorithms read the edge side
-        # exchange-free (plan-asserted in tests/test_layout.py) — the
-        # ingest-time layout a read-heavy 100 TB KG wants.
-        store.write(kg_views.kg(t), bucketed=True)
-        _KG_CACHE[key] = store.read()
-        _KG_DIRS[key] = path
-    return _KG_CACHE[key], t
+    with _INDEX_LOCK:
+        _evict_stale(key[0])
+        if key not in _KG_CACHE:
+            path = tempfile.mkdtemp(prefix="spark_kg_store_")
+            store = kg_store.GraphStore(spark, path)
+            # One-time ingest, BUCKETED on each table's natural join
+            # key (entities:name, observations:entity_name,
+            # relations:source): entity⋈observation attach joins and
+            # every per-iteration rank⋈edges join in the graph
+            # algorithms read the edge side exchange-free
+            # (plan-asserted in tests/test_layout.py) — the
+            # ingest-time layout a read-heavy 100 TB KG wants.
+            store.write(kg_views.kg(t), bucketed=True)
+            _KG_CACHE[key] = store.read()
+            _KG_DIRS[key] = path
+        return _KG_CACHE[key], t
 
 
 # ---------------------------------------------------------------- KG
@@ -867,11 +884,12 @@ def _tfidf_index(spark, sf_dir):
     from .vector import embed
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _TFIDF_CACHE:
-        docs = load_tables(spark, sf_dir)["documents"]
-        pipeline = embed.fit_tfidf(docs)
-        doc_vecs = embed.embed_documents(docs, pipeline).persist()
-        _TFIDF_CACHE[key] = (pipeline, doc_vecs)
+    with _INDEX_LOCK:
+        if key not in _TFIDF_CACHE:
+            docs = load_tables(spark, sf_dir)["documents"]
+            pipeline = embed.fit_tfidf(docs)
+            doc_vecs = embed.embed_documents(docs, pipeline).persist()
+            _TFIDF_CACHE[key] = (pipeline, doc_vecs)
     pipeline, doc_vecs = _TFIDF_CACHE[key]
     # Self-heal against an external spark.catalog.clearCache() (bench.py
     # issues one between queries): the dict would otherwise keep handing
@@ -1756,18 +1774,20 @@ _LPA_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _lpa(spark, sf_dir, g):
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _LPA_CACHE:
-        # eager localCheckpoint, not persist(): TRUNCATES the lineage,
-        # so downstream consumers (kg_modularity's two rollups) plan
-        # over a block scan instead of re-deriving the 4 propagation
-        # rounds — r03's census showed 22 shuffles in kg_modularity's
-        # plan vs ≤9 for every other graph op, all lineage inflation.
-        # Checkpoint blocks also survive catalog.clearCache() (RDD
-        # storage, not SQL cache), so no self-heal repersist needed.
-        _LPA_CACHE[key] = kg_traverse.label_propagation(
-            g["relations"], iterations=4
-        ).localCheckpoint(eager=True)
-    return _LPA_CACHE[key]
+    with _INDEX_LOCK:
+        if key not in _LPA_CACHE:
+            # eager localCheckpoint, not persist(): TRUNCATES the
+            # lineage, so downstream consumers (kg_modularity's two
+            # rollups) plan over a block scan instead of re-deriving
+            # the 4 propagation rounds — r03's census showed 22
+            # shuffles in kg_modularity's plan vs ≤9 for every other
+            # graph op, all lineage inflation. Checkpoint blocks also
+            # survive catalog.clearCache() (RDD storage, not SQL
+            # cache), so no self-heal repersist needed.
+            _LPA_CACHE[key] = kg_traverse.label_propagation(
+                g["relations"], iterations=4
+            ).localCheckpoint(eager=True)
+        return _LPA_CACHE[key]
 
 
 @query("kg_communities")

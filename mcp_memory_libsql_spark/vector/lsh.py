@@ -41,9 +41,15 @@ N_BITS = 4  # ANN default: recall-oriented (see module docstring)
 BUCKET_CAP = 100  # max vectors per (table, sig) bucket in pair mining
 # Widest signature the shared index stores. Plane seeds are per
 # (table, bit) and independent of the total width, so the low w bits
-# of a 12-bit signature EQUAL the w-bit signature — one stored index
-# serves every consumer width via `sig % 2^w` masking.
-MAX_BITS = 12
+# of a 16-bit signature EQUAL the w-bit signature — one stored index
+# serves every consumer width via `sig % 2^w` masking. 16 (was 12 in
+# r04): at 12 the width_for_corpus clamp bound at N≈131k — measured
+# by the rehearsal's 30x point — and past the bind the mean bucket
+# grows linearly again, re-creating the recall collapse the adaptive
+# width exists to prevent. 16 bits carries ~2.1M vectors (covers the
+# 100x sweep point); each +1 bit costs one plane dot per (vector,
+# table) at index build and doubles capacity.
+MAX_BITS = 16
 # Adaptive-width target: mean vectors per (table, sig) bucket. With a
 # FIXED width, bucket population grows linearly with corpus size and
 # the pair-mining cap eventually drops EVERY bucket (measured by the
@@ -57,10 +63,13 @@ def width_for_corpus(n: int) -> int:
     """Smallest signature width in [N_BITS, MAX_BITS] whose mean
     bucket width is ≤ TARGET_BUCKET at corpus size ``n`` — the same
     rule the DuckDB oracle applies via a COUNT-driven CASE, so both
-    engines mask to the identical width at any sf. At 12 bits the
-    clamp binds around N≈131k per 100-wide cap; a real deployment
-    raises MAX_BITS with the corpus (each +1 bit doubles capacity and
-    costs one more plane dot at index build)."""
+    engines mask to the identical width at any sf. At 16 bits the
+    clamp binds around N≈2.1M; a real deployment raises MAX_BITS
+    with the corpus (each +1 bit doubles capacity and costs one more
+    plane dot at index build). The rehearsal's cap-bite instrument
+    emits ``clamp_bound`` whenever the clamp is the binding
+    constraint, so the next scale jump is visible before it eats
+    recall."""
     for w in range(N_BITS, MAX_BITS + 1):
         if n <= TARGET_BUCKET * (1 << w):
             return w
