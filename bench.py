@@ -2,14 +2,15 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Each headline query runs $SPARK_GRAFT_BENCH_RUNS times (default 5)
-and reports the per-query MEDIAN — env wall-time variance was ±50% in
-r01, and round-over-round comparison needs stable numbers. One-time
-session costs (KG ingest materialization, JIT) land in the first run
-and drop out of the median. The shared disk indexes (KG snapshot,
-neighbor postings + scored pairs, LSH signatures) are force-built and
-timed as their own `*_index_build` extended entries so consumer
-queries report steady per-query cost; the heaviest extended ops are
-median-of-3.
+and reports the per-query MEDIAN plus the raw per-run samples (so the
+spread is auditable from the artifact) — env wall-time variance was
+±50% in r01, and round-over-round comparison needs stable numbers.
+The shared disk indexes (KG snapshot, neighbor postings + scored
+pairs, LSH signatures, LPA labels, near-dup pairs) are force-built
+FIRST on the cold session and timed as their own `*_index_build`
+extended entries — before the headline warm-up, which would otherwise
+silently pay them (r04's kg_snapshot_index_build read 0.0s). The
+heaviest extended ops are median-of-3 with samples emitted.
 
 Prints ONE compact JSON line (headline only) as the FINAL stdout
 line:
@@ -196,6 +197,13 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Build + time the shared disk indexes FIRST, on a cold session:
+    # r04 ran the headline warm-up before _build_indexes, so the
+    # warm-up's kg queries paid the KG snapshot ingest and
+    # kg_snapshot_index_build reported 0.0s — a real one-time cost
+    # hidden inside an untimed loop (VERDICT r04 item 5).
+    builds = _build_indexes(spark, sf_dir)
+
     # Warm the JVM + parquet footers + codegen for EVERY headline query
     # before any timing starts. r02 warmed only tpch_q1 once, and the
     # residual session warm-up (whole-stage codegen compilation for the
@@ -206,6 +214,7 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     for key in HEADLINE:
         samples = []
         for _ in range(runs):
@@ -214,6 +223,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[key] = round(statistics.median(samples), 3)
+        all_samples[key] = [round(s, 3) for s in samples]
         # Each query call re-persists its own intermediates (LSH
         # indexes, edge sets); the blocks from finished calls are
         # dead weight that builds GC pressure over a 77-query run —
@@ -226,10 +236,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # every raw run per query, so the <10% spread claim is
+        # checkable from this artifact alone (VERDICT r04 item 3);
+        # ~500 bytes for 12 queries x 5 runs, far under the driver's
+        # tail-capture limit that nulled r02's 63-entry line.
+        "samples": all_samples,
         "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0":
-        ext: dict[str, float] = _build_indexes(spark, sf_dir)
+        ext: dict[str, float] = dict(builds)
+        ext_samples: dict[str, list[float]] = {}
         for key in EXTENDED:
             samples = []
             for _ in range(3 if key in EXT_MEDIAN3 else 1):
@@ -240,13 +256,20 @@ def main() -> None:
                 samples.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
             ext[key] = round(statistics.median(samples), 3)
+            if len(samples) > 1:
+                ext_samples[key] = [round(s, 3) for s in samples]
         # Written to a sibling file, NOT the stdout line: the driver's
         # tail capture truncates long lines, which nulled BENCH_r02.
         ext_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_extended.json"
         )
         with open(ext_path, "w") as f:
-            json.dump({"sf": sf, "extended": ext}, f, indent=1, sort_keys=True)
+            json.dump(
+                {"sf": sf, "extended": ext, "samples": ext_samples},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
         print(f"extended timings ({len(ext)} queries) -> {ext_path}")
     # Compact headline JSON alone on the final line — this is what the
     # driver parses into BENCH_r{N}.json.
