@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Scale rehearsal: run the headline suite at ~sf1 (10× sf0.1) to
 surface skew and memory pressure the sf0.1 numbers hide (VERDICT r02
-item 9 — no sf1 testdata ships with the harness), and sweep the five
+item 9 — no sf1 testdata ships with the harness), and sweep the
 HEAVIEST ops across multiple scale points to fit per-op growth
 exponents (VERDICT r03 item 6: "no op superlinear" is a measured
 claim, not an asserted one).
@@ -14,13 +14,30 @@ written under _rehearsal/ (gitignored) and used for NOTHING except
 wall-time measurement — every correctness artifact in this repo runs
 exclusively on the driver-generated /root/testdata parquet.
 
+r05 evidence upgrades (VERDICT r04 items 1/2/4):
+- WARM-UP PASS per sweep point: every timed key runs once untimed
+  first, so one-time session costs (codegen JIT, broadcast pools,
+  first-consumer index reads) can't land inside the first timed op —
+  r04's first point produced a physically-impossible -0.42 exponent
+  for kg_suggest_weighted.
+- dedup_ngram_jaccard joins the sweep WITH per-point output-pair
+  counts, plus a PERTURBED-corpus twin: copies i>0 get every 2nd
+  whitespace token suffixed with the copy index, so NO shingle is
+  shared across copies — the twin measures the pure plan-growth
+  (non-duplicate) scaling path, while the standard corpus measures
+  the duplicate-output path (10 identical copies → true pair output
+  itself grows ~C(copies,2), which is what made r04's lone 26×@10×
+  point look quadratic).
+- A 100× point (sf10-equivalent, ~5 GB of facts — fits the 128 GiB
+  sandbox) for the heaviest ops; cap-bite rates at every point now
+  flag when the adaptive-LSH width clamp (lsh.MAX_BITS) is the
+  binding constraint.
+
 Usage: python tools/scale_rehearsal.py [copies[,copies...]]
-  default "3,10,30": full suite at the 10× point (round-over-round
-  continuity), the five heaviest ops at every point; growth exponent
-  per heavy op = least-squares slope of log(wall) vs log(copies).
-Also reports CAP-BITE RATES at each point (what fraction of postings/
-buckets the skew caps actually dropped), so a cap that silently eats
-recall at scale is visible next to the wall-times it buys.
+  default "3,10,30,100": full suite at the 10× point
+  (round-over-round continuity), sweep ops at every point, only the
+  SWEEP_100X subset at points >30. Growth exponent per op =
+  least-squares slope of log(wall) vs log(copies).
 Writes SCALE_REHEARSAL.json at the repo root.
 """
 
@@ -44,8 +61,7 @@ from mcp_memory_libsql_spark.io.tables import (  # noqa: E402
 from mcp_memory_libsql_spark.registry import QUERIES  # noqa: E402
 from mcp_memory_libsql_spark.session import get_spark  # noqa: E402
 
-SRC = "/root/testdata/sf0.1"
-DST = os.path.join(REPO, "_rehearsal", "sf1")
+SRC = os.environ.get("SPARK_GRAFT_REHEARSAL_SRC", "/root/testdata/sf0.1")
 OFF = 10_000_000
 
 # (table, key columns to shift per copy); dims absent = copied once
@@ -87,43 +103,97 @@ HEAVY = [
 ]
 
 
-# The growth-sweep subjects (VERDICT r03 item 6): the five most
-# expensive plans in bench_extended; each must come out sublinear.
+# The growth-sweep subjects: the most expensive plans in
+# bench_extended PLUS dedup_ngram_jaccard (r04's only superlinear
+# measured point); each must come out ~linear or the superlinearity
+# must be attributable to true-duplicate output growth (see the
+# perturbed twin).
 SWEEP = [
     "kg_suggest_weighted",
     "dedup_winnowing",
     "kg_communities",
     "dedup_semantic_keep",
     "mm_neardup",
+    "dedup_ngram_jaccard",
+]
+# sweep ops whose OUTPUT ROW COUNT is recorded per point — separates
+# output growth (true duplicates multiply with copies) from plan
+# growth for the dedup family
+COUNT_ROWS = {"dedup_ngram_jaccard"}
+# at points >30 only the heaviest subset runs (top-3 extended walls
+# at sf0.1 + the superlinear suspect), to bound the 100x wall-clock
+SWEEP_100X = [
+    "kg_suggest_weighted",
+    "dedup_winnowing",
+    "kg_communities",
+    "dedup_ngram_jaccard",
 ]
 
 
 def build(spark, copies: int, dst: str) -> None:
+    """Materialize the copies corpus: one crossJoin against
+    range(copies) per table (a single scan multiplied row-wise — the
+    r04 version unioned `copies` scan branches, whose plan grew
+    linearly with the point and dominated the 100x build)."""
     if os.path.isdir(dst):
         shutil.rmtree(dst)
+    ci = F.col("_ci")
     for name in TABLE_NAMES:  # load_tables() is lazy — enumerate
         df = load_table(spark, SRC, name)
         keys = SHIFT.get(name)
         if keys is None:
             out = df
         else:
-            parts = []
-            for i in range(copies):
-                d = df
-                for k in keys:
-                    d = d.withColumn(k, F.col(k) + F.lit(i * OFF))
-                parts.append(d)
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
+            out = df.crossJoin(
+                spark.range(copies).select(F.col("id").alias("_ci"))
+            )
+            for k in keys:
+                out = out.withColumn(k, F.col(k) + ci * OFF)
+            out = out.drop("_ci")
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
+
+
+def build_perturbed_docs(spark, copies: int, dst: str) -> None:
+    """documents-only variant corpus for the non-duplicate scaling
+    path: copy i>0 gets every 2nd whitespace token suffixed with the
+    copy index, so every 3-gram shingle contains a per-copy token and
+    NO shingle is shared across copies — posting lists grow only
+    within-copy and candidate pairs scale linearly in `copies`.
+    (Within a copy the corpus's real duplicates survive untouched.)
+    Only documents.parquet is written; the dedup queries load tables
+    lazily."""
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    ci = F.col("_ci")
+    df = load_table(spark, SRC, "documents").crossJoin(
+        spark.range(copies).select(F.col("id").alias("_ci"))
+    )
+    toks = F.split(F.col("text"), " ")
+    tagged = F.array_join(
+        F.transform(
+            toks,
+            lambda t, j: F.when(
+                j % 2 == 0, F.concat(t, F.lit("q"), ci.cast("string"))
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    df = (
+        df.withColumn("doc_id", F.col("doc_id") + ci * OFF)
+        .withColumn("text", F.when(ci == 0, F.col("text")).otherwise(tagged))
+        .drop("_ci")
+    )
+    df.write.mode("overwrite").parquet(os.path.join(dst, "documents.parquet"))
 
 
 def cap_bites(spark, sf_dir: str) -> dict:
     """Measured drop rates of every skew cap at this corpus size —
     the recall cost the caps trade for the bounded pair explosion.
     Each entry: total buckets/postings, how many exceeded the cap
-    (and were dropped), and the dropped fraction."""
+    (and were dropped), and the dropped fraction. The embedding-LSH
+    entry also flags `clamp_bound`: True when lsh.MAX_BITS (not the
+    TARGET_BUCKET rule) picked the width — the precursor of the
+    fixed-width recall collapse r04 fixed, visible BEFORE it bites."""
     from mcp_memory_libsql_spark.io.tables import load_tables
     from mcp_memory_libsql_spark.kg import similarity as sim
     from mcp_memory_libsql_spark.kg import views as kg_views
@@ -152,6 +222,11 @@ def cap_bites(spark, sf_dir: str) -> dict:
     w = max(lsh.n_bits_for_threshold(0.4), lsh.width_for_corpus(n_emb))
     out["embedding_lsh_buckets"] = {
         "mining_bits": w,
+        "n_embeddings": n_emb,
+        "clamp_bound": bool(
+            w == lsh.MAX_BITS
+            and n_emb > lsh.TARGET_BUCKET * (1 << lsh.MAX_BITS)
+        ),
         **rate(
             lsh.bucketize(t["embeddings"], dim=64, n_bits=w)
             .groupBy("table_id", "sig")
@@ -206,20 +281,24 @@ def _run(spark, key: str, dst: str) -> float:
 
 def main() -> None:
     points = sorted(
-        int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "3,10,30").split(",")
+        int(x)
+        for x in (sys.argv[1] if len(sys.argv) > 1 else "3,10,30,100").split(",")
     )
     anchor = 10 if 10 in points else points[-1]
     spark = get_spark("scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
-    sweep: dict[str, dict[int, float]] = {k: {} for k in SWEEP}
+    sweep: dict[str, dict[int, float]] = {}
+    rows_by: dict[str, dict[int, int]] = {}
     bites: dict[int, dict] = {}
     ibuilds: dict[int, float] = {}
     full: dict = {}
     for copies in points:
         dst = os.path.join(REPO, "_rehearsal", f"x{copies}")
+        pert = os.path.join(REPO, "_rehearsal", f"x{copies}_pert")
         t0 = time.time()
         build(spark, copies, dst)
+        build_perturbed_docs(spark, copies, pert)
         build_sec = round(time.time() - t0, 1)
         print(f"built {copies}x sf0.1 at {dst} in {build_sec}s", flush=True)
 
@@ -249,14 +328,40 @@ def main() -> None:
         bites[copies] = cap_bites(spark, dst)
         print(f"cap bites ({copies}x): {json.dumps(bites[copies])}", flush=True)
 
-        keys = HEADLINE + HEAVY if copies == anchor else SWEEP
+        point_sweep = SWEEP_100X if copies > 30 else SWEEP
+        keys = (
+            HEADLINE + HEAVY + [k for k in point_sweep if k not in HEADLINE + HEAVY]
+            if copies == anchor
+            else list(point_sweep)
+        )
+        # WARM-UP: one untimed pass over every key about to be timed
+        # (plus the perturbed twin), so codegen JIT / first-consumer
+        # costs can't inflate the first timed op of the point — the
+        # bug that gave r04's kg_suggest_weighted a -0.42 "exponent".
+        for key in keys:
+            _run(spark, key, dst)
+        if "dedup_ngram_jaccard" in keys:
+            _run(spark, "dedup_ngram_jaccard", pert)
+        spark.catalog.clearCache()
+
         timings = {}
         for key in keys:
             timings[key] = _run(spark, key, dst)
             print(f"{key} ({copies}x): {timings[key]}s", flush=True)
-        for k in SWEEP:
+        for k in point_sweep:
             if k in timings:
-                sweep[k][copies] = timings[k]
+                sweep.setdefault(k, {})[copies] = timings[k]
+        # the perturbed twin: same op, cross-copy shingle sharing
+        # engineered away — the pure plan-growth path
+        if "dedup_ngram_jaccard" in keys:
+            w = _run(spark, "dedup_ngram_jaccard", pert)
+            sweep.setdefault("dedup_ngram_jaccard_perturbed", {})[copies] = w
+            print(f"dedup_ngram_jaccard_perturbed ({copies}x): {w}s", flush=True)
+            rows_by.setdefault("dedup_ngram_jaccard_perturbed", {})[copies] = (
+                QUERIES["dedup_ngram_jaccard"](spark, pert).count()
+            )
+        for k in COUNT_ROWS & set(timings):
+            rows_by.setdefault(k, {})[copies] = QUERIES[k](spark, dst).count()
         if copies == anchor:
             full = {
                 "copies": copies,
@@ -271,6 +376,7 @@ def main() -> None:
                 "queries": timings,
             }
         shutil.rmtree(dst, ignore_errors=True)
+        shutil.rmtree(pert, ignore_errors=True)
 
     out = dict(full)
     out["sweep_points"] = points
@@ -278,6 +384,18 @@ def main() -> None:
         k: {
             "wall_sec_by_copies": {str(c): t for c, t in v.items()},
             "exponent": _exponent(v),
+            **(
+                {
+                    "output_rows_by_copies": {
+                        str(c): n for c, n in rows_by[k].items()
+                    },
+                    "output_rows_exponent": _exponent(
+                        {c: float(n) for c, n in rows_by[k].items()}
+                    ),
+                }
+                if k in rows_by
+                else {}
+            ),
         }
         for k, v in sweep.items()
     }
@@ -287,7 +405,11 @@ def main() -> None:
         "perf-only corpus: key-shifted copies of the provided sf0.1 "
         "tables; all correctness gates run on /root/testdata. "
         "growth.exponent = log-log slope of wall vs corpus size "
-        "(1.0 linear; <1 sublinear)."
+        "(1.0 linear; <1 sublinear). Every point warm-runs each key "
+        "once before timing. dedup_ngram_jaccard_perturbed = same op "
+        "on a corpus where copies share no shingles (the "
+        "non-duplicate scaling path); output_rows_by_copies separates "
+        "true-duplicate output growth from plan growth."
     )
     with open(os.path.join(REPO, "SCALE_REHEARSAL.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
