@@ -826,38 +826,42 @@ def community_modularity(
     lb = comms.select(
         F.col("name").alias("b"), F.col("community").alias("cb")
     )
-    # label map is O(V): no broadcast hint — AQE decides. The labeled
-    # edge table feeds THREE rollups (edge total, internal count,
-    # endpoint-degree total), so it's materialized ONCE — without the
-    # checkpoint each consumer re-plans both label joins and the plan
-    # carries 3× the exchanges (census read 12; now ≤9).
-    edges = (
-        und.join(la, "a").join(lb, "b").localCheckpoint(eager=True)
-    )
-    m_total = edges.agg(F.count("*").alias("m"))  # 1 row, stays in-plan
-    internal = (
-        edges.where(F.col("ca") == F.col("cb"))
-        .groupBy(F.col("ca").alias("community"))
-        .agg(F.count("*").alias("internal_edges"))
-    )
-    # Σ deg(v) per community = endpoint occurrences in the undirected
-    # distinct edge set — ONE explode-rollup over the labeled edges
-    # replaces the old sym-union → per-node degree → label-join →
-    # rollup chain (2 shuffles + a join fewer, same integers).
-    comm_deg = (
+    # label map is O(V): no broadcast hint — AQE decides. internal
+    # edges and endpoint degrees come from ONE explode-rollup: each
+    # edge emits its two endpoints flagged is-internal, so
+    # total_degree = COUNT(*) and internal_edges = SUM(flag) DIV 2
+    # (both endpoint rows of an internal edge carry the flag — exact
+    # integer halving). r04 ran THREE rollups over a localCheckpoint
+    # of the labeled edges; one consumer needs no materialization and
+    # the plan drops from 4 heavy exchanges to 2 (edge distinct +
+    # this rollup), which took kg_modularity from 3.3s to ~1s sf0.1.
+    edges = und.join(la, "a").join(lb, "b")
+    i_flag = (F.col("ca") == F.col("cb")).cast("long").alias("i")
+    per = (
         edges.select(
-            F.explode(F.array("ca", "cb")).alias("community")
+            F.explode(
+                F.array(
+                    F.struct(F.col("ca").alias("community"), i_flag),
+                    F.struct(F.col("cb").alias("community"), i_flag),
+                )
+            ).alias("e")
         )
+        .select("e.community", "e.i")
         .groupBy("community")
-        .agg(F.count("*").alias("total_degree"))
+        .agg(
+            F.count("*").alias("total_degree"),
+            F.expr("SUM(i) DIV 2").alias("internal_edges"),
+        )
     )
+    # 2m = Σ_c total_degree — a K-row agg over the rollup, not a
+    # second pass over the edges; 1 row, broadcast back in-plan.
+    m_total = per.agg(F.expr("SUM(total_degree) DIV 2").alias("m"))
     n_nodes = comms.groupBy("community").agg(F.count("*").alias("n_nodes"))
     joined = (
-        n_nodes.join(comm_deg, "community", "left")
+        n_nodes.join(per, "community", "left")
         .withColumn(
             "total_degree", F.coalesce("total_degree", F.lit(0))
         )
-        .join(internal, "community", "left")
         .crossJoin(broadcast(m_total))
         .select(
             "community",

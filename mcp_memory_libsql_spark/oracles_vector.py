@@ -706,6 +706,90 @@ FROM af JOIN (
 
 ORACLES["vec_kmeans"] = _kmeans_oracle()
 
+
+def _ivf_cells_oracle(refine_steps: int = 2, scale: int = 1 << 20) -> str:
+    """vec_ivf_cells mirrored end-to-end (vector/ivf.ivf_cells_exact):
+    identical quantization, LABEL-seeded integer centroids (vs
+    vec_kmeans' md5-seeded init), ``refine_steps`` Lloyd rounds
+    unrolled as CTEs, COALESCE for emptied cells, final assignment
+    with the (dist, cell) tiebreak — so the IVF coarse quantizer's
+    cell assignment (= the ANN table's partition layout at scale)
+    gets a full hash gate."""
+    parts = [
+        f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, label,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(list_transform(range(1, len(embedding) + 1),
+                i -> CAST(FLOOR(embedding[i]::DOUBLE * {scale} + 0.5)
+                          AS BIGINT))) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT label AS cell, pos,
+         CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM q GROUP BY 1, 2
+)"""
+    ]
+    for t in range(refine_steps):
+        parts.append(
+            f""",
+d{t} AS (
+  SELECT q.vec_id, c.cell,
+         SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
+  FROM q JOIN c{t} c ON q.pos = c.pos
+  GROUP BY 1, 2
+),
+a{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cell) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+),
+s{t} AS (
+  SELECT a.cell, q.pos,
+         CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM a{t} a JOIN q ON a.vec_id = q.vec_id
+  GROUP BY 1, 2
+),
+c{t + 1} AS (
+  SELECT old.cell, old.pos, COALESCE(s.c, old.c) AS c
+  FROM c{t} old LEFT JOIN s{t} s
+    ON old.cell = s.cell AND old.pos = s.pos
+)"""
+        )
+    parts.append(
+        f""",
+df AS (
+  SELECT q.vec_id, c.cell,
+         SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
+  FROM q JOIN c{refine_steps} c ON q.pos = c.pos
+  GROUP BY 1, 2
+),
+af AS (
+  SELECT vec_id, cell, dist FROM (
+    SELECT vec_id, cell, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cell) AS rn
+    FROM df
+  ) WHERE rn = 1
+)
+SELECT af.vec_id, l.label, af.cell, CAST(af.dist AS BIGINT) AS dist_q,
+       sz.n AS cell_size
+FROM af
+JOIN (SELECT vec_id, label FROM embeddings) l ON af.vec_id = l.vec_id
+JOIN (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM af GROUP BY 1
+) sz ON af.cell = sz.cell
+"""
+    )
+    return "".join(parts)
+
+
+ORACLES["vec_ivf_cells"] = _ivf_cells_oracle()
+
 ORACLES["vec_knn_outliers"] = """
 WITH s AS (
   SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 300

@@ -699,6 +699,17 @@ def q_vec_ivf_ann(spark, sf_dir):
     return ivf.ivf_ann(t["embeddings"], query_vec_id=0, k=10, dim=64)
 
 
+@query("vec_ivf_cells")
+def q_vec_ivf_cells(spark, sf_dir):
+    # The IVF coarse quantizer's cell assignment as a FULL-oracle
+    # surface (integer-exact label-seeded Lloyd — the vec_kmeans
+    # recipe applied to vec_ivf_ann's cells): at scale this IS the
+    # ANN table's partition-by-cell layout, so hashing it verifies
+    # the data placement; only the serving top-k stays rows-only.
+    t = load_tables(spark, sf_dir)
+    return ivf.ivf_cells_exact(t["embeddings"])
+
+
 @query("text_quality_filter")
 def q_text_quality_filter(spark, sf_dir):
     t = load_tables(spark, sf_dir)

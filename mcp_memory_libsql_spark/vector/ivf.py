@@ -136,3 +136,88 @@ def ivf_ann(
         ),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col("vec_id")).limit(k)
+
+
+def _int_means(assigned: DataFrame) -> DataFrame:
+    """(cell, q array<bigint>) — per-cell integer centroid:
+    floor(Σq_i / n) per position. Integer sums are order-independent
+    and map-side combinable; Σ|q| < 2⁵³ keeps the double quotient
+    exact, so FLOOR matches DuckDB bit-for-bit (the vec_kmeans
+    argument, reference mcp_memory_libsql_spark/vector/kmeans.py)."""
+    return (
+        assigned.select("cell", F.posexplode("q").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.expr(
+                "CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+            ).alias("c")
+        )
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cell", F.expr("transform(pc, x -> x.c)").alias("q"))
+    )
+
+
+def _assign_exact(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, label, q, cell, dist) — exact-integer nearest-cell
+    assignment: broadcast k·dim BIGINT centroids, min(struct) argmin
+    with (dist, cell) tiebreak ≡ ROW_NUMBER() ORDER BY dist, cell."""
+    from .kmeans import DIST_EXPR
+
+    d = q.crossJoin(
+        broadcast(cents.select("cell", F.col("q").alias("c")))
+    ).select("vec_id", "label", "q", "cell", F.expr(DIST_EXPR).alias("dist"))
+    return (
+        d.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cell", "label", "q")).alias("s"))
+        .select(
+            "vec_id",
+            F.col("s.label").alias("label"),
+            F.col("s.q").alias("q"),
+            F.col("s.cell").alias("cell"),
+            F.col("s.dist").alias("dist"),
+        )
+    )
+
+
+def ivf_cells_exact(
+    embeddings: DataFrame, refine_steps: int = 2, scale: int = 1 << 20
+) -> DataFrame:
+    """The IVF coarse quantizer itself as an ORACLE-VERIFIED surface:
+    label-seeded centroids + ``refine_steps`` Lloyd rounds over
+    scaled-BIGINT components → (vec_id, label, cell, dist_q,
+    cell_size). Same cross-engine-determinism recipe as vec_kmeans
+    (quantize once → every distance/mean is exact integer math), so
+    the cell ASSIGNMENT — the part of vec_ivf_ann that decides what a
+    probe scans — hash-matches a DuckDB CTE unroll; only the serving
+    top-k stays rows-only. At scale this is the partition layout of
+    the ANN table (write partitioned by cell), so verifying it
+    exactly verifies the data placement. `label` rides along so the
+    output shows which vectors the geometry moved OUT of their seed
+    cell (cell <> label)."""
+    q = embeddings.select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, v -> "
+            f"CAST(FLOOR(CAST(v AS DOUBLE) * {scale} + 0.5) AS BIGINT))"
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+    cents = _int_means(q.select(F.col("label").alias("cell"), "q"))
+    for _ in range(refine_steps):
+        a = _assign_exact(q, cents)
+        newc = _int_means(a.select("cell", "q")).withColumnRenamed("q", "qn")
+        # an emptied cell keeps its previous centroid (COALESCE in
+        # both engines) — same convention as vec_kmeans
+        cents = (
+            cents.join(newc, "cell", "left")
+            .select("cell", F.coalesce("qn", "q").alias("q"))
+            .localCheckpoint(eager=True)
+        )
+    final = _assign_exact(q, cents).select(
+        "vec_id", "label", "cell", F.col("dist").alias("dist_q")
+    )
+    sizes = final.groupBy("cell").agg(F.count("*").alias("cell_size"))
+    return final.join(broadcast(sizes), "cell").select(
+        "vec_id", "label", "cell", "dist_q", "cell_size"
+    )

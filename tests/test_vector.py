@@ -372,3 +372,28 @@ def test_ivf_kmeans_recall_vs_brute(spark, sf_dir):
     assert len(got) == 10
     recall = len(set(truth) & set(got)) / 10
     assert recall >= 0.3, recall
+
+
+def test_ivf_cells_lloyd_invariants(spark, sf_dir):
+    """Refinement must not increase total inertia (the Lloyd descent
+    property), every vector lands in exactly one cell, and cell ids
+    stay within the label-seeded id space."""
+    from mcp_memory_libsql_spark.vector import ivf
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    seeded = ivf.ivf_cells_exact(emb, refine_steps=0)
+    refined = ivf.ivf_cells_exact(emb, refine_steps=2)
+    n = emb.count()
+    assert seeded.count() == n
+    assert refined.count() == n
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert {r.cell for r in refined.select("cell").distinct().collect()} <= labels
+    inertia0 = seeded.agg({"dist_q": "sum"}).first()[0]
+    inertia2 = refined.agg({"dist_q": "sum"}).first()[0]
+    assert inertia2 <= inertia0
+    # cell_size is consistent with the assignment rows
+    sizes = {r.cell: r.cell_size for r in refined.select("cell", "cell_size").distinct().collect()}
+    from collections import Counter
+
+    counted = Counter(r.cell for r in refined.select("cell").collect())
+    assert sizes == dict(counted)
