@@ -139,7 +139,28 @@ def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     chunks each) instead of k keyed digests — md5 is the expensive
     part (k× fewer digest computations; at sf0.1 that's ~60M saved
     md5 calls), and chunks of one digest are independent enough for
-    MinHash."""
+    MinHash. Under SPARK_GRAFT_FAST_HASH=1 the family comes from
+    FOUR seeded xxhash64 values split into 32-bit halves instead —
+    the 100 TB CPU path (no digest schedule per shingle); md5 stays
+    the default because the DuckDB gate needs it."""
+    from .tokenize import fast_hash_enabled
+
+    if fast_hash_enabled():
+        sh = doc_shingles(documents, n).select(
+            "doc_id",
+            *[
+                F.xxhash64(F.lit(j), F.col("shingle")).alias(f"d{j}")
+                for j in range(MINHASH_K // 2)
+            ],
+        )
+        aggs = []
+        for i in range(MINHASH_K):
+            d = F.col(f"d{i // 2}")
+            half = (
+                F.shiftright(d, 32) if i % 2 else d
+            ).bitwiseAND(F.lit((1 << 32) - 1))
+            aggs.append(F.min(half.cast("bigint")).alias(f"h{i}"))
+        return sh.groupBy("doc_id").agg(*aggs)
     sh = doc_shingles(documents, n).select(
         "doc_id",
         F.md5(F.col("shingle")).alias("d1"),
@@ -876,7 +897,9 @@ def winnowing_fingerprints(
     The whole selection is IN-ROW (transform/slice/aggregate over the
     gram array — zero shuffle, codegen'd); only selected fingerprints
     explode into the postings join. md5-derived 32-bit hashes keep the
-    oracle bit-identical (swap xxhash64 at 100 TB, see tokenize.py).
+    oracle bit-identical; SPARK_GRAFT_FAST_HASH=1 swaps in xxhash64
+    for the 100 TB CPU bill (tokenize.md5_hash32 honors the flag —
+    the gram hash is this op's dominant cost).
     """
     cnt = F.length("text") - k + 1
     hps = F.transform(

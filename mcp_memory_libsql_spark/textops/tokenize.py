@@ -11,7 +11,24 @@ unchanged).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, functions as F
+
+
+def fast_hash_enabled() -> bool:
+    """SPARK_GRAFT_FAST_HASH=1 swaps the portable md5-derived hashes
+    for JVM-native xxhash64 — the 100 TB deployment path, where the
+    md5 digest per shingle/gram is a real CPU bill (xxhash64 is a
+    few-cycle non-cryptographic hash; md5 runs the full digest
+    schedule). Default OFF because the DuckDB parity gate needs a
+    hash both engines compute bit-identically, and the engines'
+    xxhash64 variants/seeds differ. Semantics are unchanged either
+    way: every consumer (MinHash, winnowing, Bloom, SimHash band
+    keys) needs only a uniform deterministic hash, not md5
+    specifically. Read per expression-construction so tests can
+    toggle via env."""
+    return os.environ.get("SPARK_GRAFT_FAST_HASH", "0") == "1"
 
 WORD_RE = "[a-z0-9]+"
 # BPE-ish pre-tokenizer: alpha runs, digit runs, single punctuation.
@@ -45,13 +62,21 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
 
 def md5_hash32(s: Column, seed: int | None = None) -> Column:
     """Portable 32-bit hash: first 8 hex chars of md5 → BIGINT.
-    Identical to DuckDB's ('0x' || substr(md5(x),1,8))::BIGINT."""
+    Identical to DuckDB's ('0x' || substr(md5(x),1,8))::BIGINT.
+    Under SPARK_GRAFT_FAST_HASH=1, xxhash64 folded to the same
+    [0, 2³²) range instead (fast path; not oracle-matchable)."""
+    if fast_hash_enabled():
+        h = F.xxhash64(s) if seed is None else F.xxhash64(F.lit(seed), s)
+        return F.pmod(h, F.lit(1 << 32)).cast("bigint")
     keyed = s if seed is None else F.concat(F.lit(f"{seed}:"), s)
     return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("bigint")
 
 
 def md5_hash60(s: Column) -> Column:
-    """Portable 60-bit hash (15 hex chars → fits signed BIGINT)."""
+    """Portable 60-bit hash (15 hex chars → fits signed BIGINT).
+    Under SPARK_GRAFT_FAST_HASH=1, xxhash64 folded to [0, 2⁶⁰)."""
+    if fast_hash_enabled():
+        return F.pmod(F.xxhash64(s), F.lit(1 << 60)).cast("bigint")
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 

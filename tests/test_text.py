@@ -398,3 +398,46 @@ def test_perplexity_keep_is_below_mean_half(spark, sf_dir):
     s_n = sum(r.n_bigrams for r in ce)
     expect = {r.doc_id for r in ce if r.ce_millibits * s_n < s_ce * r.n_bigrams}
     assert kept == expect
+
+
+def test_fast_hash_path_preserves_dedup_semantics(spark, monkeypatch):
+    """SPARK_GRAFT_FAST_HASH=1 swaps md5 for xxhash64 in the shingle/
+    gram hash loops (the 100 TB CPU path). Semantics a consumer relies
+    on must survive the swap: identical texts hash identically
+    (minhash signatures equal, winnowing finds the pair), distinct
+    texts diverge, and values stay in the declared ranges. Default
+    (flag unset) must keep producing the oracle-gated md5 values."""
+    from mcp_memory_libsql_spark.textops import dedup as dd
+    from mcp_memory_libsql_spark.textops import tokenize as tk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "an entirely different document about spark catalyst plans"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def minhash_rows():
+        return {
+            r.doc_id: tuple(r[f"h{i}"] for i in range(dd.MINHASH_K))
+            for r in dd.minhash_signatures(docs, n=3).collect()
+        }
+
+    base = minhash_rows()
+    monkeypatch.setenv("SPARK_GRAFT_FAST_HASH", "1")
+    assert tk.fast_hash_enabled()
+    fast = minhash_rows()
+    for sigs in (base, fast):
+        assert sigs[1] == sigs[2]  # identical docs, identical signature
+        assert sigs[1] != sigs[3]
+        assert all(0 <= h < 1 << 32 for h in sigs[1])
+    assert fast[1] != base[1]  # genuinely a different hash family
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dd.winnowing_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    monkeypatch.delenv("SPARK_GRAFT_FAST_HASH")
+    assert minhash_rows() == base  # default path untouched
