@@ -321,6 +321,13 @@ def main() -> None:
         g, _ = reg._kg(spark, dst)
         reg._nbr_index(spark, dst, g)
         reg._lsh_index(spark, dst)
+        # ALL five shared artifacts, same set as bench._build_indexes:
+        # r04 omitted LPA labels + the near-dup pair stream here, so
+        # the warm-up paid them silently and their consumers
+        # (kg_communities, dedup_semantic_keep) timed as pure
+        # index reads with the build cost unattributed.
+        reg._lpa(spark, dst, g)
+        reg._lsh_pairs(spark, dst)
         index_build_sec = round(time.time() - t0, 1)
         print(f"index builds ({copies}x): {index_build_sec}s", flush=True)
 
