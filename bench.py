@@ -115,9 +115,11 @@ EXTENDED = [
     "text_bpe_pairs",
     "kg_metapaths",
     "vec_ivfpq_ann",
+    "vec_ivf_cells",
     "vec_kmeans",
     "dedup_semantic_clusters",
     "text_curriculum_order",
+    "text_ngram_novelty",
     "data_epoch_plan",
     "mm_video_stats",
     "mm_container_audit",

@@ -1591,3 +1591,36 @@ SELECT kind, COUNT(*)::BIGINT AS n_media,
        END AS overhead_ratio
 FROM per GROUP BY kind
 """
+
+# text_ngram_novelty: the UNCAPPED distinct-shingle stream (sh0 —
+# novelty must see ubiquitous shingles; they are exactly the
+# non-novel mass the DF cap would hide), window-min first occurrence,
+# per-doc rollup. Mirrors textops/dedup.ngram_novelty.
+ORACLES["text_ngram_novelty"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE []::VARCHAR[] END)) AS shingle
+  FROM toks
+),
+tagged AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY shingle) AS first_doc
+  FROM sh0
+),
+per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new
+  FROM tagged GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_new,
+       ROUND(n_new / n_shingles, 6) AS novelty
+FROM per
+"""

@@ -535,6 +535,14 @@ def q_dedup_minhash(spark, sf_dir):
     return dd.minhash_signatures(t["documents"], n=3)
 
 
+@query("text_ngram_novelty")
+def q_text_ngram_novelty(spark, sf_dir):
+    # first-occurrence shingle novelty — the set-level curation
+    # signal complementing pairwise dedup; full oracle
+    t = load_tables(spark, sf_dir)
+    return dd.ngram_novelty(t["documents"], n=3)
+
+
 @query("dedup_minhash_lsh")
 def q_dedup_minhash_lsh(spark, sf_dir):
     t = load_tables(spark, sf_dir)

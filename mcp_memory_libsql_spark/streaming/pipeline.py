@@ -687,3 +687,72 @@ def read_type_entropy(spark: SparkSession, sink_dir: str) -> DataFrame:
             F.col("h_millibits") / (F.lit(1000.0) * F.col("n_events")), 6
         ).alias("entropy_bits"),
     )
+
+
+def novelty_index_stream(
+    documents: DataFrame, sink_dir: str, checkpoint_dir: str
+):
+    """Streaming first-occurrence shingle index — the state behind
+    text_ngram_novelty maintained on a document firehose: each
+    micro-batch appends its PARTIAL (shingle, first_doc) rows (the
+    batch-local min doc_id per shingle) to a parquet delta log. MIN
+    is the index's native merge, so :func:`read_novelty_index`
+    collapses the log with one groupBy and the streamed index is
+    provably identical to the batch window-min (tested
+    shingle-for-shingle). A curation consumer joins incoming docs'
+    shingles against the merged index to score novelty without ever
+    re-scanning the historical corpus — O(micro-batch) work per
+    trigger, the same merge-on-read shape as the Bloom/CMS/stats
+    twins."""
+    from ..textops.dedup import _exploded_shingles
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            _exploded_shingles(batch_df, 3)
+            .groupBy("shingle")
+            .agg(F.min("doc_id").alias("first_doc"))
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    return (
+        documents.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_novelty_index(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Merge-on-read over streamed first-occurrence partials →
+    (shingle, first_doc): MIN — the index's native merge."""
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("shingle")
+        .agg(F.min("first_doc").alias("first_doc"))
+    )
+
+
+def novelty_against_index(documents: DataFrame, index: DataFrame) -> DataFrame:
+    """Score documents against a (shingle, first_doc) index →
+    (doc_id, n_shingles, n_new, novelty); with the full-corpus merged
+    index this equals textops.dedup.ngram_novelty exactly."""
+    from ..textops.dedup import _exploded_shingles
+
+    sh = _exploded_shingles(documents, 3)
+    return (
+        sh.join(index, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_new",
+            F.round(F.col("n_new") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )

@@ -1075,3 +1075,42 @@ def bloom_incremental(
         "maybe_dup",
         F.col("_e").isNotNull().alias("is_dup"),
     )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_shingles, n_new, novelty) — fraction of a doc's
+    distinct n-gram shingles whose FIRST corpus occurrence (minimum
+    doc_id, the ingest-order proxy) is this doc: the "how much of
+    this document has the corpus already seen?" curation signal, the
+    set-level complement of pairwise dedup (a doc can be 0.3-novel
+    without any single pair crossing a Jaccard threshold) and a
+    curriculum-ordering input alongside text_curriculum_order.
+
+    Plan: ONE window-min over the shingle partition tags each
+    (doc, shingle) row with the corpus-first doc — no posting-list
+    collect (a stop-shingle's unbounded list would be a giant row;
+    the window min streams its partition) — then one per-doc rollup.
+    Two shuffles total, both map-side-combinable on the rollup side.
+    At 100 TB the window's heavy-hitter shingle partitions are the
+    skew point; a two-level min (salted partial min → final min,
+    broadcast back) swaps in with identical semantics. Docs with
+    fewer than n tokens have no shingles and no row — same convention
+    as the dedup family."""
+    sh = _exploded_shingles(documents, n)
+    first = F.min("doc_id").over(Window.partitionBy("shingle"))
+    return (
+        sh.withColumn("_first", first)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("_first") == F.col("doc_id")).cast("long")).alias(
+                "n_new"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_new",
+            F.round(F.col("n_new") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )

@@ -945,3 +945,43 @@ def test_type_entropy_stream_matches_batch(spark, sf_dir, tmp_path):
     q.stop()
     got = {tuple(r) for r in pipeline.read_type_entropy(spark, sink).collect()}
     assert got == batch
+
+
+def test_novelty_index_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed (shingle, first_doc) MIN-partials merge to the exact
+    batch first-occurrence index, and scoring the corpus against the
+    merged index reproduces batch ngram_novelty row-for-row."""
+    from mcp_memory_libsql_spark.textops.dedup import ngram_novelty
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    src = tmp_path / "nov_src"
+    src.mkdir()
+    pdf = docs.select("doc_id", "text").toPandas()
+    for i in range(3):
+        chunk = pdf.iloc[i * len(pdf) // 3 : (i + 1) * len(pdf) // 3]
+        with open(src / f"p{i}.json", "w") as f:
+            for _, row in chunk.iterrows():
+                f.write(
+                    json.dumps({"doc_id": int(row.doc_id), "text": row.text})
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sink = str(tmp_path / "nov_sink")
+    q = pipeline.novelty_index_stream(stream, sink, str(tmp_path / "nov_ckpt"))
+    _wait(q)
+    q.processAllAvailable()
+    q.stop()
+    idx = pipeline.read_novelty_index(spark, sink)
+    got = {
+        r.doc_id: (r.n_shingles, r.n_new, r.novelty)
+        for r in pipeline.novelty_against_index(docs, idx).collect()
+    }
+    want = {
+        r.doc_id: (r.n_shingles, r.n_new, r.novelty)
+        for r in ngram_novelty(docs, n=3).collect()
+    }
+    assert got == want

@@ -441,3 +441,26 @@ def test_fast_hash_path_preserves_dedup_semantics(spark, monkeypatch):
     assert (1, 2) in pairs
     monkeypatch.delenv("SPARK_GRAFT_FAST_HASH")
     assert minhash_rows() == base  # default path untouched
+
+
+def test_ngram_novelty_semantics(spark):
+    """First doc is fully novel; an exact copy later is fully
+    non-novel; a half-overlapping doc scores between; short docs
+    (< n tokens) emit no row."""
+    from mcp_memory_libsql_spark.textops import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "alpha beta gamma zeta eta theta iota"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dd.ngram_novelty(docs, n=3).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].novelty == 1.0 and rows[1].n_new == rows[1].n_shingles == 3
+    assert rows[2].novelty == 0.0 and rows[2].n_new == 0
+    # doc 3: shingles = 5; only "alpha beta gamma" was seen before
+    assert rows[3].n_shingles == 5 and rows[3].n_new == 4

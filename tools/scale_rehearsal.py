@@ -364,11 +364,13 @@ def main() -> None:
             w = _run(spark, "dedup_ngram_jaccard", pert)
             sweep.setdefault("dedup_ngram_jaccard_perturbed", {})[copies] = w
             print(f"dedup_ngram_jaccard_perturbed ({copies}x): {w}s", flush=True)
-            rows_by.setdefault("dedup_ngram_jaccard_perturbed", {})[copies] = (
-                QUERIES["dedup_ngram_jaccard"](spark, pert).count()
-            )
+            n = QUERIES["dedup_ngram_jaccard"](spark, pert).count()
+            rows_by.setdefault("dedup_ngram_jaccard_perturbed", {})[copies] = n
+            print(f"dedup_ngram_jaccard_perturbed rows ({copies}x): {n}", flush=True)
         for k in COUNT_ROWS & set(timings):
-            rows_by.setdefault(k, {})[copies] = QUERIES[k](spark, dst).count()
+            n = QUERIES[k](spark, dst).count()
+            rows_by.setdefault(k, {})[copies] = n
+            print(f"{k} rows ({copies}x): {n}", flush=True)
         if copies == anchor:
             full = {
                 "copies": copies,
@@ -384,7 +386,16 @@ def main() -> None:
             }
         shutil.rmtree(dst, ignore_errors=True)
         shutil.rmtree(pert, ignore_errors=True)
+        # checkpoint the artifact after EVERY point: a crash at the
+        # largest point (the 100x OOM that motivated this) must not
+        # lose the completed ones
+        _emit(full, points, sweep, rows_by, bites, ibuilds, partial=copies)
 
+    _emit(full, points, sweep, rows_by, bites, ibuilds)
+    spark.stop()
+
+
+def _emit(full, points, sweep, rows_by, bites, ibuilds, partial=None) -> None:
     out = dict(full)
     out["sweep_points"] = points
     out["growth"] = {
@@ -408,6 +419,8 @@ def main() -> None:
     }
     out["cap_bites_by_copies"] = {str(c): b for c, b in bites.items()}
     out["index_build_sec_by_copies"] = {str(c): v for c, v in ibuilds.items()}
+    if partial is not None:
+        out["partial_through_copies"] = partial
     out["note"] = (
         "perf-only corpus: key-shifted copies of the provided sf0.1 "
         "tables; all correctness gates run on /root/testdata. "
@@ -420,8 +433,8 @@ def main() -> None:
     )
     with open(os.path.join(REPO, "SCALE_REHEARSAL.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
-    spark.stop()
+    if partial is None:
+        print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
 
 
 if __name__ == "__main__":
