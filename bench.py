@@ -120,6 +120,7 @@ EXTENDED = [
     "dedup_semantic_clusters",
     "text_curriculum_order",
     "text_ngram_novelty",
+    "text_novelty_keep",
     "data_epoch_plan",
     "mm_video_stats",
     "mm_container_audit",

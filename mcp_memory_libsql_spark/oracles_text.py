@@ -1624,3 +1624,34 @@ SELECT doc_id, n_shingles, n_new,
        ROUND(n_new / n_shingles, 6) AS novelty
 FROM per
 """
+
+# text_novelty_keep: the novelty rollup above, thresholded at 0.5 on
+# the SAME round-6 value both engines compute, anti-joined back.
+ORACLES["text_novelty_keep"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE []::VARCHAR[] END)) AS shingle
+  FROM toks
+),
+tagged AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY shingle) AS first_doc
+  FROM sh0
+),
+drops AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS novelty
+    FROM tagged GROUP BY doc_id
+  ) WHERE novelty < 0.5
+)
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+"""

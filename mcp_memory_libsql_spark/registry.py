@@ -558,6 +558,28 @@ def q_text_ngram_novelty(spark, sf_dir):
     return dd.ngram_novelty(t["documents"], n=3)
 
 
+@query("text_novelty_keep")
+def q_text_novelty_keep(spark, sf_dir):
+    # novelty-filter keep list: drop documents whose first-occurrence
+    # shingle novelty is below 0.5 — more than half their distinct
+    # shingles were already in the corpus. The SET-level dedup cut
+    # that pairwise keep-lists miss (a doc stitched from many sources
+    # never crosses any single pair threshold); short docs with no
+    # shingles pass through un-judged, same convention as the dedup
+    # keep-lists. FULL oracle.
+    t = load_tables(spark, sf_dir)
+    drops = (
+        dd.ngram_novelty(t["documents"], n=3)
+        .where(F.col("novelty") < 0.5)
+        .select("doc_id")
+    )
+    return (
+        t["documents"]
+        .join(drops, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 @query("dedup_minhash_lsh")
 def q_dedup_minhash_lsh(spark, sf_dir):
     t = load_tables(spark, sf_dir)

@@ -464,3 +464,30 @@ def test_ngram_novelty_semantics(spark):
     assert rows[2].novelty == 0.0 and rows[2].n_new == 0
     # doc 3: shingles = 5; only "alpha beta gamma" was seen before
     assert rows[3].n_shingles == 5 and rows[3].n_new == 4
+
+
+def test_novelty_keep_drops_only_low_novelty(spark):
+    """Exact-copy docs drop (novelty 0), the original stays (novelty
+    1), no-shingle docs pass through un-judged."""
+    from mcp_memory_libsql_spark.textops import dedup as dd
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "a", 36),
+            (2, "alpha beta gamma delta epsilon zeta", "en", "a", 36),
+            (3, "one two three four five six seven", "en", "b", 33),
+            (4, "hi", "en", "c", 2),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    drops = (
+        dd.ngram_novelty(docs, n=3)
+        .where(F.col("novelty") < 0.5)
+        .select("doc_id")
+    )
+    kept = {
+        r.doc_id
+        for r in docs.join(drops, "doc_id", "left_anti").collect()
+    }
+    assert kept == {1, 3, 4}
