@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Each headline query runs $SPARK_GRAFT_BENCH_RUNS times (default 5)
-and reports the per-query MEDIAN plus the raw per-run samples (so the
-spread is auditable from the artifact) — env wall-time variance was
-±50% in r01, and round-over-round comparison needs stable numbers.
+Each headline query runs $SPARK_GRAFT_BENCH_RUNS times (default 9)
+and reports the per-query MEDIAN plus the raw per-run samples, the
+per-query IQR, and a MEASURED scheduler noise floor (so the spread is
+auditable from the artifact and deltas can be classified as plan
+signal vs env jitter) — env wall-time variance was ±50% in r01, and
+round-over-round comparison needs stable numbers.
 The shared disk indexes (KG snapshot, neighbor postings + scored
 pairs, LSH signatures, LPA labels, near-dup pairs) are force-built
 FIRST on the cold session and timed as their own `*_index_build`
@@ -215,9 +217,27 @@ def main() -> None:
     for key in HEADLINE:
         QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    # 9 runs (was 5): r05's min-to-max spread exceeded 10% of median
+    # for 8 of 12 sub-second queries — scheduler noise on a shared
+    # 32-core box dominates a 0.4s query. With 9 runs the artifact
+    # reports the IQR (robust to the stray slow run) and a MEASURED
+    # noise floor, so a reader can tell plan changes from env noise.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "9"))
+
+    # Noise floor: the same submit→schedule→noop-commit path with a
+    # trivial 32-partition job — pure harness+scheduler overhead, no
+    # query work. Its max-min over `runs` runs is the box's ambient
+    # jitter; per-query spreads at or under it carry no plan signal.
+    floor_samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        spark.range(0, 32, 1, 32).write.format("noop").mode("overwrite").save()
+        floor_samples.append(time.perf_counter() - t0)
+    noise_floor = round(max(floor_samples) - min(floor_samples), 3)
+
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
+    iqrs: dict[str, float] = {}
     for key in HEADLINE:
         # Drop the PREVIOUS query's persisted intermediates first
         # (dead weight → GC pressure), then one untimed run so THIS
@@ -236,6 +256,8 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[key] = round(statistics.median(samples), 3)
         all_samples[key] = [round(s, 3) for s in samples]
+        q = statistics.quantiles(samples, n=4)
+        iqrs[key] = round(q[2] - q[0], 3)
     spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
@@ -244,11 +266,22 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        # every raw run per query, so the <10% spread claim is
-        # checkable from this artifact alone (VERDICT r04 item 3);
-        # ~500 bytes for 12 queries x 5 runs, far under the driver's
-        # tail-capture limit that nulled r02's 63-entry line.
+        # every raw run per query, so the spread claim is checkable
+        # from this artifact alone (VERDICT r04 item 3); still far
+        # under the driver's tail-capture limit that nulled r02's
+        # 63-entry line.
         "samples": all_samples,
+        # IQR per query (quartile 3 − quartile 1 over the 9 runs) —
+        # the robust spread statistic; min-to-max spread on a shared
+        # box reads the one stray descheduled run, not the engine.
+        # Reading rule (VERDICT r05 missing-item 1): a per-query
+        # delta is PLAN SIGNAL only if it exceeds
+        # max(IQR, noise_floor_sec); noise_floor_sec is the measured
+        # max-min of a trivial 32-partition noop job on this box —
+        # pure scheduler jitter, ~the floor any sub-second query
+        # inherits.
+        "iqr": iqrs,
+        "noise_floor_sec": noise_floor,
         "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0":
@@ -273,7 +306,18 @@ def main() -> None:
         )
         with open(ext_path, "w") as f:
             json.dump(
-                {"sf": sf, "extended": ext, "samples": ext_samples},
+                {
+                    "sf": sf,
+                    "extended": ext,
+                    "samples": ext_samples,
+                    "note": (
+                        "regenerated by EVERY bench.py run — the "
+                        "driver re-runs bench post-HEAD each round, "
+                        "so working-tree drift vs the committed copy "
+                        "is expected, not an error (VERDICT r05 "
+                        "missing-item 3)"
+                    ),
+                },
                 f,
                 indent=1,
                 sort_keys=True,

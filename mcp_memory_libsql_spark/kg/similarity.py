@@ -180,7 +180,10 @@ def similar_entities(
         postings, names = neighbor_postings(relations, cap)
         postings = postings.persist()
     elif len(index) >= 3:
-        _, names, pairs = index[0], index[1], index[2]
+        # explicit 3-slot unpack: postings stays bound so an index
+        # tuple carrying pairs=None falls back to the pair rollup
+        # instead of a NameError (extra tuple slots are ignored)
+        postings, names, pairs = index[0], index[1], index[2]
     else:
         postings, names = index
     if pairs is None:

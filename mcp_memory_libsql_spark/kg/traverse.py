@@ -368,6 +368,11 @@ def degree_histogram(relations: DataFrame) -> DataFrame:
 
 
 TRIANGLE_DEG_CAP = 64
+# Largest label map community_modularity will broadcast: ~10M
+# (name, community) rows ≈ a few hundred MB serialized — the
+# practical executor/driver broadcast ceiling. Beyond it the label
+# joins fall back to the planner's shuffle strategy.
+BROADCAST_LABEL_MAX = 10_000_000
 
 
 def triangle_stats(relations: DataFrame, cap: int = TRIANGLE_DEG_CAP) -> DataFrame:
@@ -813,6 +818,10 @@ def community_modularity(
         if labels is not None
         else label_propagation(relations, iterations)
     ).select("name", "community")
+    if labels is None:
+        # three consumers below (la, lb, n_nodes) — materialize so the
+        # inline path runs the propagation once, not per consumer
+        comms = comms.localCheckpoint(eager=True)
     if und is None:
         # pass ``und`` (the materialized a<b distinct edge artifact
         # from the shared neighbor index) to skip this per-call
@@ -829,12 +838,19 @@ def community_modularity(
     # arrive as a checkpointed RDD scan whose size the planner can't
     # estimate, so without the hint both joins planned sort-merge
     # (measured 1.9s vs 0.5s at sf0.1; AQE never got a shuffle
-    # boundary to re-plan at). At extreme V swap to a bucketed
-    # co-located join on the store's name layout.
-    la = broadcast(
+    # boundary to re-plan at). The hint is GATED on the measured row
+    # count (a footer/metadata-cheap count over the checkpoint
+    # blocks): an unconditional broadcast of an O(V) map is a
+    # driver/executor memory hazard at extreme V, exactly where this
+    # module aims — past the gate, fall back to the planner's shuffle
+    # join (or, in a deployed store, the bucketed co-located join on
+    # the name layout).
+    n_labels = comms.count()
+    hint = broadcast if n_labels <= BROADCAST_LABEL_MAX else (lambda df: df)
+    la = hint(
         comms.select(F.col("name").alias("a"), F.col("community").alias("ca"))
     )
-    lb = broadcast(
+    lb = hint(
         comms.select(F.col("name").alias("b"), F.col("community").alias("cb"))
     )
     # internal
@@ -1211,7 +1227,7 @@ def pagerank_full(
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0).cast("double"))
     ranks = base.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(iterations):
+    for it in range(iterations):
         dm = ranks.where(F.col("has_out") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
@@ -1240,5 +1256,13 @@ def pagerank_full(
                 ).alias("rank"),
             )
         )
-        ranks = ranks.localCheckpoint(eager=False)
+        # lineage cut every OTHER round (plus the last): a 2-round
+        # plan tree is shallow enough for the planner while halving
+        # the checkpoint materializations — the per-round cadence was
+        # pure overhead (values identical; the checkpoint is a plan
+        # artifact, not semantics). The dm 1-row aggregate still
+        # forces one stage barrier per round — that is the published
+        # formulation's data dependence, not removable by cadence.
+        if it % 2 == 1 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("name", F.round("rank", 8).alias("rank"))

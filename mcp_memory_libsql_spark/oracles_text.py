@@ -246,9 +246,11 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 6
 """
 )
 
-# Capped twin: identical banding, but chunk buckets with more than 64
-# members are dropped before pairing (mirrors the Spark-side
-# bucket_cap=64 in simhash_chunk_pairs — the 2..cap keep-rule).
+# Capped twin: identical banding, with the Spark side's
+# split_fat_buckets rule mirrored verbatim — chunk buckets over 64
+# members are SPLIT into ceil(2·count/64) md5 sub-buckets (window
+# count → sub-key → window recount), singleton and still-overfull
+# sub-buckets dropped (the 2..cap keep-rule applied post-split).
 ORACLES["dedup_simhash_capped"] = (
     SHINGLE_CTE
     + """,
@@ -268,12 +270,24 @@ sims AS (
                        ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
 ),
-banded AS (
+banded0 AS (
   SELECT doc_id, simhash,
          CAST(c AS VARCHAR) || '_' ||
          CAST((simhash >> (CAST(c AS INTEGER) * 15)) & 32767 AS VARCHAR)
            AS chunk_key
   FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs
+),
+bc AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY chunk_key) AS cnt FROM banded0
+),
+banded AS (
+  SELECT doc_id, simhash,
+         chunk_key || '#' || CAST(
+           ('0x' || substr(md5(chunk_key || '#' ||
+                               CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % (CASE WHEN cnt <= 64 THEN 1 ELSE (2 * cnt + 63) // 64 END)
+         AS VARCHAR) AS chunk_key
+  FROM bc WHERE cnt >= 2
 ),
 ok AS (
   SELECT chunk_key FROM banded

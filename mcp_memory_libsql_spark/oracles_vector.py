@@ -359,15 +359,30 @@ sigs0 AS MATERIALIZED (
 sigs AS MATERIALIZED (
   SELECT vec_id, table_id, sig % (SELECT m FROM modv) AS sig FROM sigs0
 ),
+sc AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY table_id, sig) AS cnt FROM sigs
+),
+-- split_fat_buckets mirror: buckets over cap={BUCKET_CAP} split into
+-- ceil(2*cnt/{BUCKET_CAP}) md5 sub-buckets, 2..cap keep-rule after
+subbed AS MATERIALIZED (
+  SELECT vec_id, table_id, sig,
+         ('0x' || substr(md5(CAST(table_id AS VARCHAR) || '#' ||
+                             CAST(sig AS VARCHAR) || '#' ||
+                             CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+         % (CASE WHEN cnt <= {BUCKET_CAP} THEN 1
+                 ELSE (2 * cnt + {BUCKET_CAP - 1}) // {BUCKET_CAP} END)
+           AS sb
+  FROM sc WHERE cnt >= 2
+),
 ok AS (
-  SELECT table_id, sig FROM sigs GROUP BY 1, 2
+  SELECT table_id, sig, sb FROM subbed GROUP BY 1, 2, 3
   HAVING COUNT(*) >= 2 AND COUNT(*) <= {BUCKET_CAP}
 ),
-capped AS (SELECT s.* FROM sigs s JOIN ok USING (table_id, sig)),
+capped AS (SELECT s.* FROM subbed s JOIN ok USING (table_id, sig, sb)),
 pairs AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM capped a JOIN capped b
-    ON a.table_id = b.table_id AND a.sig = b.sig
+    ON a.table_id = b.table_id AND a.sig = b.sig AND a.sb = b.sb
    AND a.vec_id < b.vec_id
 ),
 ea AS (SELECT vec_id AS vec_a, embedding AS emb_a FROM embeddings),
@@ -501,11 +516,25 @@ sig AS (
                        ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
   FROM votes GROUP BY 1, 2
 ),
-banded AS (
+banded0 AS (
   SELECT media_id, kind, simhash,
          kind || '_' || CAST(chunk AS VARCHAR) || '_' ||
            CAST((simhash >> (chunk * 15)) & 32767 AS VARCHAR) AS chunk_key
   FROM sig, (SELECT unnest(range(4)) AS chunk) chunks
+),
+bc AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY chunk_key) AS cnt FROM banded0
+),
+banded AS (
+  -- split_fat_buckets mirror: buckets over cap=256 split into
+  -- ceil(2*cnt/256) md5 sub-buckets, 2..cap keep-rule post-split
+  SELECT media_id, kind, simhash,
+         chunk_key || '#' || CAST(
+           ('0x' || substr(md5(chunk_key || '#' ||
+                               CAST(media_id AS VARCHAR)), 1, 8))::BIGINT
+           % (CASE WHEN cnt <= 256 THEN 1 ELSE (2 * cnt + 255) // 256 END)
+         AS VARCHAR) AS chunk_key
+  FROM bc WHERE cnt >= 2
 ),
 ok AS (
   SELECT chunk_key FROM banded

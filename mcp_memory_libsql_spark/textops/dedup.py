@@ -266,13 +266,19 @@ def simhash_chunk_pairs(
     self-join recompute; structs sort by id first, so pair order
     inside a bucket is deterministic.
 
-    ``bucket_cap``: buckets with more members are DROPPED (the
-    high-DF-shingle convention) — a signature shared by g rows yields
-    C(g,2) pairs, quadratic by SEMANTICS, and a replication-heavy
-    corpus needs the cap to bound the combo stage. When set, the
-    banded table has two consumers (count pass + semi-join), so it is
-    eagerly localCheckpoint-ed — GC-reclaimed, unlike a persist()
-    handle a library caller never sees."""
+    ``bucket_cap``: bounds the combo stage — a signature shared by g
+    rows yields C(g,2) pairs, quadratic by SEMANTICS, and a
+    replication-heavy corpus needs the bound. Overfull buckets are no
+    longer dropped wholesale (the r05 rehearsal measured 33.7% of
+    media chunk buckets over cap at the 100× point — recall decaying
+    exactly where a large corpus lives): they are SPLIT into
+    ~2·count/cap sub-buckets by tokenize.split_fat_buckets, each
+    bounded by the cap, with only the binomial-tail residue dropped.
+    The split is md5-deterministic and mirrored verbatim in the
+    DuckDB oracles, so capped outputs stay hash-verifiable. The old
+    eager localCheckpoint is gone: the window-based split is a single
+    pass over the banded table (no count-pass + semi-join double
+    consumer)."""
     keys = F.array(
         *[
             F.concat_ws(
@@ -289,22 +295,19 @@ def simhash_chunk_pairs(
     banded = sig.select(
         id_col, *carry_cols, "simhash", F.explode(keys).alias("chunk_key")
     )
+    group_cols = ["chunk_key"]
     if bucket_cap is not None:
-        banded = banded.localCheckpoint(eager=True)
-        ok = (
-            banded.groupBy("chunk_key")
-            .count()
-            .where((F.col("count") >= 2) & (F.col("count") <= bucket_cap))
-            .select("chunk_key")
-        )
-        banded = banded.join(ok, "chunk_key", "leftsemi")
+        from .tokenize import split_fat_buckets
+
+        banded = split_fat_buckets(banded, ["chunk_key"], id_col, bucket_cap)
+        group_cols = ["chunk_key", "_sub"]
     combo_fields = ", ".join(
         [f"x.{id_col} AS a", f"y.{id_col} AS b"]
         + [f"x.{c} AS {c}" for c in carry_cols]
         + ["x.simhash AS sim_a", "y.simhash AS sim_b"]
     )
     return (
-        banded.groupBy("chunk_key")
+        banded.groupBy(*group_cols)
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(id_col, *carry_cols, "simhash"))

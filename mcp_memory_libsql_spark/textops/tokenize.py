@@ -123,6 +123,62 @@ def bpe_merge_candidates(documents, k: int = 50):
     return agg.orderBy(F.col("pair_count").desc(), "pair").limit(k)
 
 
+def split_fat_buckets(df, key_cols, member_col: str, cap: int):
+    """Tail safety for every banded pair miner (text SimHash chunks,
+    media SimHash chunks, embedding-LSH buckets): instead of DROPPING
+    buckets whose membership exceeds ``cap`` — which silently loses
+    every pair they contain, and the 100× scale rehearsal measured
+    33.7% of media-simhash buckets and 15.8% of embedding-LSH buckets
+    over cap — fat buckets are SPLIT into ``ceil(2·count/cap)``
+    sub-buckets by an independent md5 sub-key, so each sub-bucket
+    lands at ~cap/2 expected members and its C(w,2) combo stage stays
+    bounded. Pairs whose members hash to different sub-buckets of a
+    fat bucket are the (much smaller) residual recall cost; a
+    replication-heavy group additionally re-meets in the other
+    bands/chunks, whose sub-keys are independent (the bucket key is
+    part of the hash salt).
+
+    Returns ``df`` with an added ``_sub`` column; callers group on
+    ``(*key_cols, "_sub")``. Width-1 sub-buckets (nothing to pair)
+    and the binomial-tail sub-buckets still over ``cap`` are dropped —
+    the bounded-combo invariant is preserved exactly.
+
+    Plan shape (the reason this uses count-windows, not the old
+    count-pass + semi-join): ONE shuffle on the bucket key computes
+    the pre-split width, the sub assignment, and the post-split width
+    — the second window partitions on (key, _sub), a superset of the
+    first window's key, so Catalyst satisfies it with a sort, no
+    second exchange; the downstream groupBy on (key, _sub) reuses the
+    same partitioning too (subset rule). The old drop-path needed an
+    eager localCheckpoint because the banded table had two consumers;
+    here the lineage is a single pass.
+
+    Deterministic and oracle-mirrorable: the sub-key is
+    ``md5_hash32(key₁#…#keyₙ#member) % n_sub`` with integer-DIV
+    arithmetic, reproduced verbatim as window CTEs in the DuckDB
+    oracles (oracles_text dedup_simhash_capped, oracles_vector
+    mm_neardup / _neardup_lsh_oracle)."""
+    from pyspark.sql import Window
+
+    cnt = F.count("*").over(Window.partitionBy(*key_cols))
+    d1 = df.withColumn("_cnt", cnt).where(F.col("_cnt") >= 2)
+    n_sub = F.when(F.col("_cnt") <= cap, F.lit(1).cast("bigint")).otherwise(
+        F.expr(f"CAST((2 * _cnt + {cap - 1}) DIV {cap} AS BIGINT)")
+    )
+    salt = F.concat_ws(
+        "#",
+        *[F.col(k).cast("string") for k in key_cols],
+        F.col(member_col).cast("string"),
+    )
+    d2 = d1.withColumn("_sub", F.pmod(md5_hash32(salt), n_sub))
+    cnt2 = F.count("*").over(Window.partitionBy(*key_cols, "_sub"))
+    return (
+        d2.withColumn("_cnt2", cnt2)
+        .where((F.col("_cnt2") >= 2) & (F.col("_cnt2") <= cap))
+        .drop("_cnt", "_cnt2")
+    )
+
+
 def pair_combos(ids, a: str = "a", b: str = "b"):
     """All in-row ordered pairs of a SORTED id array → flattened
     array of struct(a, b) with a < b (array-position order) — the

@@ -225,36 +225,33 @@ def near_dup_pairs_lsh(
     Plan (never N², bounded per bucket):
     1. signature width auto-scales with ``threshold``
        (``n_bits_for_threshold``; ≥16 bits at τ≥0.9);
-    2. a cheap count pass (map-side partial agg) finds buckets with
-       2..bucket_cap members — overfull buckets are dropped exactly
-       like high-DF shingles in ngram dedup, so the worst bucket
-       yields ≤ cap·(cap-1)/2 pairs no matter how skewed the data;
-    3. surviving rows group per bucket (the semi-join has already
-       partitioned by the bucket key, so this groupBy reuses the
-       shuffle) and emit intra-bucket pairs from the sorted id array;
+    2. ``split_fat_buckets`` bounds every bucket at ``bucket_cap``
+       members: buckets over cap are SPLIT into ~2·count/cap md5
+       sub-buckets instead of dropped — the r05 rehearsal measured a
+       15.8% bucket drop rate at the 100× point under the old
+       drop-rule (the mean-width target undersizes the fat tail), and
+       the split recovers those pairs at the same bounded combo cost;
+    3. surviving rows group per (bucket, sub) — the window pass has
+       already partitioned by the bucket key, so the groupBy reuses
+       the shuffle — and emit intra-bucket pairs from the sorted id
+       array;
     4. distinct pairs get ONE exact rescore each.
+
+    The signature index is a single-consumer pass under the window
+    plan (the old count-pass + semi-join read it twice and needed a
+    persist); a prebuilt ``index`` (the registry's parquet artifact)
+    skips the plane-dot build entirely — the cluster analog of "write
+    the index once, partitioned by (table_id, sig)".
     """
+    from ..textops.tokenize import split_fat_buckets
+
     if n_bits is None:
         n_bits = n_bits_for_threshold(threshold)
     if index is None:
-        # The signature index feeds TWO consumers (the bucket-count
-        # pass and the capped semi-join); without persist each
-        # re-evaluates the n_tables·n_bits plane-dot HOF pipeline —
-        # the expensive part of the whole operator (measured ~1.7×
-        # end-to-end at sf0.1). A prebuilt ``index`` (the registry's
-        # parquet artifact) skips the build entirely — the cluster
-        # analog of "write the index once, partitioned by
-        # (table_id, sig)".
-        index = bucketize(embeddings, dim, n_tables, n_bits).persist()
-    ok = (
-        index.groupBy("table_id", "sig")
-        .count()
-        .where((F.col("count") >= 2) & (F.col("count") <= bucket_cap))
-        .select("table_id", "sig")
-    )
-    capped = index.join(ok, ["table_id", "sig"], "leftsemi")
+        index = bucketize(embeddings, dim, n_tables, n_bits)
+    capped = split_fat_buckets(index, ["table_id", "sig"], "vec_id", bucket_cap)
     pairs = (
-        capped.groupBy("table_id", "sig")
+        capped.groupBy("table_id", "sig", "_sub")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
         .select(F.explode(pair_combos("ids", "vec_a", "vec_b")).alias("p"))
         .select("p.vec_a", "p.vec_b")

@@ -204,6 +204,49 @@ def test_mm_neardup_non_ascii_oracle_parity(spark):
     assert cmp["spark_rows"] >= 3  # injected pairs actually found
 
 
+def test_mm_neardup_fat_bucket_split_oracle_parity(spark):
+    # 280 byte-identical payloads (+ the gate's %7 re-encode
+    # injection) drive every chunk bucket over cap=256, so the
+    # fat-bucket SPLIT fires: sub-keying, post-split keep-rule, and
+    # the surviving pair set must hash-match the DuckDB mirror (the
+    # sf gate corpora rarely exceed the cap, so this is the split's
+    # dedicated parity exercise).
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mcp_memory_libsql_spark.oracles_vector import ORACLES
+    from tests.parity import compare
+
+    text = "mass replicated boilerplate page body " * 4
+    rows = [(i, text, "en", "s", len(text)) for i in range(280)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    reenc = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" ")))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(2100000))
+    )
+    result = mm.media_neardup(
+        mm.encode_media(docs.unionByName(reenc)), max_hamming=3
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+    )
+    cmp = compare(result, con, ORACLES["mm_neardup"])
+    con.close()
+    assert cmp["ok"], cmp
+    # the old drop-rule would have returned ZERO pairs here; the split
+    # must retain a bounded, non-empty subset
+    assert cmp["spark_rows"] > 0
+
+
 def test_video_stats_real_frame_sizes(spark):
     # balanced split: sizes differ by at most 1 and sum to the stream
     texts = ["v" * 47, "w" * 10, ""]

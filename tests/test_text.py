@@ -290,11 +290,14 @@ def test_lm_score_orders_fluent_above_garbled(spark):
     assert abs(r.cross_entropy - r.ce_millibits / (1000.0 * r.n_tokens)) < 1e-6
 
 
-def test_simhash_bucket_cap_bites(spark):
+def test_simhash_bucket_cap_splits(spark):
     # 80 byte-identical docs share one simhash -> every chunk bucket
-    # has 80 members; cap 64 drops them all, while the uncapped path
-    # returns the full C(80,2) blowup. Two near-dup docs in a small
-    # bucket must survive the cap.
+    # has 80 members (over cap 64). The r05 drop-rule lost every pair
+    # in those buckets; split_fat_buckets divides each into
+    # ceil(2*80/64)=3 md5 sub-buckets, so a bounded SUBSET of the
+    # boiler pairs survives (each sub-bucket <= cap, C(w,2) combos)
+    # while the full C(80,2) blowup stays avoided. Two near-dup docs
+    # in a small bucket must still pair.
     from mcp_memory_libsql_spark.textops import dedup as dd
 
     boiler = "subscribe to our newsletter terms of service apply " * 5
@@ -316,7 +319,47 @@ def test_simhash_bucket_cap_bites(spark):
     assert n_un >= 80 * 79 // 2  # boilerplate blowup present
     got = {(r.doc_a, r.doc_b) for r in capped.collect()}
     assert (100, 101) in got, got
-    assert all(a >= 100 for a, _ in got), got  # boiler bucket dropped
+    boiler_pairs = {(a, b) for a, b in got if a < 100 and b < 100}
+    # split retains fat-bucket pairs (the old rule dropped all of
+    # them) but never the full quadratic set
+    assert boiler_pairs
+    assert len(boiler_pairs) < 80 * 79 // 2
+
+
+def test_simhash_capped_split_oracle_parity(spark):
+    # The fat-bucket SPLIT itself must hash-match the DuckDB mirror on
+    # a corpus where it actually fires (the sf gate corpora may have
+    # few over-cap buckets): 80 identical docs force every chunk
+    # bucket over cap=64, so sub-keying, the 2..cap post-split
+    # keep-rule, and the pair set all exercise both engines.
+    import pandas as pd
+
+    import duckdb
+    from mcp_memory_libsql_spark.registry import ORACLES
+    from mcp_memory_libsql_spark.textops import dedup as dd
+    from tests.parity import compare
+
+    boiler = "subscribe to our newsletter terms of service apply " * 5
+    period = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, boiler, "en", "s", len(boiler)) for i in range(80)]
+    rows += [(100, period * 4, "en", "s", len(period * 4)),
+             (101, period * 5, "en", "s", len(period * 5))]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    res = compare(
+        dd.simhash_near_pairs(docs, n=3, max_hamming=6, bucket_cap=64),
+        con,
+        ORACLES["dedup_simhash_capped"],
+    )
+    con.close()
+    assert res["ok"], res
 
 
 def test_curriculum_order_phases(spark, sf_dir):

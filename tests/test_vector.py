@@ -321,6 +321,44 @@ def test_lsh_prebuilt_index_identical_results(spark, sf_dir, emb, tmp_path):
     assert prof_inline == prof_idx
 
 
+def test_lsh_fat_bucket_split_oracle_parity(spark):
+    # 600 identical vectors land in ONE bucket per table — far over
+    # BUCKET_CAP=100 — so the fat-bucket split fires in every table:
+    # md5 sub-keying over (table_id, sig, vec_id), post-split 2..cap
+    # keep-rule, pair mining per sub-bucket. The DuckDB mirror must
+    # hash-match exactly (the sf corpora rarely exceed the cap, so
+    # this synthetic corpus is the split's dedicated parity exercise;
+    # the old drop-rule would have returned ZERO pairs here).
+    import pandas as pd
+
+    import duckdb
+    from mcp_memory_libsql_spark.registry import ORACLES
+    from tests.parity import compare
+
+    vec = [((i * 37) % 13 - 6) / 7.0 for i in range(64)]
+    rows = [(i, i % 5, vec) for i in range(600)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, label bigint, embedding array<double>"
+    )
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(rows, columns=["vec_id", "label", "embedding"]),
+    )
+    # same effective mining width the registry gate picks: threshold
+    # floor widened to the corpus-adaptive width (mirrors the oracle's
+    # GREATEST(floor, COUNT-driven CASE))
+    w = max(lsh.n_bits_for_threshold(0.4), lsh.width_for_corpus(len(rows)))
+    res = compare(
+        lsh.near_dup_pairs_lsh(emb, threshold=0.4, n_bits=w),
+        con,
+        ORACLES["dedup_embedding_lsh"],
+    )
+    con.close()
+    assert res["ok"], res
+    assert res["spark_rows"] > 0
+
+
 def test_kmeans_assign_invariants(spark, sf_dir):
     from mcp_memory_libsql_spark.vector.kmeans import kmeans_assign
     from mcp_memory_libsql_spark.io.tables import load_tables
@@ -390,7 +428,13 @@ def test_ivf_cells_lloyd_invariants(spark, sf_dir):
     assert {r.cell for r in refined.select("cell").distinct().collect()} <= labels
     inertia0 = seeded.agg({"dist_q": "sum"}).first()[0]
     inertia2 = refined.agg({"dist_q": "sum"}).first()[0]
-    assert inertia2 <= inertia0
+    # Lloyd's descent guarantee assumes EXACT means; the floored
+    # integer centroids can each be off by <1 per coordinate, which
+    # perturbs a squared distance by at most 2·|q−c|+1 ≤ 2·(2·2²⁰)+1
+    # per (vector, coordinate). Allow exactly that rounding slack so
+    # the assertion tests the descent property, not float luck.
+    slack = 64 * n * (2 * (2 * (1 << 20)) + 1)
+    assert inertia2 <= inertia0 + slack
     # cell_size is consistent with the assignment rows
     sizes = {r.cell: r.cell_size for r in refined.select("cell", "cell_size").distinct().collect()}
     from collections import Counter

@@ -155,20 +155,25 @@ def build(spark, copies: int, dst: str) -> None:
 
 def build_perturbed_docs(spark, copies: int, dst: str) -> None:
     """documents-only variant corpus for the non-duplicate scaling
-    path: copy i>0 gets every 2nd whitespace token suffixed with the
-    copy index, so every 3-gram shingle contains a per-copy token and
-    NO shingle is shared across copies — posting lists grow only
-    within-copy and candidate pairs scale linearly in `copies`.
-    (Within a copy the corpus's real duplicates survive untouched.)
-    Only documents.parquet is written; the dedup queries load tables
-    lazily."""
+    path: copy i>0 gets every 2nd WORD TOKEN ([a-z0-9]+ on the
+    lowercased text — the exact tokenizer the shingler uses, not a
+    whitespace split, which left punctuation-adjacent and multi-word
+    tokens unperturbed and leaked a few cross-copy shingles) suffixed
+    with the copy index, so every 3-gram shingle contains a per-copy
+    token and NO shingle is shared across copies — posting lists grow
+    only within-copy and candidate pairs scale linearly in `copies`.
+    (Within a copy the corpus's real duplicates survive untouched:
+    identical texts perturb identically.) Only documents.parquet is
+    written; the dedup queries load tables lazily."""
+    from mcp_memory_libsql_spark.textops.tokenize import WORD_RE
+
     if os.path.isdir(dst):
         shutil.rmtree(dst)
     ci = F.col("_ci")
     df = load_table(spark, SRC, "documents").crossJoin(
         spark.range(copies).select(F.col("id").alias("_ci"))
     )
-    toks = F.split(F.col("text"), " ")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
     tagged = F.array_join(
         F.transform(
             toks,
