@@ -118,6 +118,7 @@ EXTENDED = [
     "kg_metapaths",
     "vec_ivfpq_ann",
     "vec_ivf_cells",
+    "vec_pq_codes",
     "vec_kmeans",
     "dedup_semantic_clusters",
     "text_curriculum_order",

@@ -819,6 +819,89 @@ JOIN (
 
 ORACLES["vec_ivf_cells"] = _ivf_cells_oracle()
 
+
+def _pq_codes_oracle(
+    m: int = 8, k: int = 16, steps: int = 2, scale: int = 1 << 20, dim: int = 64
+) -> str:
+    """vec_pq_codes mirrored end-to-end (vector/pq.pq_codes_exact):
+    the per-subspace PQ codebook training + assignment as unrolled
+    CTEs — identical quantization to vec_ivf_cells, subspace id =
+    pos // width, label%k-seeded codewords, ``steps`` integer Lloyd
+    rounds with COALESCE for emptied codewords, final (dist, code)
+    argmin per (vector, subspace)."""
+    width = dim // m
+    parts = [
+        f"""
+WITH q0 AS MATERIALIZED (
+  SELECT vec_id, label,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(list_transform(range(1, len(embedding) + 1),
+                i -> CAST(FLOOR(embedding[i]::DOUBLE * {scale} + 0.5)
+                          AS BIGINT))) AS qv
+  FROM embeddings
+),
+q AS MATERIALIZED (
+  SELECT vec_id, label,
+         CAST(pos // {width} AS INTEGER) AS sub,
+         CAST(pos % {width} AS INTEGER) AS spos, qv
+  FROM q0
+),
+c0 AS (
+  SELECT sub, CAST(label % {k} AS INTEGER) AS code, spos,
+         CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM q GROUP BY 1, 2, 3
+)"""
+    ]
+    for t in range(steps):
+        parts.append(
+            f""",
+d{t} AS (
+  SELECT q.vec_id, q.sub, c.code,
+         SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
+  FROM q JOIN c{t} c ON q.sub = c.sub AND q.spos = c.spos
+  GROUP BY 1, 2, 3
+),
+a{t} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, code) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+),
+s{t} AS (
+  SELECT a.sub, a.code, q.spos,
+         CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM a{t} a JOIN q ON a.vec_id = q.vec_id AND a.sub = q.sub
+  GROUP BY 1, 2, 3
+),
+c{t + 1} AS (
+  SELECT old.sub, old.code, old.spos, COALESCE(s.c, old.c) AS c
+  FROM c{t} old LEFT JOIN s{t} s
+    ON old.sub = s.sub AND old.code = s.code AND old.spos = s.spos
+)"""
+        )
+    parts.append(
+        f""",
+df AS (
+  SELECT q.vec_id, q.sub, c.code,
+         SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
+  FROM q JOIN c{steps} c ON q.sub = c.sub AND q.spos = c.spos
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id, sub, code, CAST(dist AS BIGINT) AS dist_q FROM (
+  SELECT vec_id, sub, code, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                            ORDER BY dist, code) AS rn
+  FROM df
+) WHERE rn = 1
+"""
+    )
+    return "".join(parts)
+
+
+ORACLES["vec_pq_codes"] = _pq_codes_oracle()
+
 ORACLES["vec_knn_outliers"] = """
 WITH s AS (
   SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 300

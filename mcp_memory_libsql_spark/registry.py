@@ -1199,6 +1199,19 @@ def q_vec_pq_ann(spark, sf_dir):
     return pq.ann_pq(t["embeddings"], query_vec_id=0, k=10, dim=64)
 
 
+@query("vec_pq_codes")
+def q_vec_pq_codes(spark, sf_dir):
+    # the PQ ENCODER as a FULL-oracle surface (the vec_ivf_cells
+    # recipe applied to the per-subspace codebooks): integer-exact
+    # label-seeded Lloyd training + codeword assignment, hash-matched
+    # against an unrolled DuckDB CTE; only ADC serving (vec_pq_ann)
+    # stays rows-only
+    from .vector import pq
+
+    t = load_tables(spark, sf_dir)
+    return pq.pq_codes_exact(t["embeddings"], dim=64)
+
+
 @query("text_ngram_counts")
 def q_text_ngram_counts(spark, sf_dir):
     t = load_tables(spark, sf_dir)

@@ -117,6 +117,113 @@ def encode(embeddings: DataFrame, books: DataFrame, dim: int, m: int = M_SUB) ->
     )
 
 
+def _sub_int_means(assigned: DataFrame) -> DataFrame:
+    """(sub, code, c array<bigint>) — per-(subspace, codeword) integer
+    centroid: floor(Σq_i / n) per position (the ivf._int_means recipe
+    with a subspace key)."""
+    return (
+        assigned.select("sub", "code", F.posexplode("q").alias("pos", "v"))
+        .groupBy("sub", "code", "pos")
+        .agg(
+            F.expr(
+                "CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+            ).alias("cc")
+        )
+        .groupBy("sub", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cc"))).alias("pc"))
+        .select("sub", "code", F.expr("transform(pc, x -> x.cc)").alias("c"))
+    )
+
+
+def _sub_assign_exact(sv: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, sub, code, q, dist) — exact-integer nearest-codeword
+    assignment per subspace: broadcast m·k BIGINT codewords,
+    min(struct) argmin with (dist, code) tiebreak ≡ ROW_NUMBER()
+    ORDER BY dist, code."""
+    from .kmeans import DIST_EXPR
+
+    d = sv.join(broadcast(cents), "sub").select(
+        "vec_id", "sub", "q", "code", F.expr(DIST_EXPR).alias("dist")
+    )
+    return (
+        d.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist", "code", "q")).alias("s"))
+        .select(
+            "vec_id",
+            "sub",
+            F.col("s.code").alias("code"),
+            F.col("s.q").alias("q"),
+            F.col("s.dist").alias("dist"),
+        )
+    )
+
+
+def pq_codes_exact(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = M_SUB,
+    k: int = K_CODES,
+    steps: int = 2,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """The PQ ENCODER itself as an ORACLE-VERIFIED surface →
+    (vec_id, sub, code, dist_q): label-seeded per-subspace codebooks
+    + ``steps`` Lloyd rounds over scaled-BIGINT subvectors, then the
+    final per-(vector, subspace) codeword assignment. Same
+    cross-engine-determinism recipe as vec_ivf_cells
+    (vector/ivf.ivf_cells_exact): quantize once, every distance and
+    mean is exact integer math, floor-division means, COALESCE for
+    emptied codewords, (dist, code) argmin tiebreak — so the code
+    table that PQ serving scans (the 32×-compressed index CONTENT at
+    scale) hash-matches a DuckDB CTE unroll; only the ADC top-k
+    serving stays rows-only (vec_pq_ann).
+
+    Scale shape: the quantized subvector table materializes once
+    (localCheckpoint — seeds plus every round read it); each round is
+    one broadcast of m·k codewords + one map-side-combined rollup on
+    (sub, code, pos) — m·k·(dim/m) = k·dim cells regardless of N."""
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    width = dim // m
+    qe = F.expr(
+        f"transform(embedding, v -> "
+        f"CAST(FLOOR(CAST(v AS DOUBLE) * {scale} + 0.5) AS BIGINT))"
+    )
+    sv = (
+        embeddings.select("vec_id", "label", qe.alias("qe"))
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(
+                F.array(*[F.slice("qe", i * width + 1, width) for i in range(m)])
+            ).alias("sub", "q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cents = _sub_int_means(
+        sv.select("sub", (F.col("label") % k).cast("int").alias("code"), "q")
+    )
+    for _ in range(steps):
+        a = _sub_assign_exact(sv, cents)
+        newc = _sub_int_means(a.select("sub", "code", "q")).withColumnRenamed(
+            "c", "cn"
+        )
+        # an emptied codeword keeps its previous centroid (COALESCE in
+        # both engines) — same convention as vec_kmeans / vec_ivf_cells
+        cents = (
+            cents.join(newc, ["sub", "code"], "left")
+            .select("sub", "code", F.coalesce("cn", "c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    final = _sub_assign_exact(sv, cents)
+    return final.select(
+        "vec_id",
+        F.col("sub").cast("int").alias("sub"),
+        F.col("code").cast("int").alias("code"),
+        F.col("dist").alias("dist_q"),
+    )
+
+
 def ann_pq(
     embeddings: DataFrame,
     query_vec_id: int,

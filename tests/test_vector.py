@@ -441,3 +441,26 @@ def test_ivf_cells_lloyd_invariants(spark, sf_dir):
 
     counted = Counter(r.cell for r in refined.select("cell").collect())
     assert sizes == dict(counted)
+
+
+def test_pq_codes_exact_invariants(spark, sf_dir):
+    """PQ encoder invariants: exactly one codeword per (vector,
+    subspace), codes within the k-codeword id space, and Lloyd
+    refinement does not increase total quantization error beyond the
+    floored-centroid rounding slack (the ivf_cells argument applied
+    per subspace)."""
+    from mcp_memory_libsql_spark.vector import pq
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.count()
+    seeded = pq.pq_codes_exact(emb, steps=0)
+    refined = pq.pq_codes_exact(emb, steps=2)
+    rows = refined.collect()
+    assert len(rows) == n * pq.M_SUB
+    assert len({(r.vec_id, r.sub) for r in rows}) == n * pq.M_SUB
+    assert all(0 <= r.code < pq.K_CODES for r in rows)
+    assert all(0 <= r.sub < pq.M_SUB for r in rows)
+    inertia0 = seeded.agg({"dist_q": "sum"}).first()[0]
+    inertia2 = refined.agg({"dist_q": "sum"}).first()[0]
+    slack = 64 * n * (2 * (2 * (1 << 20)) + 1)
+    assert inertia2 <= inertia0 + slack

@@ -192,17 +192,29 @@ def build_perturbed_docs(spark, copies: int, dst: str) -> None:
 
 
 def cap_bites(spark, sf_dir: str) -> dict:
-    """Measured drop rates of every skew cap at this corpus size —
-    the recall cost the caps trade for the bounded pair explosion.
-    Each entry: total buckets/postings, how many exceeded the cap
-    (and were dropped), and the dropped fraction. The embedding-LSH
-    entry also flags `clamp_bound`: True when lsh.MAX_BITS (not the
-    TARGET_BUCKET rule) picked the width — the precursor of the
-    fixed-width recall collapse r04 fixed, visible BEFORE it bites."""
+    """Measured recall cost of every skew cap at this corpus size.
+
+    r06 change: the banded pair miners (media simhash chunks,
+    embedding-LSH buckets) now SPLIT fat buckets instead of dropping
+    them (textops.tokenize.split_fat_buckets — r05 measured 33.7% /
+    15.8% of buckets dropped at the 100× point under the old rule),
+    so each entry reports BOTH ends of the pipeline: `fat_rate` =
+    fraction of ≥2-member buckets over the cap BEFORE the split (the
+    r05-comparable number, now a split trigger, not a loss), and
+    `drop_rate` = fraction of post-split sub-buckets still over the
+    cap and therefore dropped (the binomial tail — the ACTUAL recall
+    loss, the ≤10% bar). `member_drop_rate` weights the same loss by
+    rows. neighbor_postings keeps the plain over-cap rate: the
+    postings cap is a high-DF semantic drop, not a banding bound.
+    The embedding-LSH entry also flags `clamp_bound`: True when
+    lsh.MAX_BITS (not the TARGET_BUCKET rule) picked the width — the
+    precursor of the fixed-width recall collapse r04 fixed, visible
+    BEFORE it bites."""
     from mcp_memory_libsql_spark.io.tables import load_tables
     from mcp_memory_libsql_spark.kg import similarity as sim
     from mcp_memory_libsql_spark.kg import views as kg_views
     from mcp_memory_libsql_spark.multimodal import media as mm
+    from mcp_memory_libsql_spark.textops.tokenize import md5_hash32
     from mcp_memory_libsql_spark.vector import lsh
 
     def rate(widths, cap):
@@ -213,6 +225,61 @@ def cap_bites(spark, sf_dir: str) -> dict:
         n, over = row["n"], row["over"] or 0
         return {"buckets": n, "cap": cap, "dropped": over,
                 "drop_rate": round(over / max(n, 1), 6)}
+
+    def split_rate(banded, key_cols, member_col, cap):
+        """Pre-split fat rate + post-split residual drop, replicating
+        split_fat_buckets' sub-key formula (kept in lockstep by the
+        synthetic-fat-bucket parity pytests)."""
+        from pyspark.sql import Window
+
+        d1 = banded.withColumn(
+            "_cnt", F.count("*").over(Window.partitionBy(*key_cols))
+        ).where(F.col("_cnt") >= 2)
+        n_sub = F.when(
+            F.col("_cnt") <= cap, F.lit(1).cast("bigint")
+        ).otherwise(F.expr(f"CAST((2 * _cnt + {cap - 1}) DIV {cap} AS BIGINT)"))
+        salt = F.concat_ws(
+            "#",
+            *[F.col(k).cast("string") for k in key_cols],
+            F.col(member_col).cast("string"),
+        )
+        d2 = d1.withColumn("_sub", F.pmod(md5_hash32(salt), n_sub))
+        pre = (
+            d2.groupBy(*key_cols)
+            .agg(F.max("_cnt").alias("cnt"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("cnt") > cap).cast("long")).alias("fat"),
+            )
+            .first()
+        )
+        post = (
+            d2.groupBy(*key_cols, "_sub")
+            .count()
+            .where(F.col("count") >= 2)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("count") > cap).cast("long")).alias("over"),
+                F.sum("count").alias("rows"),
+                F.sum(
+                    F.when(F.col("count") > cap, F.col("count")).otherwise(0)
+                ).alias("rows_over"),
+            )
+            .first()
+        )
+        n_pre, fat = pre["n"], pre["fat"] or 0
+        n_post, over = post["n"], post["over"] or 0
+        rows, rows_over = post["rows"] or 0, post["rows_over"] or 0
+        return {
+            "cap": cap,
+            "buckets": n_pre,
+            "fat": fat,
+            "fat_rate": round(fat / max(n_pre, 1), 6),
+            "sub_buckets": n_post,
+            "dropped": over,
+            "drop_rate": round(over / max(n_post, 1), 6),
+            "member_drop_rate": round(rows_over / max(rows, 1), 6),
+        }
 
     t = load_tables(spark, sf_dir)
     g = kg_views.kg(t)
@@ -232,28 +299,30 @@ def cap_bites(spark, sf_dir: str) -> dict:
             w == lsh.MAX_BITS
             and n_emb > lsh.TARGET_BUCKET * (1 << lsh.MAX_BITS)
         ),
-        **rate(
-            lsh.bucketize(t["embeddings"], dim=64, n_bits=w)
-            .groupBy("table_id", "sig")
-            .count(),
+        **split_rate(
+            lsh.bucketize(t["embeddings"], dim=64, n_bits=w),
+            ["table_id", "sig"],
+            "vec_id",
             lsh.BUCKET_CAP,
         ),
     }
     sig = mm.media_signatures(mm.encode_media(t["documents"]))
-    chunks = sig.select(
-        "kind",
+    banded = sig.select(
+        "media_id",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("ci"),
-                    F.expr(f"(simhash >> {15 * i}) % {1 << 15}").alias("cv"),
+                F.concat_ws(
+                    "_",
+                    F.col("kind"),
+                    F.lit(str(i)),
+                    F.expr(f"(simhash >> {15 * i}) % {1 << 15}"),
                 )
                 for i in range(4)
             ])
-        ).alias("c"),
+        ).alias("chunk_key"),
     )
-    out["mm_simhash_buckets"] = rate(
-        chunks.groupBy("kind", "c.ci", "c.cv").count(), 256
+    out["mm_simhash_buckets"] = split_rate(
+        banded, ["chunk_key"], "media_id", 256
     )
     return out
 
@@ -272,6 +341,23 @@ def _exponent(points: dict[int, float]) -> float | None:
     sxx = sum((x - mx) ** 2 for x, _ in pts)
     sxy = sum((x - mx) * (y - my) for x, y in pts)
     return round(sxy / sxx, 3) if sxx else None
+
+
+def _segment_slopes(points: dict[int, float]) -> dict[str, float]:
+    """Per-segment log-log slopes between consecutive sweep points —
+    VERDICT r05 item 4: a global fit can mask a super-linear tail
+    exactly at the largest (most scale-relevant) segment."""
+    import math
+
+    ks = sorted(c for c, t in points.items() if t > 0)
+    out = {}
+    for a, b in zip(ks, ks[1:]):
+        out[f"{a}x->{b}x"] = round(
+            (math.log(points[b]) - math.log(points[a]))
+            / (math.log(b) - math.log(a)),
+            3,
+        )
+    return out
 
 
 def _run(spark, key: str, dst: str) -> float:
@@ -363,6 +449,19 @@ def main() -> None:
         for k in point_sweep:
             if k in timings:
                 sweep.setdefault(k, {})[copies] = timings[k]
+        # VERDICT r05 item 5: winnowing is the heaviest LINEAR op and
+        # is md5-bound — measure the same point with the flag-gated
+        # xxhash64 fast path (SPARK_GRAFT_FAST_HASH=1, the 100 TB CPU
+        # bill lever; md5 parity pytests pin the flag-off default).
+        if "dedup_winnowing" in timings:
+            os.environ["SPARK_GRAFT_FAST_HASH"] = "1"
+            try:
+                _run(spark, "dedup_winnowing", dst)  # warm the plan
+                wfh = _run(spark, "dedup_winnowing", dst)
+            finally:
+                os.environ.pop("SPARK_GRAFT_FAST_HASH", None)
+            sweep.setdefault("dedup_winnowing_fasthash", {})[copies] = wfh
+            print(f"dedup_winnowing_fasthash ({copies}x): {wfh}s", flush=True)
         # the perturbed twin: same op, cross-copy shingle sharing
         # engineered away — the pure plan-growth path
         if "dedup_ngram_jaccard" in keys:
@@ -396,6 +495,28 @@ def main() -> None:
         # lose the completed ones
         _emit(full, points, sweep, rows_by, bites, ibuilds, partial=copies)
 
+    # VERDICT r05 item 4 (tail settle): one extra perturbed-docs-ONLY
+    # point at 3× the largest for dedup_ngram_jaccard — the
+    # non-duplicate scaling path's last segment rose to slope ~1.26 at
+    # 30→100× against a 0.977 global fit; a 300×-equivalent point
+    # (documents-only corpus, cheap to build) shows whether that
+    # segment keeps rising or was a one-point wobble.
+    if points and points[-1] >= 100:
+        big = points[-1] * 3
+        pert = os.path.join(REPO, "_rehearsal", f"x{big}_pert")
+        t0 = time.time()
+        build_perturbed_docs(spark, big, pert)
+        print(f"built {big}x perturbed docs in {round(time.time()-t0,1)}s",
+              flush=True)
+        _run(spark, "dedup_ngram_jaccard", pert)  # warm-up
+        w = _run(spark, "dedup_ngram_jaccard", pert)
+        sweep.setdefault("dedup_ngram_jaccard_perturbed", {})[big] = w
+        print(f"dedup_ngram_jaccard_perturbed ({big}x): {w}s", flush=True)
+        n = QUERIES["dedup_ngram_jaccard"](spark, pert).count()
+        rows_by.setdefault("dedup_ngram_jaccard_perturbed", {})[big] = n
+        print(f"dedup_ngram_jaccard_perturbed rows ({big}x): {n}", flush=True)
+        shutil.rmtree(pert, ignore_errors=True)
+
     _emit(full, points, sweep, rows_by, bites, ibuilds)
     spark.stop()
 
@@ -407,6 +528,7 @@ def _emit(full, points, sweep, rows_by, bites, ibuilds, partial=None) -> None:
         k: {
             "wall_sec_by_copies": {str(c): t for c, t in v.items()},
             "exponent": _exponent(v),
+            "segment_slopes": _segment_slopes(v),
             **(
                 {
                     "output_rows_by_copies": {
@@ -430,11 +552,18 @@ def _emit(full, points, sweep, rows_by, bites, ibuilds, partial=None) -> None:
         "perf-only corpus: key-shifted copies of the provided sf0.1 "
         "tables; all correctness gates run on /root/testdata. "
         "growth.exponent = log-log slope of wall vs corpus size "
-        "(1.0 linear; <1 sublinear). Every point warm-runs each key "
-        "once before timing. dedup_ngram_jaccard_perturbed = same op "
-        "on a corpus where copies share no shingles (the "
-        "non-duplicate scaling path); output_rows_by_copies separates "
-        "true-duplicate output growth from plan growth."
+        "(1.0 linear; <1 sublinear); segment_slopes = the same slope "
+        "per consecutive point pair (tail visibility). Every point "
+        "warm-runs each key once before timing. "
+        "dedup_ngram_jaccard_perturbed = same op on a corpus where "
+        "copies share no shingles (the non-duplicate scaling path, "
+        "word-token-exact perturbation, with one 3x-the-largest "
+        "extra point); output_rows_by_copies separates true-duplicate "
+        "output growth from plan growth. dedup_winnowing_fasthash = "
+        "the same point under SPARK_GRAFT_FAST_HASH=1 (xxhash64). "
+        "cap_bites: fat_rate = pre-split over-cap bucket fraction "
+        "(split trigger), drop_rate = post-split residual sub-bucket "
+        "drops (the actual recall loss, <=10% bar)."
     )
     with open(os.path.join(REPO, "SCALE_REHEARSAL.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
