@@ -141,6 +141,7 @@ EXTENDED = [
     "events_user_histogram",
     "kg_obs_staleness",
     "dedup_simhash_capped",
+    "dedup_minhash_lsh_capped",
     "kg_similar_entities",
     "kg_similar_content",
     "ann_lsh_cosine",

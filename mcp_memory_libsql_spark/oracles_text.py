@@ -88,6 +88,39 @@ FROM banded a JOIN banded b
 """
 )
 
+# Capped twin: identical banding, with split_fat_buckets mirrored —
+# band buckets over 64 members split into ceil(2·count/64) md5
+# sub-buckets (window count → sub-key → window recount), singleton
+# and still-overfull sub-buckets dropped (2..cap keep-rule applied
+# post-split).
+ORACLES["dedup_minhash_lsh_capped"] = (
+    MINHASH_CTE
+    + f""",
+banded0 AS (
+{_BAND_SELECTS}
+),
+bc AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY band_key) AS cnt FROM banded0
+),
+banded AS (
+  SELECT doc_id,
+         band_key || '#' || CAST(
+           ('0x' || substr(md5(band_key || '#' ||
+                               CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % (CASE WHEN cnt <= 64 THEN 1 ELSE (2 * cnt + 63) // 64 END)
+         AS VARCHAR) AS band_key
+  FROM bc WHERE cnt >= 2
+),
+ok AS (
+  SELECT band_key FROM banded GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 64
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE a.band_key IN (SELECT band_key FROM ok)
+"""
+)
+
 ORACLES["dedup_simhash"] = (
     SHINGLE_CTE
     + """,

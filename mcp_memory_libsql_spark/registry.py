@@ -586,6 +586,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dd.minhash_lsh_candidates(t["documents"], n=3)
 
 
+@query("dedup_minhash_lsh_capped")
+def q_dedup_minhash_lsh_capped(spark, sf_dir):
+    # scale-path twin of dedup_minhash_lsh: band buckets bounded at
+    # 64 members via the shared fat-bucket SPLIT (not a drop), so a
+    # replication-heavy corpus can't blow up the C(g,2) combo stage
+    # while true-duplicate pairs inside fat bands largely survive —
+    # the same tokenize.split_fat_buckets path the simhash and
+    # embedding-LSH miners use, mirrored in the oracle
+    t = load_tables(spark, sf_dir)
+    return dd.minhash_lsh_candidates(t["documents"], n=3, bucket_cap=64)
+
+
 @query("dedup_simhash")
 def q_dedup_simhash(spark, sf_dir):
     t = load_tables(spark, sf_dir)

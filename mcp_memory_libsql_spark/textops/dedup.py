@@ -175,7 +175,10 @@ def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_lsh_candidates(
-    documents: DataFrame, n: int = 3, sig: DataFrame | None = None
+    documents: DataFrame,
+    n: int = 3,
+    sig: DataFrame | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ≥1 of the signature
     bands → (doc_a, doc_b).
@@ -186,7 +189,16 @@ def minhash_lsh_candidates(
     once on the band key, and emits intra-bucket pairs from the
     sorted id array (bucket width = docs agreeing on a band, the same
     bound the self-join had). Pass a (persisted) ``sig`` to share one
-    signature table with other consumers."""
+    signature table with other consumers.
+
+    ``bucket_cap`` (the ``dedup_minhash_lsh_capped`` gate): a band
+    shared by g docs yields C(g,2) pairs — quadratic by SEMANTICS on
+    a replication-heavy corpus — so the scale twin bounds every band
+    bucket via tokenize.split_fat_buckets (overfull buckets split
+    into ~2·count/cap md5 sub-buckets, not dropped), the same tested
+    tail-safety path the simhash chunk and embedding-LSH miners use.
+    ``bucket_cap=None`` keeps the uncapped semantics the
+    ``dedup_minhash_lsh`` oracle mirrors."""
     if sig is None:
         sig = minhash_signatures(documents, n)
     # All band keys in ONE array projection + a single explode — a
@@ -204,8 +216,14 @@ def minhash_lsh_candidates(
         ]
     )
     banded = sig.select("doc_id", F.explode(keys).alias("band_key"))
+    group_cols = ["band_key"]
+    if bucket_cap is not None:
+        from .tokenize import split_fat_buckets
+
+        banded = split_fat_buckets(banded, ["band_key"], "doc_id", bucket_cap)
+        group_cols = ["band_key", "_sub"]
     return (
-        banded.groupBy("band_key")
+        banded.groupBy(*group_cols)
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
         .select(F.explode(pair_combos("ids", "doc_a", "doc_b")).alias("p"))

@@ -358,8 +358,18 @@ def test_simhash_capped_split_oracle_parity(spark):
         con,
         ORACLES["dedup_simhash_capped"],
     )
-    con.close()
     assert res["ok"], res
+    # the minhash-band capped twin goes through the same
+    # split_fat_buckets path (identical docs share every band, so all
+    # four band buckets are fat here too) — same corpus, same mirror
+    res2 = compare(
+        dd.minhash_lsh_candidates(docs, n=3, bucket_cap=64),
+        con,
+        ORACLES["dedup_minhash_lsh_capped"],
+    )
+    con.close()
+    assert res2["ok"], res2
+    assert res2["spark_rows"] > 0  # split retains pairs (drop rule: 0)
 
 
 def test_curriculum_order_phases(spark, sf_dir):
