@@ -119,6 +119,9 @@ EXTENDED = [
     "vec_ivfpq_ann",
     "vec_ivf_cells",
     "vec_pq_codes",
+    "vec_pq_distortion",
+    "data_shard_plan",
+    "events_user_hll",
     "vec_kmeans",
     "dedup_semantic_clusters",
     "text_curriculum_order",

@@ -1424,3 +1424,42 @@ def user_type_entropy(events: DataFrame) -> DataFrame:
             F.col("h_millibits") / (F.lit(1000.0) * F.col("n_events")), 6
         ).alias("entropy_bits"),
     )
+
+
+def user_hll_registers(t, p: int = 8) -> DataFrame:
+    """Deterministic per-day HyperLogLog register table →
+    (day, bucket, max_rho): the distinct-users sketch CONTENT as an
+    oracle-exact surface. Spark's approx_count_distinct
+    (events_approx_users) is engine-internal and rows-only by
+    necessity; this twin builds the registers from the portable
+    md5-60 hash (bucket = h mod 2^p, rho = leading-zero rank of the
+    remaining 60-p bits via the binary-string length — pure integer
+    math both engines), so the sketch that a 100 TB pipeline would
+    persist and MERGE (max per bucket, the same OR/max-merge family
+    as the Bloom and CMS twins) hash-matches DuckDB row-for-row.
+    Estimation from the registers is client-side arithmetic; accuracy
+    and mergeability are pinned in tests/test_analytics.py.
+
+    Scale shape: one narrow projection then one map-side-combined
+    max-rollup on (day, bucket) — ≤ days·2^p output rows; the
+    register table for a year at p=8 is ~93k rows regardless of
+    event volume."""
+    from ..textops.tokenize import md5_hash60
+
+    m = 1 << p
+    ev = t["events"]
+    d = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        md5_hash60(F.col("user_id").cast("string")).alias("_h"),
+    ).select(
+        "day",
+        F.expr(f"CAST(_h % {m} AS INT)").alias("bucket"),
+        F.expr(f"_h div {m}").alias("_w"),
+    )
+    rho = F.when(
+        F.col("_w") > 0,
+        F.lit(61 - p) - F.length(F.bin(F.col("_w"))),
+    ).otherwise(F.lit(61 - p))
+    return d.groupBy("day", "bucket").agg(
+        F.max(rho).cast("int").alias("max_rho")
+    )

@@ -150,6 +150,25 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
 FROM events GROUP BY 1, 2
 """
 
+# events_user_hll: the register build is pure integer math on the
+# portable md5-60 hash — bucket = h mod 256, rho = 53 - bitlen of the
+# remaining 52 bits (53 when they are all zero) — so the persisted
+# sketch hash-matches across engines; estimation is client-side
+ORACLES["events_user_hll"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(h % 256 AS INTEGER) AS bucket,
+       CAST(MAX(CASE WHEN h // 256 > 0
+                     THEN 53 - length(bin(h // 256))
+                     ELSE 53 END) AS INTEGER) AS max_rho
+FROM (
+  SELECT ts,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
 ORACLES["events_funnel"] = """
 WITH ev AS (
   SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch

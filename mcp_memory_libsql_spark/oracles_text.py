@@ -375,6 +375,26 @@ FROM (
 )
 """
 
+# data_shard_plan: the oracle IS the one-window global prefix sum the
+# Spark side deliberately avoids (DuckDB runs single-node, so a global
+# ORDER BY window is fine here) — if the block/offset two-pass drifts
+# from a true global cumsum by even one token, the hash breaks
+ORACLES["data_shard_plan"] = """
+SELECT doc_id, n_tokens,
+       (cum - n_tokens) // 2000 AS shard_id,
+       (cum - n_tokens) - ((cum - n_tokens) // 2000) * 2000
+         AS offset_tokens
+FROM (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS BIGINT) AS n_tokens,
+         SUM(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT))
+           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+"""
+
 ORACLES["text_length_histogram"] = """
 SELECT CAST(n_chars // 50 AS BIGINT) * 50 AS bucket,
        COUNT(*) AS n_docs,

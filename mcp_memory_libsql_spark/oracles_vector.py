@@ -902,6 +902,17 @@ SELECT vec_id, sub, code, CAST(dist AS BIGINT) AS dist_q FROM (
 
 ORACLES["vec_pq_codes"] = _pq_codes_oracle()
 
+# vec_pq_distortion: the m·k-cell error profile is a plain GROUP BY
+# over the SAME encoder CTE — any drift in training or assignment
+# shows up as a sum/max mismatch here too
+ORACLES["vec_pq_distortion"] = f"""
+SELECT sub, code, COUNT(*) AS n_vecs,
+       CAST(SUM(dist_q) AS BIGINT) AS sum_err_q,
+       CAST(MAX(dist_q) AS BIGINT) AS max_err_q
+FROM ({_pq_codes_oracle()}) codes
+GROUP BY sub, code
+"""
+
 ORACLES["vec_knn_outliers"] = """
 WITH s AS (
   SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 300

@@ -936,6 +936,15 @@ def q_text_pack_bins(spark, sf_dir):
     return tq.pack_bins(t["documents"], target_chars=2000)
 
 
+@query("data_shard_plan")
+def q_data_shard_plan(spark, sf_dir):
+    # corpus-wide greedy shard assignment by token budget (textops/
+    # quality.shard_plan): the deterministic two-pass block prefix
+    # sum — no global-order window touches the full corpus
+    t = load_tables(spark, sf_dir)
+    return tq.shard_plan(t["documents"], target_tokens=2000)
+
+
 @query("text_length_histogram")
 def q_text_length_histogram(spark, sf_dir):
     t = load_tables(spark, sf_dir)
@@ -1171,6 +1180,17 @@ def q_mm_frame_sample(spark, sf_dir):
     return mm.sample_frames(mm.encode_media(t["documents"]), stride=2)
 
 
+@query("events_user_hll")
+def q_events_user_hll(spark, sf_dir):
+    # the HLL sketch CONTENT as a FULL-oracle surface (analytics/
+    # events.user_hll_registers): portable md5-60 registers, max-
+    # mergeable — completes the exact-sketch trio with the Bloom and
+    # CMS twins; only the engine-internal approx_count_distinct
+    # estimate (events_approx_users) stays rows-only
+    t = load_tables(spark, sf_dir)
+    return ev_ops.user_hll_registers(t)
+
+
 @query("events_approx_users")
 def q_events_approx_users(spark, sf_dir):
     # rows-only: HLL estimates are engine-specific by nature; the
@@ -1222,6 +1242,18 @@ def q_vec_pq_codes(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return pq.pq_codes_exact(t["embeddings"], dim=64)
+
+
+@query("vec_pq_distortion")
+def q_vec_pq_distortion(spark, sf_dir):
+    # the encoder's quantization-error profile (vector/pq.
+    # pq_distortion): per-(subspace, codeword) n/sum/max of the exact
+    # integer squared errors — FULL oracle via a GROUP BY over the
+    # same unrolled CTE that backs vec_pq_codes
+    from .vector import pq
+
+    t = load_tables(spark, sf_dir)
+    return pq.pq_distortion(t["embeddings"], dim=64)
 
 
 @query("text_ngram_counts")

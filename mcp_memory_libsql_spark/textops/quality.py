@@ -208,6 +208,63 @@ def pack_bins(documents: DataFrame, target_chars: int = 2000) -> DataFrame:
     )
 
 
+def shard_plan(
+    documents: DataFrame, target_tokens: int = 2000, block: int = 65536
+) -> DataFrame:
+    """GLOBAL training-shard assignment by cumulative token budget →
+    (doc_id, n_tokens, shard_id, offset_tokens): docs in doc_id order
+    pack greedily into ``target_tokens`` shards; ``offset_tokens`` is
+    the doc's start offset inside its shard — the writer-side layout
+    plan that turns a curated corpus into balanced training shards
+    (pack_bins packs per-lang; this is the corpus-wide plan whose
+    prefix sum cannot be one window).
+
+    Scale shape — the two-pass distributed prefix sum pack_bins's
+    docstring points at, with a DETERMINISTIC twist: blocks are fixed
+    doc_id ranges (``doc_id div block``), NOT sampled range
+    partitions (repartitionByRange boundaries are sample-dependent →
+    not oracle-reproducible). Pass 1 windows WITHIN each block
+    (parallel across blocks); pass 2 windows over per-block totals —
+    N/block rows (150k at 10^10 docs), trivially one partition — and
+    broadcast-joins the block offsets back. No global-order window
+    ever sees the full corpus."""
+    toks = F.size(words(F.col("text"))).cast("bigint")
+    d = documents.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.expr(f"doc_id div {block}").alias("_blk"),
+    )
+    in_blk = Window.partitionBy("_blk").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = d
+    d = d.withColumn("_cum_in", F.sum("n_tokens").over(in_blk))
+    # totals from the BASE projection (not max of the cumsum): the
+    # totals branch then carries no window node at all after pruning
+    totals = base.groupBy("_blk").agg(F.sum("n_tokens").alias("_tot"))
+    over_blk = Window.orderBy("_blk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "_blk", (F.sum("_tot").over(over_blk) - F.col("_tot")).alias("_off")
+    )
+    start = (F.col("_off") + F.col("_cum_in") - F.col("n_tokens")).cast(
+        "bigint"
+    )
+    # integer div keeps shard ids exact cross-engine (pack_bins rule)
+    return (
+        d.join(broadcast(offsets), "_blk")
+        .withColumn("_start", start)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"_start div {target_tokens}").alias("shard_id"),
+            F.expr(f"_start - (_start div {target_tokens}) * {target_tokens}")
+            .alias("offset_tokens"),
+        )
+    )
+
+
 def length_histogram(documents: DataFrame, bucket_chars: int = 50) -> DataFrame:
     """Doc-length distribution in ``bucket_chars`` buckets →
     (bucket, n_docs, min_chars, max_chars) — the before/after-filter

@@ -224,6 +224,33 @@ def pq_codes_exact(
     )
 
 
+def pq_distortion(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = M_SUB,
+    k: int = K_CODES,
+    steps: int = 2,
+) -> DataFrame:
+    """Per-(subspace, codeword) quantization-error profile of the
+    oracle-verified PQ encoder → (sub, code, n_vecs, sum_err_q,
+    max_err_q): the FAISS-style distortion diagnostic that decides
+    whether a codebook is good enough to serve — hot cells (large
+    n_vecs) and high-error cells (large sum/max) are where ADC recall
+    dies, and a missing (sub, code) row is a dead codeword. All
+    values are the encoder's exact scaled-integer squared errors, so
+    the profile hash-matches the same GROUP BY over the DuckDB CTE.
+
+    Scale shape: one map-side-combined rollup on (sub, code) — m·k
+    output cells regardless of N — on top of the encoder's own
+    k·dim-bounded rounds."""
+    codes = pq_codes_exact(embeddings, dim=dim, m=m, k=k, steps=steps)
+    return codes.groupBy("sub", "code").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("dist_q").cast("bigint").alias("sum_err_q"),
+        F.max("dist_q").cast("bigint").alias("max_err_q"),
+    )
+
+
 def ann_pq(
     embeddings: DataFrame,
     query_vec_id: int,

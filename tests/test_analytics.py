@@ -337,3 +337,52 @@ def test_type_entropy_bounds(spark, sf_dir):
     )
     one = user_type_entropy(df).collect()[0]
     assert one.entropy_bits == 0.0 and one.n_types == 1
+
+
+def test_user_hll_registers_estimate_and_merge(spark, sf_dir):
+    """The oracle-exact HLL register table must (a) merge across days
+    by per-bucket max into exactly the registers of the combined
+    corpus, and (b) yield a distinct-user estimate within the
+    standard ~1.04/sqrt(m) HLL band (3 sigma at m=256 ≈ 20%) of the
+    exact count, using the plain Flajolet harmonic estimator with
+    small-range correction."""
+    import math
+
+    from mcp_memory_libsql_spark.analytics import events as ev_ops
+    from mcp_memory_libsql_spark.textops.tokenize import md5_hash60
+
+    t = load_tables(spark, sf_dir)
+    regs = ev_ops.user_hll_registers(t).collect()
+
+    # (a) mergeability: max over days per bucket == registers built
+    # from the day-blind distinct-user hash set
+    merged: dict[int, int] = {}
+    for r in regs:
+        merged[r.bucket] = max(merged.get(r.bucket, 0), r.max_rho)
+    direct = {
+        (r.bucket, r.max_rho)
+        for r in t["events"]
+        .select(md5_hash60(F.col("user_id").cast("string")).alias("h"))
+        .select(
+            F.expr("CAST(h % 256 AS INT)").alias("bucket"),
+            F.expr(
+                "CAST(CASE WHEN h div 256 > 0 "
+                "THEN 53 - length(bin(h div 256)) ELSE 53 END AS INT)"
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+        .collect()
+    }
+    assert set(merged.items()) == direct
+
+    # (b) estimate accuracy on the merged sketch
+    m = 256
+    denom = sum(2.0 ** -rho for rho in merged.values()) + (m - len(merged))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / denom
+    zeros = m - len(merged)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    exact = t["events"].select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 3 * 1.04 / math.sqrt(m)

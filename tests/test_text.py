@@ -544,3 +544,49 @@ def test_novelty_keep_drops_only_low_novelty(spark):
         for r in docs.join(drops, "doc_id", "left_anti").collect()
     }
     assert kept == {1, 3, 4}
+
+
+def test_shard_plan_two_pass_equals_global_cumsum(spark):
+    """The deterministic block two-pass prefix sum (textops/quality.
+    shard_plan) must equal a naive single-window global cumsum — run
+    with block=4 on 13 docs so the plan crosses multiple blocks,
+    including an empty block (doc_ids skip 4..7)."""
+    from pyspark.sql.window import Window
+
+    from mcp_memory_libsql_spark.textops import quality as tq
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range((i * 7) % 11 + 1)))
+        for i in list(range(4)) + list(range(8, 17))
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.n_tokens, r.shard_id, r.offset_tokens)
+        for r in tq.shard_plan(docs, target_tokens=9, block=4).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).cast("bigint").alias("n_tokens"),
+    ).withColumn("_cum", F.sum("n_tokens").over(w))
+    want = {
+        (
+            r.doc_id,
+            r.n_tokens,
+            (r._cum - r.n_tokens) // 9,
+            (r._cum - r.n_tokens) % 9,
+        )
+        for r in naive.collect()
+    }
+    assert got == want
+    # greedy-packing invariants: offsets live inside the shard and
+    # shard ids never decrease along doc order
+    assert all(0 <= off < 9 for (_, _, _, off) in got)
+    order = sorted(got)
+    assert all(
+        a[2] <= b[2] for a, b in zip(order, order[1:])
+    )

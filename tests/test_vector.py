@@ -464,3 +464,36 @@ def test_pq_codes_exact_invariants(spark, sf_dir):
     inertia2 = refined.agg({"dist_q": "sum"}).first()[0]
     slack = 64 * n * (2 * (2 * (1 << 20)) + 1)
     assert inertia2 <= inertia0 + slack
+
+def test_pq_distortion_profile_consistent(spark, sf_dir):
+    """The distortion profile is an exact rollup of the encoder's
+    code table: cell counts sum to n·m, every cell's max ≤ sum, and
+    recomputing the rollup from pq_codes_exact reproduces it
+    row-for-row (parity vs DuckDB is covered by the oracle harness)."""
+    from pyspark.sql import functions as F
+
+    from mcp_memory_libsql_spark.vector import pq
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.count()
+    prof = pq.pq_distortion(emb).collect()
+    assert sum(r.n_vecs for r in prof) == n * pq.M_SUB
+    assert all(r.max_err_q <= r.sum_err_q for r in prof)
+    assert all(0 <= r.sub < pq.M_SUB and 0 <= r.code < pq.K_CODES
+               for r in prof)
+    want = {
+        (r.sub, r.code): (r.n_vecs, r.sum_err_q, r.max_err_q)
+        for r in pq.pq_codes_exact(emb)
+        .groupBy("sub", "code")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("dist_q").alias("sum_err_q"),
+            F.max("dist_q").alias("max_err_q"),
+        )
+        .collect()
+    }
+    got = {
+        (r.sub, r.code): (r.n_vecs, r.sum_err_q, r.max_err_q)
+        for r in prof
+    }
+    assert got == want
