@@ -96,6 +96,7 @@ EXTENDED = [
     "kg_modularity",
     "vec_hard_negatives",
     "text_diversity",
+    "text_shingle_hll",
     "text_diversity_approx",
     "events_sample_est",
     "kg_obs_duplicates",

@@ -1329,6 +1329,34 @@ SELECT lang,
 FROM sh GROUP BY lang
 """
 
+# text_shingle_hll: same register math as events_user_hll, fed by the
+# text_diversity shingle CTE (per-doc-distinct explode — duplicates
+# can't change a max, so the registers equal the corpus-distinct ones)
+ORACLES["text_shingle_hll"] = """
+WITH toks AS (
+  SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT lang, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE []::VARCHAR[] END)) AS shingle
+  FROM toks
+),
+h AS (
+  SELECT lang,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hv
+  FROM sh
+)
+SELECT lang, CAST(hv % 256 AS INTEGER) AS bucket,
+       CAST(MAX(CASE WHEN hv // 256 > 0
+                     THEN 53 - length(bin(hv // 256))
+                     ELSE 53 END) AS INTEGER) AS max_rho
+FROM h GROUP BY 1, 2
+"""
+
 ORACLES["text_dsir_scores"] = """
 WITH toks AS (
   SELECT doc_id, lang,

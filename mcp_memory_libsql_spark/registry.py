@@ -1948,6 +1948,18 @@ def q_text_diversity_approx(spark, sf_dir):
     return tq.shingle_diversity_approx(t["documents"], n=3)
 
 
+@query("text_shingle_hll")
+def q_text_shingle_hll(spark, sf_dir):
+    # the distinct-shingle HLL sketch CONTENT as a FULL-oracle
+    # surface (textops/quality.shingle_hll_registers, the
+    # events_user_hll recipe over the shingle stream): portable
+    # md5-60 registers, max-mergeable across corpus slices; only
+    # the engine-internal HLL++ estimate (text_diversity_approx)
+    # stays rows-only
+    t = load_tables(spark, sf_dir)
+    return tq.shingle_hll_registers(t["documents"], n=3)
+
+
 @query("kg_modularity")
 def q_kg_modularity(spark, sf_dir):
     # partition-quality profile of kg_communities — full oracle;

@@ -597,6 +597,45 @@ def shingle_diversity(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def shingle_hll_registers(
+    documents: DataFrame, n: int = 3, p: int = 8
+) -> DataFrame:
+    """Per-language distinct-shingle HLL register table → (lang,
+    bucket, max_rho): the PORTABLE register twin of
+    ``shingle_diversity_approx``. approx_count_distinct's HLL++
+    sketch is engine-internal (rows-only by necessity); these
+    registers come from the md5-60 shingle hash (the
+    events_user_hll recipe: bucket = h mod 2^p, rho = leading-zero
+    rank of the remaining bits via the binary-string length), so the
+    sketch a 100 TB curation job would persist per corpus slice and
+    max-merge across slices hash-matches DuckDB row-for-row — only
+    the final float estimate stays client-side.
+
+    Scale shape: the shingle explode (shared with every dedup op) then
+    one map-side-combined max-rollup on (lang, bucket) — ≤ langs·2^p
+    rows out regardless of corpus size."""
+    from .tokenize import md5_hash60, word_shingles
+
+    m = 1 << p
+    toks = documents.select("lang", words(F.col("text")).alias("w"))
+    sh = toks.select(
+        "lang", F.explode(word_shingles(F.col("w"), n)).alias("shingle")
+    )
+    d = sh.select(
+        "lang", md5_hash60(F.col("shingle")).alias("_h")
+    ).select(
+        "lang",
+        F.expr(f"CAST(_h % {m} AS INT)").alias("bucket"),
+        F.expr(f"_h div {m}").alias("_w"),
+    )
+    rho = F.when(
+        F.col("_w") > 0, F.lit(61 - p) - F.length(F.bin(F.col("_w")))
+    ).otherwise(F.lit(61 - p))
+    return d.groupBy("lang", "bucket").agg(
+        F.max(rho).cast("int").alias("max_rho")
+    )
+
+
 def shingle_diversity_approx(
     documents: DataFrame, n: int = 3, rsd: float = 0.02
 ) -> DataFrame:

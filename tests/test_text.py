@@ -590,3 +590,36 @@ def test_shard_plan_two_pass_equals_global_cumsum(spark):
     assert all(
         a[2] <= b[2] for a, b in zip(order, order[1:])
     )
+
+
+def test_shingle_hll_registers_estimate(spark, sf_dir):
+    """The shingle HLL registers must estimate the exact per-lang
+    distinct-shingle count within the ~3-sigma HLL band at m=256,
+    for every language with enough shingles for the estimator to
+    apply (small langs fall in the linear-counting regime, also
+    checked)."""
+    import math
+
+    from mcp_memory_libsql_spark.io.tables import load_tables as lt
+    from mcp_memory_libsql_spark.textops import quality as tq2
+
+    t = lt(spark, sf_dir)
+    regs: dict[str, dict[int, int]] = {}
+    for r in tq2.shingle_hll_registers(t["documents"], n=3).collect():
+        regs.setdefault(r.lang, {})[r.bucket] = r.max_rho
+    exact = {
+        r.lang: r.n_distinct_shingles
+        for r in tq2.shingle_diversity(t["documents"], n=3).collect()
+    }
+    assert set(regs) == set(exact)
+    m = 256
+    alpha = 0.7213 / (1 + 1.079 / m)
+    for lang, by_bucket in regs.items():
+        denom = sum(2.0 ** -rho for rho in by_bucket.values()) + (
+            m - len(by_bucket)
+        )
+        est = alpha * m * m / denom
+        zeros = m - len(by_bucket)
+        if est <= 2.5 * m and zeros > 0:
+            est = m * math.log(m / zeros)
+        assert abs(est - exact[lang]) / exact[lang] < 3 * 1.04 / math.sqrt(m)
