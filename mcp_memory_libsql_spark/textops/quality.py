@@ -229,11 +229,14 @@ def shard_plan(
     broadcast-joins the block offsets back. No global-order window
     ever sees the full corpus."""
     toks = F.size(words(F.col("text"))).cast("bigint")
+    # two consumers (per-block window + block totals) read this tiny
+    # (doc_id, n_tokens, _blk) projection — persist so the expensive
+    # text tokenization scans the corpus ONCE, not once per branch
     d = documents.select(
         "doc_id",
         toks.alias("n_tokens"),
         F.expr(f"doc_id div {block}").alias("_blk"),
-    )
+    ).persist()
     in_blk = Window.partitionBy("_blk").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
