@@ -325,7 +325,7 @@ def entity_name_neardup(
     (entity_a, entity_b, inter_size, size_a, size_b, jaccard).
 
     The reference's memory store accumulates near-duplicate entities
-    over time ("Claude AI" vs "claude_ai" vs "Claude-AI") because
+    over time ("Acme Corp" vs "acme_corp" vs "Acme-Corp") because
     create_entities upserts by exact name (client.ts:140-176); this
     op is the remediation scan that finds merge candidates. Names are
     normalized exactly like the reference's fuzzy search treats query
