@@ -122,6 +122,7 @@ EXTENDED = [
     "vec_pq_codes",
     "vec_pq_distortion",
     "data_shard_plan",
+    "data_shard_plan_incremental",
     "events_user_hll",
     "vec_kmeans",
     "dedup_semantic_clusters",

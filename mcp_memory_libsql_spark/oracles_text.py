@@ -395,6 +395,28 @@ FROM (
 )
 """
 
+# data_shard_plan_incremental: the oracle deliberately takes the
+# RECOMPUTE path — a full-corpus cumsum filtered to the incoming docs
+# — so the hash match proves the append-only plan (which never
+# re-scans the old corpus) lands every new doc exactly where a full
+# replan would
+ORACLES["data_shard_plan_incremental"] = """
+SELECT doc_id, n_tokens,
+       (cum - n_tokens) // 2000 AS shard_id,
+       (cum - n_tokens) - ((cum - n_tokens) // 2000) * 2000
+         AS offset_tokens
+FROM (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS BIGINT) AS n_tokens,
+         SUM(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT))
+           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+WHERE doc_id >= 250
+"""
+
 ORACLES["text_length_histogram"] = """
 SELECT CAST(n_chars // 50 AS BIGINT) * 50 AS bucket,
        COUNT(*) AS n_docs,

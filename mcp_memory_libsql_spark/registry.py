@@ -945,6 +945,19 @@ def q_data_shard_plan(spark, sf_dir):
     return tq.shard_plan(t["documents"], target_tokens=2000)
 
 
+@query("data_shard_plan_incremental")
+def q_data_shard_plan_incremental(spark, sf_dir):
+    # append-only shard planning (textops/quality.
+    # shard_plan_incremental): docs >= cutover are planned without
+    # re-scanning the old corpus (1-row base-total broadcast); the
+    # oracle is the full RECOMPUTE plan filtered to the incoming docs,
+    # pinning append ≡ replan
+    t = load_tables(spark, sf_dir)
+    return tq.shard_plan_incremental(
+        t["documents"], target_tokens=2000, cutover=250
+    )
+
+
 @query("text_length_histogram")
 def q_text_length_histogram(spark, sf_dir):
     t = load_tables(spark, sf_dir)

@@ -209,7 +209,10 @@ def pack_bins(documents: DataFrame, target_chars: int = 2000) -> DataFrame:
 
 
 def shard_plan(
-    documents: DataFrame, target_tokens: int = 2000, block: int = 65536
+    documents: DataFrame,
+    target_tokens: int = 2000,
+    block: int = 65536,
+    base_df: DataFrame | None = None,
 ) -> DataFrame:
     """GLOBAL training-shard assignment by cumulative token budget →
     (doc_id, n_tokens, shard_id, offset_tokens): docs in doc_id order
@@ -254,9 +257,16 @@ def shard_plan(
     start = (F.col("_off") + F.col("_cum_in") - F.col("n_tokens")).cast(
         "bigint"
     )
+    joined = d.join(broadcast(offsets), "_blk")
+    if base_df is not None:
+        # incremental mode: shift the whole plan by the token total of
+        # the already-planned corpus (a 1-row broadcast, in-plan — no
+        # driver-side collect)
+        joined = joined.crossJoin(broadcast(base_df))
+        start = (start + F.col("_base")).cast("bigint")
     # integer div keeps shard ids exact cross-engine (pack_bins rule)
     return (
-        d.join(broadcast(offsets), "_blk")
+        joined
         .withColumn("_start", start)
         .select(
             "doc_id",
@@ -597,6 +607,39 @@ def shingle_diversity(documents: DataFrame, n: int = 3) -> DataFrame:
         F.round(
             F.col("n_distinct_shingles") / F.col("n_shingle_occurrences"), 6
         ).alias("diversity"),
+    )
+
+
+def shard_plan_incremental(
+    documents: DataFrame,
+    target_tokens: int = 2000,
+    cutover: int = 250,
+    block: int = 65536,
+) -> DataFrame:
+    """APPEND-ONLY shard planning: plan only the incoming docs
+    (``doc_id >= cutover``), continuing exactly where the existing
+    plan left off — the dedup_incremental analog for the writer side.
+    A growing corpus must never replan (and so never re-scan) its
+    history; the only state the append path needs from the old plan
+    is its total token count, carried here as a 1-row broadcast.
+
+    The gate derives that base total by scanning the old half (the
+    corpus is one table at test scale); in production it is read off
+    the persisted plan's tail row (last shard_id · target + offset +
+    n_tokens) — O(1), no old-text scan. The DuckDB oracle is the
+    RECOMPUTE path (the full-corpus global cumsum filtered to the
+    incoming docs), so the hash gate pins the append path ≡ replan
+    equivalence — the invariant that makes incremental planning safe
+    to run forever."""
+    old = documents.where(F.col("doc_id") < cutover)
+    new = documents.where(F.col("doc_id") >= cutover)
+    base = old.agg(
+        F.coalesce(
+            F.sum(F.size(words(F.col("text"))).cast("bigint")), F.lit(0)
+        ).alias("_base")
+    )
+    return shard_plan(
+        new, target_tokens=target_tokens, block=block, base_df=base
     )
 
 

@@ -623,3 +623,26 @@ def test_shingle_hll_registers_estimate(spark, sf_dir):
         if est <= 2.5 * m and zeros > 0:
             est = m * math.log(m / zeros)
         assert abs(est - exact[lang]) / exact[lang] < 3 * 1.04 / math.sqrt(m)
+
+
+def test_shard_plan_incremental_equals_replan(spark, sf_dir):
+    """The append-only path (old corpus summarized to one base-total
+    row, only new docs planned) must land every incoming doc exactly
+    where a full replan would — Spark vs Spark here; engine equality
+    is the oracle harness's job."""
+    from mcp_memory_libsql_spark.io.tables import load_tables as lt
+    from mcp_memory_libsql_spark.textops import quality as tq2
+
+    docs = lt(spark, sf_dir)["documents"]
+    inc = {
+        tuple(r)
+        for r in tq2.shard_plan_incremental(
+            docs, target_tokens=777, cutover=100
+        ).collect()
+    }
+    full = {
+        tuple(r)
+        for r in tq2.shard_plan(docs, target_tokens=777).collect()
+        if r.doc_id >= 100
+    }
+    assert inc == full and len(inc) > 0
