@@ -263,8 +263,13 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[key] = round(statistics.median(samples), 3)
         all_samples[key] = [round(s, 3) for s in samples]
-        q = statistics.quantiles(samples, n=4)
-        iqrs[key] = round(q[2] - q[0], 3)
+        # quantiles() needs >=2 samples; a SPARK_GRAFT_BENCH_RUNS=1
+        # smoke run has no spread to report, not an error.
+        if len(samples) >= 2:
+            q = statistics.quantiles(samples, n=4)
+            iqrs[key] = round(q[2] - q[0], 3)
+        else:
+            iqrs[key] = 0.0
     spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

@@ -1426,7 +1426,7 @@ def user_type_entropy(events: DataFrame) -> DataFrame:
     )
 
 
-def user_hll_registers(t, p: int = 8) -> DataFrame:
+def user_hll_registers(events: DataFrame, p: int = 8) -> DataFrame:
     """Deterministic per-day HyperLogLog register table →
     (day, bucket, max_rho): the distinct-users sketch CONTENT as an
     oracle-exact surface. Spark's approx_count_distinct
@@ -1447,8 +1447,7 @@ def user_hll_registers(t, p: int = 8) -> DataFrame:
     from ..textops.tokenize import md5_hash60
 
     m = 1 << p
-    ev = t["events"]
-    d = ev.select(
+    d = events.select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         md5_hash60(F.col("user_id").cast("string")).alias("_h"),
     ).select(

@@ -818,10 +818,12 @@ def community_modularity(
         if labels is not None
         else label_propagation(relations, iterations)
     ).select("name", "community")
-    if labels is None:
-        # three consumers below (la, lb, n_nodes) — materialize so the
-        # inline path runs the propagation once, not per consumer
-        comms = comms.localCheckpoint(eager=True)
+    # four consumers below (the broadcast-gate count, la, lb,
+    # n_nodes) — materialize so the label map computes once whichever
+    # path supplied it; a caller-provided labels frame is typically an
+    # unmaterialized plan too (r06 only checkpointed the inline path,
+    # so the provided path re-evaluated the input once per consumer)
+    comms = comms.localCheckpoint(eager=True)
     if und is None:
         # pass ``und`` (the materialized a<b distinct edge artifact
         # from the shared neighbor index) to skip this per-call

@@ -1201,7 +1201,7 @@ def q_events_user_hll(spark, sf_dir):
     # CMS twins; only the engine-internal approx_count_distinct
     # estimate (events_approx_users) stays rows-only
     t = load_tables(spark, sf_dir)
-    return ev_ops.user_hll_registers(t)
+    return ev_ops.user_hll_registers(t["events"])
 
 
 @query("events_approx_users")

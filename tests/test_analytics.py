@@ -352,7 +352,7 @@ def test_user_hll_registers_estimate_and_merge(spark, sf_dir):
     from mcp_memory_libsql_spark.textops.tokenize import md5_hash60
 
     t = load_tables(spark, sf_dir)
-    regs = ev_ops.user_hll_registers(t).collect()
+    regs = ev_ops.user_hll_registers(t["events"]).collect()
 
     # (a) mergeability: max over days per bucket == registers built
     # from the day-blind distinct-user hash set

@@ -515,9 +515,13 @@ def main() -> None:
         build_perturbed_docs(spark, big, pert)
         print(f"built {big}x perturbed docs in {round(time.time()-t0,1)}s",
               flush=True)
-        # no extra warm pass here: the identical plan just ran (warm +
-        # timed) at the largest regular point, so codegen/JIT and the
-        # session pools are hot; only the data volume changes.
+        # one warm pass before timing: the sweep loop runs points
+        # largest-first, so the run immediately preceding this block
+        # was the SMALLEST point — codegen/JIT is hot from any prior
+        # identical-plan run, but the shuffle/memory pools are sized
+        # for the small corpus. Warm on the 300x data itself so the
+        # timed pass measures the steady state.
+        _run(spark, "dedup_ngram_jaccard", pert)
         w = _run(spark, "dedup_ngram_jaccard", pert)
         sweep.setdefault("dedup_ngram_jaccard_perturbed", {})[big] = w
         print(f"dedup_ngram_jaccard_perturbed ({big}x): {w}s", flush=True)
