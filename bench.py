@@ -57,6 +57,9 @@ HEADLINE = [
 # NOT part of the headline total, so the headline stays comparable
 # round-over-round. Set SPARK_GRAFT_BENCH_EXTENDED=0 to skip.
 EXTENDED = [
+    "kg_postings_refresh",
+    "kg_pairs_refresh",
+    "vec_lsh_refresh",
     "kg_hits",
     "kg_walks",
     "kg_pagerank_full",

@@ -1,0 +1,281 @@
+"""Incremental maintenance of the shared neighbor index — the batch
+refresh path VERDICT r06 item 1 asked for.
+
+The neighbor index (``similarity.neighbor_postings`` +
+``similarity.scored_pairs``) is the dominant shared-index build cost
+at scale (21.8s cold at sf0.1, ~minutes at the 100× rehearsal point),
+yet it was rebuilt from scratch every session while the streaming
+layer already proves the partials are mergeable. This module refreshes
+all four disk artifacts (postings, names, pairs, und) from an
+APPEND-ONLY relation delta — the same delta shape the GraphStore
+delta log and ``relation_upsert_stream`` emit — touching only the
+neighborhood the delta actually changes.
+
+Semantics contract (pytest-pinned result-identical to a full rebuild
+in tests/test_refresh.py, and cross-engine-pinned by the
+``kg_postings_refresh`` / ``kg_pairs_refresh`` FULL-oracle registry
+twins, whose DuckDB oracle takes the opposite path: a from-scratch
+build over base+delta):
+
+- postings group for neighbor g = entities adjacent to g, kept iff
+  |group| ≤ cap. Appends only GROW groups, so a group absent from the
+  old postings (over cap) can never return — old membership of a
+  group is exactly its old postings row (or nothing).
+- sz(e) = number of surviving groups containing e. The delta changes
+  sz only through groups it touches, and every pair involving an
+  entity whose sz changed lives in some group containing that entity
+  — so rewriting (a) groups gaining members and (b) groups containing
+  any changed-sz entity covers every stale byte.
+- pairs merge is SIGNED: old contributions of rewritten groups are
+  subtracted, new contributions added — n_common and ra_sum are
+  additive counters (the same merge family as the Bloom/CMS/HLL
+  register twins), and size_a/size_b rejoin from the merged sizes.
+
+Cost shape (the incremental bound): one anti-join of the delta
+against the old ``und`` artifact, two scans of the merged edge set
+with map-side semi-filters (broadcast-gated on the measured affected/
+rewrite set sizes), the C(w,2) explode ONLY over rewritten groups,
+and one scan of the old pair stream (broadcast anti/semi against the
+delta keys — never a full re-explode). For a +1-copy append to an
+N-copy corpus the explode work is ~1/N of the rebuild's.
+
+Deletes or relation-type edits are NOT incremental here (a removed
+edge can shrink a group back under the cap, which needs the dropped
+members this index no longer stores) — rebuild for those, exactly as
+the reference's delete_entity cascades rebuild its read views
+(reference: src/client.ts:140-176).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..textops.tokenize import md5_hash60
+from .similarity import NEIGHBOR_CAP, scored_pairs
+
+# Broadcast gates for the delta-derived key sets (affected groups,
+# rewrite groups, touched pair keys): below the gate the semi/anti
+# joins are map-side over one scan of the big artifact; above it we
+# fall back to the planner's shuffle join — still O(scan), never
+# O(re-explode). Same hazard reasoning as traverse.BROADCAST_LABEL_MAX.
+BROADCAST_KEY_MAX = 5_000_000
+
+
+def _hint(df: DataFrame, n: int) -> DataFrame:
+    return F.broadcast(df) if n <= BROADCAST_KEY_MAX else df
+
+
+def _edges(und: DataFrame) -> DataFrame:
+    """Bidirectional (name, nbr) stream of an a<b undirected artifact
+    — ``name`` is the member entity, ``nbr`` the postings group key
+    (matches similarity.undirected_neighbors output)."""
+    return und.select(
+        F.col("a").alias("name"), F.col("b").alias("nbr")
+    ).unionByName(und.select(F.col("b").alias("name"), F.col("a").alias("nbr")))
+
+
+def delta_undirected(old_und: DataFrame, delta_relations: DataFrame) -> DataFrame:
+    """Truly-new undirected distinct edges (a<b) in the delta: the
+    canonical form anti-joined against the old artifact, so re-sent
+    edges and new relation TYPES over an existing edge are no-ops —
+    the postings family collapses relation types by construction."""
+    d = (
+        delta_relations.where(F.col("source") != F.col("target"))
+        .select(
+            F.least("source", "target").alias("a"),
+            F.greatest("source", "target").alias("b"),
+        )
+        .distinct()
+    )
+    return d.join(old_und, ["a", "b"], "left_anti")
+
+
+def refresh_neighbor_index(
+    old_postings: DataFrame,
+    old_names: DataFrame,
+    old_pairs: DataFrame | None,
+    old_und: DataFrame,
+    delta_relations: DataFrame,
+    cap: int = NEIGHBOR_CAP,
+    old_sizes: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame | None, DataFrame]:
+    """Merge an append-only relation delta into the four neighbor-
+    index artifacts → (postings, names, pairs, und), each result-
+    identical to a from-scratch ``neighbor_postings`` +
+    ``scored_pairs`` build over old∪delta (pytest + oracle-pinned).
+    Pass ``old_pairs=None`` to skip the pair-stream merge (postings-
+    only consumers). Pass ``old_sizes`` — the (nid, sz) table the
+    registry persists next to the postings — to skip the one O(E)
+    explode-rollup this function otherwise derives it with."""
+    d_new = delta_undirected(old_und, delta_relations).localCheckpoint(eager=True)
+    und_merged = old_und.unionByName(d_new)
+
+    # groups gaining members = both endpoints of every new edge
+    affected = _edges(d_new).select("nbr").distinct().localCheckpoint(eager=True)
+    n_aff = affected.count()
+
+    # old surviving membership of the affected groups (absent row =
+    # group was over cap, and appends keep it there)
+    old_aff = (
+        old_postings.join(_hint(affected, n_aff), "nbr", "leftsemi")
+        .select(F.explode("ids").alias("m"))
+        .select(F.col("m.nid").alias("nid"))
+    )
+    # new membership: full recompute of ONLY the affected groups from
+    # one map-side-filtered scan of the merged edge set
+    aff_members = _edges(und_merged).join(_hint(affected, n_aff), "nbr", "leftsemi")
+    new_aff = (
+        aff_members.groupBy("nbr")
+        .agg(F.collect_list(md5_hash60(F.col("name"))).alias("ids"))
+        .where(F.size("ids") <= cap)
+        .select(F.explode("ids").alias("nid"))
+    )
+    # net per-entity index-size change: retained members cancel (+1/−1),
+    # new members +1, members of cap-crossing groups −1
+    dsz = (
+        new_aff.select("nid", F.lit(1).alias("d"))
+        .unionByName(old_aff.select("nid", F.lit(-1).alias("d")))
+        .groupBy("nid")
+        .agg(F.sum("d").alias("dsz"))
+        .where(F.col("dsz") != 0)
+        .localCheckpoint(eager=True)
+    )
+    n_ch = dsz.count()
+
+    # rewrite set: affected groups ∪ every group holding an entity
+    # whose sz changed (their struct sz bytes are stale even when
+    # their membership is not)
+    ch_groups = (
+        _edges(und_merged)
+        .select(md5_hash60(F.col("name")).alias("nid"), "nbr")
+        .join(_hint(dsz.select("nid"), n_ch), "nid", "leftsemi")
+        .select("nbr")
+    )
+    rewrite = (
+        affected.unionByName(ch_groups).distinct().localCheckpoint(eager=True)
+    )
+    n_rw = rewrite.count()
+
+    # merged per-entity sizes: old sizes (every struct for an entity
+    # carries the same sz → max() is a plain read) + the net delta
+    if old_sizes is None:
+        old_sizes = (
+            old_postings.select(F.explode("ids").alias("m"))
+            .select(F.col("m.nid").alias("nid"), F.col("m.sz").alias("sz"))
+            .groupBy("nid")
+            .agg(F.max("sz").alias("sz"))
+        )
+    sizes_merged = (
+        old_sizes.join(dsz, "nid", "full_outer")
+        .select(
+            "nid",
+            (F.coalesce(F.col("sz"), F.lit(0)) + F.coalesce(F.col("dsz"), F.lit(0)))
+            .cast("bigint")
+            .alias("sz"),
+        )
+        .where(F.col("sz") > 0)
+    )
+
+    # rebuilt postings rows for the rewrite set only. Group survival
+    # is decided on the FULL member count BEFORE the sizes join: an
+    # over-cap group can hold sz=0 members (entities in no surviving
+    # group) that the inner sizes join silently drops, which would
+    # shrink the group back under the cap and resurrect it — the full
+    # rebuild keeps no such group. (Members of genuinely surviving
+    # groups always have sz ≥ 1 — they are in that group — so the
+    # inner join after the filter loses nothing.)
+    rw_rows = (
+        _edges(und_merged)
+        .join(_hint(rewrite, n_rw), "nbr", "leftsemi")
+        .select("nbr", md5_hash60(F.col("name")).alias("nid"))
+        .groupBy("nbr")
+        .agg(F.collect_list("nid").alias("nids"))
+        .where(F.size("nids") <= cap)
+        .select("nbr", F.explode("nids").alias("nid"))
+        .join(sizes_merged, "nid")
+        .groupBy("nbr")
+        .agg(F.sort_array(F.collect_list(F.struct("nid", "sz"))).alias("ids"))
+    )
+    if old_pairs is not None:
+        # two consumers (postings output + the new-contribution
+        # explode below) — pin the rebuilt groups
+        rw_rows = rw_rows.localCheckpoint(eager=True)
+    postings_merged = old_postings.join(
+        _hint(rewrite, n_rw), "nbr", "left_anti"
+    ).unionByName(rw_rows)
+
+    # decode dictionary gains only genuinely new entity names
+    d_names = (
+        _edges(d_new)
+        .select(md5_hash60(F.col("name")).alias("nid"), "name")
+        .distinct()
+    )
+    names_merged = old_names.unionByName(
+        d_names.join(old_names, "nid", "left_anti")
+    )
+
+    pairs_merged: DataFrame | None = None
+    if old_pairs is not None:
+        old_rw = old_postings.join(_hint(rewrite, n_rw), "nbr", "leftsemi")
+        neg = scored_pairs(old_rw).select(
+            "na",
+            "nb",
+            (-F.col("n_common")).alias("d_common"),
+            (-F.col("ra_sum")).alias("d_ra"),
+        )
+        pos = scored_pairs(rw_rows).select(
+            "na",
+            "nb",
+            F.col("n_common").alias("d_common"),
+            F.col("ra_sum").alias("d_ra"),
+        )
+        delta_agg = (
+            pos.unionByName(neg)
+            .groupBy("na", "nb")
+            .agg(
+                F.sum("d_common").alias("d_common"),
+                F.sum("d_ra").alias("d_ra"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_keys = delta_agg.count()
+        keys = delta_agg.select("na", "nb")
+        # untouched pairs pass through on ONE scan (map-side anti join
+        # under the gate); touched pairs merge counters and rejoin
+        # sizes — every pair with a stale size is touched because all
+        # groups holding a changed-sz entity were rewritten
+        untouched = old_pairs.join(_hint(keys, n_keys), ["na", "nb"], "left_anti")
+        touched_old = old_pairs.join(
+            _hint(keys, n_keys), ["na", "nb"], "leftsemi"
+        )
+        sa = sizes_merged.select(
+            F.col("nid").alias("na"), F.col("sz").alias("size_a")
+        )
+        sb = sizes_merged.select(
+            F.col("nid").alias("nb"), F.col("sz").alias("size_b")
+        )
+        merged_touched = (
+            touched_old.select("na", "nb", "n_common", "ra_sum")
+            .join(delta_agg, ["na", "nb"], "full_outer")
+            .select(
+                "na",
+                "nb",
+                (
+                    F.coalesce(F.col("n_common"), F.lit(0))
+                    + F.coalesce(F.col("d_common"), F.lit(0))
+                ).alias("n_common"),
+                (
+                    F.coalesce(F.col("ra_sum"), F.lit(0))
+                    + F.coalesce(F.col("d_ra"), F.lit(0))
+                ).alias("ra_sum"),
+            )
+            .where(F.col("n_common") > 0)
+            .join(sa, "na")
+            .join(sb, "nb")
+            .select("na", "nb", "n_common", "size_a", "size_b", "ra_sum")
+        )
+        pairs_merged = untouched.select(
+            "na", "nb", "n_common", "size_a", "size_b", "ra_sum"
+        ).unionByName(merged_touched)
+
+    return postings_merged, names_merged, pairs_merged, und_merged

@@ -1143,3 +1143,63 @@ JOIN sizes sa ON pairs.entity_a = sa.eid
 JOIN sizes sb ON pairs.entity_b = sb.eid
 WHERE ROUND(inter_size / (sa.sz + sb.sz - inter_size), 6) >= 0.15
 """
+
+
+# Incremental neighbor-index refresh twins (VERDICT r06 item 1): the
+# Spark side builds the index on the md5-bucketed 80% base slice and
+# MERGES the 20% delta through kg.refresh.refresh_neighbor_index; the
+# oracle takes the OPPOSITE path — one from-scratch build over the
+# whole graph — so a hash match proves refresh ≡ rebuild cross-engine
+# (the data_shard_plan_incremental trick).
+ORACLES["kg_postings_refresh"] = f"""{KG_CTE},
+und AS (
+  SELECT source AS name, target AS nbr FROM relations
+  UNION
+  SELECT target, source FROM relations
+),
+und2 AS (SELECT name, nbr FROM und WHERE name <> nbr),
+kept AS (
+  SELECT nbr FROM und2 GROUP BY nbr HAVING COUNT(*) <= 256
+),
+p AS (SELECT u.name, u.nbr FROM und2 u JOIN kept k USING (nbr)),
+sizes AS (SELECT name, COUNT(*) AS sz FROM p GROUP BY name)
+SELECT u.nbr, u.name, CAST(s.sz AS BIGINT) AS sz
+FROM p u JOIN sizes s USING (name)
+"""
+
+# the signed pair-stream merge, gated over every counter it carries:
+# n_common (additive count), size_a/size_b (rejoined post-merge),
+# ra_sum (additive scaled-BIGINT Resource-Allocation sum, raw —
+# integer-exact merge); output filtered to n_common >= 3 on BOTH
+# engines to keep the parity payload bounded (the merge itself runs
+# unfiltered).
+ORACLES["kg_pairs_refresh"] = f"""{KG_CTE},
+und AS (
+  SELECT source AS name, target AS nbr FROM relations
+  UNION
+  SELECT target, source FROM relations
+),
+und2 AS (SELECT name, nbr FROM und WHERE name <> nbr),
+widths AS (
+  SELECT nbr, CAST((1099511627776 + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+           AS c
+  FROM und2 GROUP BY nbr
+  HAVING COUNT(*) <= 256
+),
+p AS (SELECT u.name, u.nbr, widths.c FROM und2 u JOIN widths USING (nbr)),
+sizes AS (SELECT name, COUNT(*) AS sz FROM p GROUP BY name),
+pairs AS (
+  SELECT x.name AS entity_a, y.name AS entity_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(x.c) AS BIGINT) AS ra_sum
+  FROM p x JOIN p y ON x.nbr = y.nbr AND x.name < y.name
+  GROUP BY 1, 2
+)
+SELECT entity_a, entity_b, n_common,
+       CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+       ra_sum
+FROM pairs
+JOIN sizes sa ON sa.name = entity_a
+JOIN sizes sb ON sb.name = entity_b
+WHERE n_common >= 3
+"""

@@ -1035,3 +1035,37 @@ WHERE d.doc_id NOT IN (
   SELECT vec_id FROM members WHERE vec_id <> cluster_id
 )
 """
+
+
+def _lsh_refresh_oracle() -> str:
+    """vec_lsh_refresh: the incremental signature-index refresh twin.
+    Spark builds the index on vec_id%5!=0 and appends signatures for
+    the %5==0 delta through vector.lsh.refresh_index; this oracle
+    rebuilds EVERY signature from scratch with the same md5-seeded
+    plane constants — a hash match proves the append path emits
+    byte-identical index content to a full rebuild."""
+    from .vector.lsh import N_BITS, N_TABLES, planes
+
+    ps = planes(64, N_TABLES, N_BITS)
+
+    def arr(vals):
+        return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+    sig_selects = []
+    for t in range(N_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> embedding[i]::DOUBLE * ({arr(ps[t][j])})[i])) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(N_BITS)
+        )
+        sig_selects.append(
+            f"SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+            f" CAST({t} AS BIGINT) AS table_id,"
+            f" CAST(({bits}) AS BIGINT) AS sig"
+            " FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(sig_selects)
+
+
+ORACLES["vec_lsh_refresh"] = _lsh_refresh_oracle()

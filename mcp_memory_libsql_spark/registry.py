@@ -151,6 +151,19 @@ def _nbr_index(spark: SparkSession, sf_dir: str, g) -> tuple:
                 .write.mode("overwrite")
                 .parquet(path + "/und")
             )
+            # per-entity post-cap index sizes — tiny (one row per
+            # entity), stored so the incremental refresh path
+            # (kg.refresh.refresh_neighbor_index) starts from a read
+            # instead of an O(E) explode-rollup over the postings
+            (
+                spark.read.parquet(path + "/postings")
+                .select(F.explode("ids").alias("m"))
+                .select(F.col("m.nid").alias("nid"), F.col("m.sz").alias("sz"))
+                .groupBy("nid")
+                .agg(F.max("sz").alias("sz"))
+                .write.mode("overwrite")
+                .parquet(path + "/sizes")
+            )
             _NBR_DIRS[key] = path
         p = _NBR_DIRS[key]
     return (
@@ -158,6 +171,7 @@ def _nbr_index(spark: SparkSession, sf_dir: str, g) -> tuple:
         spark.read.parquet(p + "/names"),
         spark.read.parquet(p + "/pairs"),
         spark.read.parquet(p + "/und"),
+        spark.read.parquet(p + "/sizes"),
     )
 
 
@@ -2510,3 +2524,137 @@ def q_mm_container_audit(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return mm.container_audit(mm.encode_media(t["documents"]))
+
+
+# -------------------------------------------- incremental index refresh
+# VERDICT r06 item 1: the two heaviest shared indexes gain batch
+# incremental-refresh paths, each gated by a FULL oracle that takes
+# the OPPOSITE path (Spark = build on the base slice + refresh with
+# the delta slice; DuckDB = one from-scratch build over everything) —
+# the data_shard_plan_incremental trick, proving refresh ≡ rebuild
+# cross-engine, not just Spark-vs-Spark.
+
+
+def _refresh_split(rel):
+    """Deterministic 80/20 base/delta split of the relations table
+    (md5-bucketed on the full edge identity, mirrored verbatim in the
+    oracle SQL) — the delta OVERLAPS the base graph (shared entities,
+    growing groups, possible cap crossings), so the refresh's general
+    signed-merge path is what the gate exercises, not just the
+    disjoint-append fast case."""
+    from .textops.tokenize import md5_hash32
+
+    key = F.concat_ws("|", "source", "target", "relation_type")
+    is_delta = F.pmod(md5_hash32(key), F.lit(5)) == 0
+    return rel.where(~is_delta), rel.where(is_delta)
+
+
+@query("kg_postings_refresh")
+def q_kg_postings_refresh(spark, sf_dir):
+    # incremental neighbor-index maintenance (kg/refresh.py): build
+    # postings on the base 80%, merge the 20% delta through
+    # refresh_neighbor_index, emit the exploded index content
+    # (nbr, name, sz); oracle = full-graph postings build — FULL
+    # oracle for the refresh path itself
+    from .kg import refresh as kgr
+    from .kg import similarity
+
+    g, _ = _kg(spark, sf_dir)
+    base, delta = _refresh_split(g["relations"])
+    postings, names = similarity.neighbor_postings(base)
+    # the refresh reads each old artifact several times (anti/semi/
+    # size derivation) — pin them, exactly like the disk-backed
+    # artifacts the production path reads
+    postings = postings.localCheckpoint(eager=True)
+    und = (
+        base.where(F.col("source") != F.col("target"))
+        .select(
+            F.least("source", "target").alias("a"),
+            F.greatest("source", "target").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    new_p, new_n, _, _ = kgr.refresh_neighbor_index(
+        postings, names, None, und, delta
+    )
+    ex = new_p.select("nbr", F.explode("ids").alias("m")).select(
+        "nbr", F.col("m.nid").alias("nid"), F.col("m.sz").alias("sz")
+    )
+    return ex.join(new_n, "nid").select(
+        "nbr", "name", F.col("sz").cast("bigint").alias("sz")
+    )
+
+
+@query("kg_pairs_refresh")
+def q_kg_pairs_refresh(spark, sf_dir):
+    # the signed pair-stream merge: old pairs of the base graph,
+    # minus old contributions of rewritten groups, plus new ones,
+    # sizes rejoined — vs the oracle's from-scratch full-graph pair
+    # rollup; ra_sum stays the raw scaled BIGINT (exact integer
+    # merge, the same counter family as the Bloom/CMS/HLL twins)
+    from .kg import refresh as kgr
+    from .kg import similarity
+
+    g, _ = _kg(spark, sf_dir)
+    base, delta = _refresh_split(g["relations"])
+    postings, names = similarity.neighbor_postings(base)
+    postings = postings.localCheckpoint(eager=True)
+    pairs = similarity.scored_pairs(postings).localCheckpoint(eager=True)
+    und = (
+        base.where(F.col("source") != F.col("target"))
+        .select(
+            F.least("source", "target").alias("a"),
+            F.greatest("source", "target").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _, new_n, new_pairs, _ = kgr.refresh_neighbor_index(
+        postings, names, pairs, und, delta
+    )
+    da = new_n.select(F.col("nid").alias("na"), F.col("name").alias("name_a"))
+    db = new_n.select(F.col("nid").alias("nb"), F.col("name").alias("name_b"))
+    return (
+        new_pairs.join(F.broadcast(da), "na")
+        .join(F.broadcast(db), "nb")
+        .select(
+            # nid order is not name order: re-canonicalize by name
+            F.least("name_a", "name_b").alias("entity_a"),
+            F.greatest("name_a", "name_b").alias("entity_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.when(F.col("name_a") < F.col("name_b"), F.col("size_a"))
+            .otherwise(F.col("size_b"))
+            .cast("bigint")
+            .alias("size_a"),
+            F.when(F.col("name_a") < F.col("name_b"), F.col("size_b"))
+            .otherwise(F.col("size_a"))
+            .cast("bigint")
+            .alias("size_b"),
+            F.col("ra_sum").cast("bigint").alias("ra_sum"),
+        )
+        # output filter only (mirrored in the oracle): the merge runs
+        # unfiltered; >=3 keeps the parity payload at ~284k rows at
+        # sf0.01 instead of 1.75M
+        .where(F.col("n_common") >= 3)
+    )
+
+
+@query("vec_lsh_refresh")
+def q_vec_lsh_refresh(spark, sf_dir):
+    # incremental ANN signature-index maintenance (vector/lsh.py
+    # refresh_index): signatures of the vec_id%5==0 delta appended to
+    # the base index; oracle rebuilds every signature from the same
+    # md5-seeded planes in SQL — FULL oracle
+    from .vector import lsh as _lsh
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    base = emb.where(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    delta = emb.where(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    old = _lsh.bucketize(base, dim=64)
+    return _lsh.refresh_index(old, delta, dim=64).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("table_id").cast("bigint").alias("table_id"),
+        F.col("sig").cast("bigint").alias("sig"),
+    )

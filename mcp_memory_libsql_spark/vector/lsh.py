@@ -152,6 +152,37 @@ def bucketize(
     )
 
 
+def refresh_index(
+    old_index: DataFrame,
+    new_embeddings: DataFrame,
+    dim: int,
+    n_tables: int = N_TABLES,
+    n_bits: int = N_BITS,
+) -> DataFrame:
+    """Incremental signature-index maintenance (VERDICT r06 item 1):
+    append the signatures of NEW vectors to an existing ``bucketize``
+    index — a vector's signature is a pure per-row function of the
+    md5-seeded planes (no corpus dependence), so the refreshed index
+    is EXACTLY the full rebuild over old∪new (pytest-pinned in
+    tests/test_refresh.py; cross-engine-pinned by the
+    ``vec_lsh_refresh`` oracle twin, whose DuckDB side rebuilds from
+    scratch). Cost is one scan of the delta (O(|new|·tables·bits)
+    plane dots) vs the rebuild's full-corpus scan; at 100 TB this is
+    the difference between re-ingesting the corpus and ingesting the
+    day's arrivals.
+
+    Contract: ``new_embeddings`` holds genuinely NEW vec_ids (the
+    append-only ingest shape; the registry's stored index is
+    immutable per corpus). Re-ingested or deleted ids need the
+    rebuild path — signatures don't change, but index membership
+    would double or linger. Build at the same (n_tables, n_bits) as
+    the stored index; the registry stores MAX_BITS and every consumer
+    masks down, so width never forces a rebuild."""
+    return old_index.select("vec_id", "table_id", "sig").unionByName(
+        bucketize(new_embeddings, dim, n_tables, n_bits)
+    )
+
+
 def ann_cosine(
     embeddings: DataFrame,
     query_vec_id: int,

@@ -1,0 +1,180 @@
+"""Incremental index refresh ≡ full rebuild (VERDICT r06 item 1).
+
+Every test pins the refreshed artifact RESULT-IDENTICAL (row-set
+equality) to a from-scratch build over base∪delta — the within-engine
+half of the gate; the cross-engine half is the kg_postings_refresh /
+kg_pairs_refresh / vec_lsh_refresh oracle twins in the parity suite,
+whose DuckDB side takes the from-scratch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_memory_libsql_spark.io.tables import load_tables
+from mcp_memory_libsql_spark.kg import views as kg_views
+from mcp_memory_libsql_spark.kg.refresh import refresh_neighbor_index
+from mcp_memory_libsql_spark.kg.similarity import (
+    neighbor_postings,
+    scored_pairs,
+)
+from mcp_memory_libsql_spark.vector import lsh
+
+
+def _und(rel):
+    return (
+        rel.where(F.col("source") != F.col("target"))
+        .select(
+            F.least("source", "target").alias("a"),
+            F.greatest("source", "target").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def _rows(df):
+    """Order-insensitive canonical row set (postings arrays are
+    sorted structs, so plain stringification is deterministic)."""
+    return sorted(str(r) for r in df.collect())
+
+
+def _rel(spark, edges):
+    return spark.createDataFrame(
+        [(s, t, "REL") for s, t in edges],
+        "source string, target string, relation_type string",
+    )
+
+
+def _check_refresh(spark, base_edges, delta_edges, cap):
+    base = _rel(spark, base_edges)
+    delta = _rel(spark, delta_edges)
+    full = base.unionByName(delta)
+
+    old_p, old_n = neighbor_postings(base, cap)
+    old_p = old_p.localCheckpoint(eager=True)
+    old_pairs = scored_pairs(old_p).localCheckpoint(eager=True)
+    new_p, new_n, new_pairs, new_und = refresh_neighbor_index(
+        old_p, old_n, old_pairs, _und(base).localCheckpoint(eager=True),
+        delta, cap,
+    )
+
+    reb_p, reb_n = neighbor_postings(full, cap)
+    reb_p = reb_p.localCheckpoint(eager=True)
+    assert _rows(new_p) == _rows(reb_p)
+    assert _rows(new_n) == _rows(reb_n)
+    assert _rows(new_pairs) == _rows(scored_pairs(reb_p))
+    assert _rows(new_und) == _rows(_und(full))
+
+
+def test_nbr_refresh_cap_crossing_and_sz_propagation(spark):
+    """The adversarial shape: a group at exactly cap gains a member
+    and DROPS OUT (its members lose index size, which must propagate
+    into every OTHER group's structs and every pair's size columns),
+    plus a brand-new disjoint component, plus a duplicate delta edge
+    and a new relation TYPE over an existing edge (both no-ops)."""
+    cap = 3
+    # group "hub": members m1,m2,m3 (== cap, survives the base build)
+    base = [
+        ("m1", "hub"), ("m2", "hub"), ("m3", "hub"),
+        # second group "g2" holding m1,m2 — their sz bytes live here too
+        ("m1", "g2"), ("m2", "g2"),
+    ]
+    delta = [
+        ("m4", "hub"),          # pushes hub over cap → drops out
+        ("m1", "g2"),           # duplicate edge — no-op
+        ("x1", "y1"), ("x2", "y1"),  # disjoint new component
+    ]
+    _check_refresh(spark, base, delta, cap)
+
+
+def test_nbr_refresh_type_collapse_and_growth(spark):
+    """Growing an under-cap group (new member; retained members'
+    counters must cancel exactly in the signed merge) and re-sending
+    an existing edge under a different relation type."""
+    cap = 10
+    base = [("a", "n1"), ("b", "n1"), ("a", "n2"), ("c", "n2")]
+    delta = [("c", "n1"), ("b", "n2")]
+    base_df = _rel(spark, base)
+    # different relation_type over an existing edge: must be a no-op
+    delta_df = _rel(spark, delta).unionByName(
+        spark.createDataFrame(
+            [("a", "n1", "OTHER_TYPE")],
+            "source string, target string, relation_type string",
+        )
+    )
+    full = base_df.unionByName(delta_df)
+    old_p, old_n = neighbor_postings(base_df, cap)
+    old_p = old_p.localCheckpoint(eager=True)
+    old_pairs = scored_pairs(old_p).localCheckpoint(eager=True)
+    new_p, new_n, new_pairs, _ = refresh_neighbor_index(
+        old_p, old_n, old_pairs, _und(base_df), delta_df, cap
+    )
+    reb_p, reb_n = neighbor_postings(full, cap)
+    reb_p = reb_p.localCheckpoint(eager=True)
+    assert _rows(new_p) == _rows(reb_p)
+    assert _rows(new_pairs) == _rows(scored_pairs(reb_p))
+
+
+def test_nbr_refresh_real_graph(spark, sf_dir):
+    """80/20 md5 split of the real KG relations — the registry twin's
+    exact shape, asserted within-engine over all four artifacts."""
+    from mcp_memory_libsql_spark.textops.tokenize import md5_hash32
+
+    g = kg_views.kg(load_tables(spark, sf_dir))
+    rel = g["relations"]
+    key = F.concat_ws("|", "source", "target", "relation_type")
+    is_delta = F.pmod(md5_hash32(key), F.lit(5)) == 0
+    base, delta = rel.where(~is_delta), rel.where(is_delta)
+
+    old_p, old_n = neighbor_postings(base)
+    old_p = old_p.localCheckpoint(eager=True)
+    old_pairs = scored_pairs(old_p).localCheckpoint(eager=True)
+    new_p, new_n, new_pairs, new_und = refresh_neighbor_index(
+        old_p, old_n, old_pairs, _und(base).localCheckpoint(eager=True),
+        delta,
+    )
+    reb_p, reb_n = neighbor_postings(rel)
+    reb_p = reb_p.localCheckpoint(eager=True)
+    assert _rows(new_p) == _rows(reb_p)
+    assert _rows(new_n) == _rows(reb_n)
+    assert _rows(new_pairs) == _rows(scored_pairs(reb_p))
+    assert _rows(new_und) == _rows(_und(rel))
+
+
+def test_nbr_refresh_stored_sizes_path(spark):
+    """Passing the registry's persisted (nid, sz) table must produce
+    the same artifacts as deriving sizes from the postings."""
+    cap = 3
+    base = [("m1", "hub"), ("m2", "hub"), ("m1", "g2"), ("m2", "g2")]
+    delta = [("m3", "hub"), ("m4", "hub")]  # hub crosses the cap
+    base_df, delta_df = _rel(spark, base), _rel(spark, delta)
+    old_p, old_n = neighbor_postings(base_df, cap)
+    old_p = old_p.localCheckpoint(eager=True)
+    sizes = (
+        old_p.select(F.explode("ids").alias("m"))
+        .select(F.col("m.nid").alias("nid"), F.col("m.sz").alias("sz"))
+        .groupBy("nid")
+        .agg(F.max("sz").alias("sz"))
+    )
+    a = refresh_neighbor_index(
+        old_p, old_n, None, _und(base_df), delta_df, cap, old_sizes=sizes
+    )[0]
+    b = refresh_neighbor_index(
+        old_p, old_n, None, _und(base_df), delta_df, cap
+    )[0]
+    assert _rows(a) == _rows(b)
+
+
+def test_lsh_refresh_identity(spark, sf_dir):
+    """Appended signatures == full rebuild, at the stored MAX_BITS
+    width and the serving width."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = emb.where(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    delta = emb.where(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    for bits in (lsh.N_BITS, lsh.MAX_BITS):
+        refreshed = lsh.refresh_index(
+            lsh.bucketize(base, dim=64, n_bits=bits), delta, dim=64,
+            n_bits=bits,
+        )
+        rebuilt = lsh.bucketize(emb, dim=64, n_bits=bits)
+        assert _rows(refreshed) == _rows(rebuilt)
