@@ -142,14 +142,21 @@ def refresh_neighbor_index(
     )
     n_ch = dsz.count()
 
-    # rewrite set: affected groups ∪ every group holding an entity
-    # whose sz changed (their struct sz bytes are stale even when
-    # their membership is not)
+    # rewrite set: affected groups ∪ every STORED group holding an
+    # entity whose sz changed (their struct sz bytes are stale even
+    # when their membership is not). The stored-only restriction is
+    # the scale lever: a group with no postings row was over cap and
+    # appends keep it there — it holds no stale bytes — while a hub-
+    # adjacent delta (say, new customers of 25 nation entities) would
+    # otherwise pull every group those hubs belong to into the
+    # rewrite. Groups that never existed before are complete in
+    # ``affected`` (every member arrived on a new edge).
     ch_groups = (
         _edges(und_merged)
         .select(md5_hash60(F.col("name")).alias("nid"), "nbr")
         .join(_hint(dsz.select("nid"), n_ch), "nid", "leftsemi")
         .select("nbr")
+        .join(old_postings.select("nbr"), "nbr", "leftsemi")
     )
     rewrite = (
         affected.unionByName(ch_groups).distinct().localCheckpoint(eager=True)

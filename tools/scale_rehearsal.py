@@ -115,6 +115,11 @@ SWEEP = [
     "dedup_semantic_keep",
     "mm_neardup",
     "dedup_ngram_jaccard",
+    # r07: md5 baselines for the two mining families gaining fasthash
+    # twins this round (VERDICT r06 item 2) — the flag-on column needs
+    # a flag-off wall at the same point
+    "dedup_minhash_lsh_capped",
+    "dedup_substring",
 ]
 # sweep ops whose OUTPUT ROW COUNT is recorded per point — separates
 # output growth (true duplicates multiply with copies) from plan
@@ -127,6 +132,8 @@ SWEEP_100X = [
     "dedup_winnowing",
     "kg_communities",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh_capped",
+    "dedup_substring",
 ]
 
 
@@ -189,6 +196,130 @@ def build_perturbed_docs(spark, copies: int, dst: str) -> None:
         .drop("_ci")
     )
     df.write.mode("overwrite").parquet(os.path.join(dst, "documents.parquet"))
+
+
+def build_delta_copy(spark, base_copies: int, dst: str) -> None:
+    """One-copy ENTITY-DISJOINT ingest delta for the index-refresh
+    measurement (VERDICT r06 item 1): keys shifted past the base
+    corpus (fresh Part# names) and customer/supplier NAME columns
+    suffixed (fresh KG entities) — the realistic new-shard arrival.
+    An entity-OVERLAPPING delta whose shared entities change post-cap
+    index size degrades the neighbor-index refresh toward a rebuild
+    by design: sz is denormalized into every group row (the
+    write-amplification price of one fewer join on every read), so a
+    delta that changes a ubiquitous entity's sz dirties every stored
+    group holding it."""
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    for name in TABLE_NAMES:
+        df = load_table(spark, SRC, name)
+        for k in SHIFT.get(name, []):
+            df = df.withColumn(k, F.col(k) + F.lit(base_copies * OFF))
+        if name == "customer":
+            df = df.withColumn(
+                "c_name", F.concat(F.col("c_name"), F.lit("-d1"))
+            )
+        if name == "supplier":
+            df = df.withColumn(
+                "s_name", F.concat(F.col("s_name"), F.lit("-d1"))
+            )
+        df.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
+
+
+def index_refresh_point(spark, dst: str, copies: int) -> dict:
+    """+1-copy delta measurement for the two heaviest shared indexes:
+    refresh (disk-backed N-copy artifacts + 1-copy delta, via
+    kg.refresh / vector.lsh.refresh_index) vs a from-scratch rebuild
+    over the SAME N+1 rows, both timed to the noop sink. Result
+    identity is pytest-pinned (tests/test_refresh.py) and
+    oracle-pinned (kg_postings_refresh / kg_pairs_refresh /
+    vec_lsh_refresh), so this entry measures cost only."""
+    from mcp_memory_libsql_spark import registry as reg
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.kg import views as kg_views
+    from mcp_memory_libsql_spark.kg.refresh import refresh_neighbor_index
+    from mcp_memory_libsql_spark.kg.similarity import (
+        neighbor_postings,
+        scored_pairs,
+    )
+    from mcp_memory_libsql_spark.vector import lsh
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    ddir = os.path.join(REPO, "_rehearsal", f"x{copies}_delta1")
+    t0 = time.time()
+    build_delta_copy(spark, copies, ddir)
+    delta_build_sec = round(time.time() - t0, 1)
+    t_delta = load_tables(spark, ddir)
+    d_rel = kg_views.kg(t_delta)["relations"].localCheckpoint(eager=True)
+    d_emb = t_delta["embeddings"]
+
+    g, _ = reg._kg(spark, dst)
+    postings, names, pairs, und, sizes = reg._nbr_index(spark, dst, g)
+
+    t0 = time.time()
+    new_p, new_n, new_pairs, new_und = refresh_neighbor_index(
+        postings, names, pairs, und, d_rel, old_sizes=sizes
+    )
+    for df in (new_p, new_n, new_pairs, new_und):
+        noop(df)
+    nbr_refresh = round(time.time() - t0, 1)
+    print(f"nbr refresh (+1 copy at {copies}x): {nbr_refresh}s", flush=True)
+
+    full_rel = g["relations"].unionByName(d_rel)
+    t0 = time.time()
+    p2, n2 = neighbor_postings(full_rel)
+    p2 = p2.persist()
+    noop(p2)
+    noop(n2)
+    noop(scored_pairs(p2))
+    noop(
+        full_rel.where(F.col("source") != F.col("target"))
+        .select(
+            F.least("source", "target").alias("a"),
+            F.greatest("source", "target").alias("b"),
+        )
+        .distinct()
+    )
+    p2.unpersist()
+    nbr_rebuild = round(time.time() - t0, 1)
+    print(f"nbr rebuild ({copies}+1 copies): {nbr_rebuild}s", flush=True)
+
+    old_idx = reg._lsh_index(spark, dst)
+    t0 = time.time()
+    noop(lsh.refresh_index(old_idx, d_emb, dim=64, n_bits=lsh.MAX_BITS))
+    lsh_refresh = round(time.time() - t0, 1)
+    print(f"lsh refresh (+1 copy at {copies}x): {lsh_refresh}s", flush=True)
+    full_emb = load_tables(spark, dst)["embeddings"].unionByName(d_emb)
+    t0 = time.time()
+    noop(lsh.bucketize(full_emb, dim=64, n_bits=lsh.MAX_BITS))
+    lsh_rebuild = round(time.time() - t0, 1)
+    print(f"lsh rebuild ({copies}+1 copies): {lsh_rebuild}s", flush=True)
+
+    shutil.rmtree(ddir, ignore_errors=True)
+    return {
+        "copies": copies,
+        "delta_copies": 1,
+        "delta_build_sec": delta_build_sec,
+        "nbr_postings": {
+            "refresh_sec": nbr_refresh,
+            "rebuild_sec": nbr_rebuild,
+            "speedup": round(nbr_rebuild / max(nbr_refresh, 0.001), 2),
+        },
+        "lsh_signature": {
+            "refresh_sec": lsh_refresh,
+            "rebuild_sec": lsh_rebuild,
+            "speedup": round(lsh_rebuild / max(lsh_refresh, 0.001), 2),
+        },
+        "note": (
+            "refresh merges a 1-copy entity-disjoint delta into the "
+            "disk-backed N-copy artifacts; rebuild recomputes the same "
+            "artifacts from scratch over the identical N+1 rows; both "
+            "timed to the noop sink. Identity is pytest- and "
+            "oracle-pinned, not re-proved here."
+        ),
+    }
 
 
 def cap_bites(spark, sf_dir: str) -> dict:
@@ -384,6 +515,7 @@ def main() -> None:
     bites: dict[int, dict] = {}
     ibuilds: dict[int, float] = {}
     full: dict = {}
+    refresh_entry: dict | None = None
     # LARGEST point first: the per-point checkpoint then carries the
     # scale-relevant (judged) point even if a later point crashes or
     # the round clock runs out — the failure mode that matters is
@@ -413,21 +545,43 @@ def main() -> None:
         # measure per-query growth, not one-time ingest artifacts.
         from mcp_memory_libsql_spark import registry as reg
 
-        t0 = time.time()
-        g, _ = reg._kg(spark, dst)
-        reg._nbr_index(spark, dst, g)
-        reg._lsh_index(spark, dst)
         # ALL five shared artifacts, same set as bench._build_indexes:
         # r04 omitted LPA labels + the near-dup pair stream here, so
         # the warm-up paid them silently and their consumers
         # (kg_communities, dedup_semantic_keep) timed as pure
-        # index reads with the build cost unattributed.
+        # index reads with the build cost unattributed. r07: timed
+        # PER ARTIFACT — the refresh-vs-rebuild entry needs the
+        # single-artifact build walls, and the +20%/round total was
+        # unattributable to a specific index before.
+        parts: dict[str, float] = {}
+        t0 = time.time()
+        g, _ = reg._kg(spark, dst)
+        parts["kg_snapshot"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        reg._nbr_index(spark, dst, g)
+        parts["nbr_postings"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        reg._lsh_index(spark, dst)
+        parts["lsh_signature"] = round(time.time() - t0, 1)
+        t0 = time.time()
         reg._lpa(spark, dst, g)
+        parts["lpa_labels"] = round(time.time() - t0, 1)
+        t0 = time.time()
         reg._lsh_pairs(spark, dst)
-        index_build_sec = round(time.time() - t0, 1)
-        print(f"index builds ({copies}x): {index_build_sec}s", flush=True)
+        parts["lsh_neardup_pairs"] = round(time.time() - t0, 1)
+        index_build_sec = round(sum(parts.values()), 1)
+        print(
+            f"index builds ({copies}x): {index_build_sec}s "
+            f"{json.dumps(parts)}",
+            flush=True,
+        )
 
-        ibuilds[copies] = index_build_sec
+        ibuilds[copies] = {"total": index_build_sec, **parts}
+
+        # VERDICT r06 item 1: the +1-copy incremental-refresh point,
+        # at the LARGEST (most scale-relevant) sweep point only
+        if copies == max(points):
+            refresh_entry = index_refresh_point(spark, dst, copies)
         bites[copies] = cap_bites(spark, dst)
         print(f"cap bites ({copies}x): {json.dumps(bites[copies])}", flush=True)
 
@@ -454,21 +608,50 @@ def main() -> None:
         for k in point_sweep:
             if k in timings:
                 sweep.setdefault(k, {})[copies] = timings[k]
-        # VERDICT r05 item 5: winnowing is the heaviest LINEAR op and
-        # is md5-bound — measure the same point with the flag-gated
-        # xxhash64 fast path (SPARK_GRAFT_FAST_HASH=1, the 100 TB CPU
-        # bill lever; md5 parity pytests pin the flag-off default).
-        # Only at the two largest points: the CPU-cut claim needs the
-        # scale end, and each flag-on pass costs a warm + timed run.
-        if "dedup_winnowing" in timings and copies >= 30:
+        # VERDICT r06 item 2: the flag-gated xxhash64 fast path
+        # (SPARK_GRAFT_FAST_HASH=1 — the 100 TB CPU-bill lever; md5
+        # parity pytests pin the flag-off default) measured where the
+        # rest of the CPU bill lives: all four md5-bound mining
+        # families at the two largest points, not just winnowing. The
+        # perturbed-ngram twin gets a flag-on column too (the
+        # non-duplicate scaling path). Winnowing also measures at 10×
+        # so its fasthash fit has THREE points — r06's 1.089 slope
+        # rested on a two-point segment.
+        fh_keys = []
+        if copies >= 30:
+            fh_keys = [
+                k
+                for k in (
+                    "dedup_winnowing",
+                    "dedup_ngram_jaccard",
+                    "dedup_minhash_lsh_capped",
+                    "dedup_substring",
+                )
+                if k in timings
+            ]
+        elif copies == 10 and "dedup_winnowing" in timings:
+            fh_keys = ["dedup_winnowing"]
+        if fh_keys:
             os.environ["SPARK_GRAFT_FAST_HASH"] = "1"
             try:
-                _run(spark, "dedup_winnowing", dst)  # warm the plan
-                wfh = _run(spark, "dedup_winnowing", dst)
+                for k in fh_keys:
+                    _run(spark, k, dst)  # warm the flag-on plan
+                    wfh = _run(spark, k, dst)
+                    sweep.setdefault(f"{k}_fasthash", {})[copies] = wfh
+                    print(f"{k}_fasthash ({copies}x): {wfh}s", flush=True)
+                if "dedup_ngram_jaccard" in fh_keys:
+                    _run(spark, "dedup_ngram_jaccard", pert)
+                    wfh = _run(spark, "dedup_ngram_jaccard", pert)
+                    sweep.setdefault(
+                        "dedup_ngram_jaccard_perturbed_fasthash", {}
+                    )[copies] = wfh
+                    print(
+                        f"dedup_ngram_jaccard_perturbed_fasthash "
+                        f"({copies}x): {wfh}s",
+                        flush=True,
+                    )
             finally:
                 os.environ.pop("SPARK_GRAFT_FAST_HASH", None)
-            sweep.setdefault("dedup_winnowing_fasthash", {})[copies] = wfh
-            print(f"dedup_winnowing_fasthash ({copies}x): {wfh}s", flush=True)
         # the perturbed twin: same op, cross-copy shingle sharing
         # engineered away — the pure plan-growth path
         if "dedup_ngram_jaccard" in keys:
@@ -500,7 +683,8 @@ def main() -> None:
         # checkpoint the artifact after EVERY point: a crash at the
         # largest point (the 100x OOM that motivated this) must not
         # lose the completed ones
-        _emit(full, points, sweep, rows_by, bites, ibuilds, partial=copies)
+        _emit(full, points, sweep, rows_by, bites, ibuilds,
+              refresh=refresh_entry, partial=copies)
 
     # VERDICT r05 item 4 (tail settle): one extra perturbed-docs-ONLY
     # point at 3× the largest for dedup_ngram_jaccard — the
@@ -530,11 +714,12 @@ def main() -> None:
         print(f"dedup_ngram_jaccard_perturbed rows ({big}x): {n}", flush=True)
         shutil.rmtree(pert, ignore_errors=True)
 
-    _emit(full, points, sweep, rows_by, bites, ibuilds)
+    _emit(full, points, sweep, rows_by, bites, ibuilds, refresh=refresh_entry)
     spark.stop()
 
 
-def _emit(full, points, sweep, rows_by, bites, ibuilds, partial=None) -> None:
+def _emit(full, points, sweep, rows_by, bites, ibuilds, refresh=None,
+          partial=None) -> None:
     out = dict(full)
     out["sweep_points"] = points
     out["growth"] = {
@@ -558,6 +743,8 @@ def _emit(full, points, sweep, rows_by, bites, ibuilds, partial=None) -> None:
         for k, v in sweep.items()
     }
     out["cap_bites_by_copies"] = {str(c): b for c, b in bites.items()}
+    if refresh is not None:
+        out["index_refresh"] = refresh
     out["index_build_sec_by_copies"] = {str(c): v for c, v in ibuilds.items()}
     if partial is not None:
         out["partial_through_copies"] = partial
@@ -572,8 +759,13 @@ def _emit(full, points, sweep, rows_by, bites, ibuilds, partial=None) -> None:
         "copies share no shingles (the non-duplicate scaling path, "
         "word-token-exact perturbation, with one 3x-the-largest "
         "extra point); output_rows_by_copies separates true-duplicate "
-        "output growth from plan growth. dedup_winnowing_fasthash = "
-        "the same point under SPARK_GRAFT_FAST_HASH=1 (xxhash64). "
+        "output growth from plan growth. *_fasthash = the same point "
+        "under SPARK_GRAFT_FAST_HASH=1 (xxhash64) for every md5-bound "
+        "mining family (winnowing/ngram(+perturbed)/minhash-capped/"
+        "substring; winnowing from 10x for a 3-point fit). "
+        "index_refresh = +1-copy incremental refresh vs from-scratch "
+        "rebuild of the two heaviest shared indexes at the largest "
+        "point (identity pytest- and oracle-pinned). "
         "cap_bites: fat_rate = pre-split over-cap bucket fraction "
         "(split trigger), drop_rate = post-split residual sub-bucket "
         "drops (the actual recall loss, <=10% bar)."
