@@ -1459,27 +1459,24 @@ ORACLES["table_stats"] = "\nUNION ALL\n".join(
 
 # Winnowing (MOSS) fingerprint pairs: the identical per-doc selection
 # — dense k-gram md5 hashes, per-window min with rightmost tie — as
-# textops.dedup.winnowing_fingerprints, rebuilt with list lambdas
-# (list_reduce left-folds from the prepended sentinel exactly like
-# Spark's aggregate init), then the capped postings pair join.
+# textops.dedup.winnowing_fingerprints, rebuilt with list lambdas —
+# the (h, p) pair packed into ONE BIGINT key = h·2²⁵ + (2²⁵−1−p)
+# exactly as the Spark side does (min key = min h, ties to larger p =
+# rightmost-on-ties), so each window's argmin is a flat list_min and
+# h decodes with an integer shift; then the capped postings pair join.
 ORACLES["dedup_winnowing"] = """
 WITH hs AS (
   SELECT doc_id,
     list_transform(range(1, length(text) - 25 + 2),
-      p -> struct_pack(
-             h := ('0x' || substr(md5(substr(text, p::INTEGER, 25)), 1, 8))::BIGINT,
-             p := p::BIGINT)) AS hps
+      p -> ('0x' || substr(md5(substr(text, p::INTEGER, 25)), 1, 8))::BIGINT
+             * 33554432 + (33554432 - 1 - p)) AS hps
   FROM documents WHERE length(text) >= 25
 ),
 sel AS (
   SELECT doc_id,
     list_distinct(list_transform(
       range(1, greatest(2::BIGINT, len(hps)::BIGINT - 8 + 2)),
-      j -> list_reduce(
-             list_prepend(struct_pack(h := 8589934592::BIGINT, p := 0::BIGINT),
-                          list_slice(hps, j, j + 7)),
-             (acc, x) -> CASE WHEN x.h < acc.h OR (x.h = acc.h AND x.p > acc.p)
-                         THEN x ELSE acc END).h)) AS fps
+      j -> list_min(list_slice(hps, j, j + 7)) >> 25)) AS fps
   FROM hs
 ),
 fp AS (SELECT doc_id, unnest(fps) AS h FROM sel),

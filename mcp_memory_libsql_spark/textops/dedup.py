@@ -42,11 +42,20 @@ def _exploded_shingles(documents: DataFrame, n: int) -> DataFrame:
     before shingling: referencing the regexp tokenizer directly inside
     the shingle transform() lambda would re-evaluate it per array
     element (lambdas defeat codegen subexpression elimination; ~15×
-    slower at sf0.1)."""
-    toks = documents.select("doc_id", words(F.col("text")).alias("w"))
+    slower at sf0.1).
+
+    fan_out + explode_OUTER for the same reasons as
+    :func:`winnowing_fingerprints`: the scan of a small parquet file
+    is one task (row-group bound), and plain explode makes the
+    optimizer infer `size(shingles) > 0` and push the whole tokenizer
+    +shingle expression into that single-task scan filter — the map
+    side then evaluates it twice on one core. Short docs CAN produce
+    empty shingle arrays here, so outer explode needs the cheap
+    post-generate null filter to keep semantics identical."""
+    toks = fan_out(documents).select("doc_id", words(F.col("text")).alias("w"))
     return toks.select(
-        "doc_id", F.explode(word_shingles(F.col("w"), n)).alias("shingle")
-    )
+        "doc_id", F.explode_outer(word_shingles(F.col("w"), n)).alias("shingle")
+    ).where(F.col("shingle").isNotNull())
 
 
 def exact_groups(documents: DataFrame) -> DataFrame:
@@ -616,8 +625,12 @@ def substring_fingerprints(
             lambda s: F.md5(F.col("text").substr(s + F.lit(1), F.lit(width))),
         )
     )
-    return documents.where(F.length("text") >= width).select(
-        "doc_id", F.explode(hashes).alias("h")
+    # fan_out + explode_outer: see winnowing_fingerprints — the array
+    # is provably non-empty (length ≥ width ⇒ ≥ 1 window), and plain
+    # explode's inferred size-filter would re-evaluate the dense md5
+    # window hashing inside the single-task scan stage.
+    return fan_out(documents.where(F.length("text") >= width)).select(
+        "doc_id", F.explode_outer(hashes).alias("h")
     )
 
 
@@ -898,8 +911,29 @@ def cluster_size_histogram(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan before per-row-HEAVY compute (the dense
+    md5 gram hashing + window selection below): a small parquet file
+    arrives as one row-group = one task, serializing the whole map
+    side on a single core while the other 31 idle — measured 7.2s →
+    0.6s for the sf0.1 winnowing fingerprint stage. Repartitions ONLY
+    when the input is narrower than the session's parallelism: at
+    warehouse scale the text scan is already thousands of splits and
+    this is a no-op (adding an unconditional shuffle of the raw text
+    would be exactly the 100 TB mistake). The row-group bound is a
+    file-layout fact AQE cannot fix at runtime — it can split shuffle
+    partitions, not scan partitions."""
+    if df.isStreaming:  # micro-batch sources size their own splits
+        return df
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 WINNOW_K = 25  # char-gram length — 25 chars of agreement means real copying
 WINNOW_W = 8  # winnowing window: guarantees matches ≥ W+K-1 chars share a fingerprint
+WINNOW_POS_BITS = 25  # position bits in the packed (h,p) key → 33M-char doc bound
+WINNOW_POS_SCALE = 1 << WINNOW_POS_BITS
 
 
 def winnowing_fingerprints(
@@ -923,33 +957,34 @@ def winnowing_fingerprints(
     the gram hash is this op's dominant cost).
     """
     cnt = F.length("text") - k + 1
+    # (h, p) ENCODED INTO ONE BIGINT: key = h·S + (S−1−p). Minimizing
+    # the key minimizes h and breaks ties toward the LARGER p
+    # (rightmost-on-ties, the winnowing rule), so each window's
+    # argmin is a flat array_min over longs instead of a struct
+    # CASE-fold — the selection pass is this op's non-hash cost and
+    # the flat compare took the sf0.1 wall from ~10s to well under
+    # the r06 ≤8s bar. S = 2²⁵ bounds doc length at 33M chars
+    # (h < 2³² keeps h·S < 2⁵⁷, exact in BIGINT); the oracle uses the
+    # same constant.
+    S = WINNOW_POS_SCALE
     hps = F.transform(
         F.sequence(F.lit(1), cnt),
-        lambda p: F.struct(
-            md5_hash32(F.col("text").substr(p, F.lit(k))).alias("h"),
-            p.cast("bigint").alias("p"),
-        ),
-    )
-    # fold init: h above any 32-bit hash, so the first real gram wins
-    init = F.struct(
-        F.lit(1 << 33).cast("bigint").alias("h"),
-        F.lit(0).cast("bigint").alias("p"),
+        lambda p: md5_hash32(F.col("text").substr(p, F.lit(k))) * F.lit(S)
+        + (F.lit(S - 1) - p),
     )
 
     def winnow(arr):
-        def pick(j):
-            return F.aggregate(
-                F.slice(arr, j, w),
-                init,
-                lambda acc, x: F.when(
-                    (x["h"] < acc["h"])
-                    | ((x["h"] == acc["h"]) & (x["p"] > acc["p"])),
-                    x,
-                ).otherwise(acc),
-            )["h"]
-
         m = F.greatest(F.lit(1), F.size(arr) - w + 1)
-        return F.array_distinct(F.transform(F.sequence(F.lit(1), m), pick))
+        # decode h = key >> 25: exact integer shift — a double
+        # division would lose bits past 2⁵³ on these 2⁵⁷-range keys
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda j: F.shiftright(
+                    F.array_min(F.slice(arr, j, w)), WINNOW_POS_BITS
+                ),
+            )
+        )
 
     # Bind the dense gram array as a LAMBDA VARIABLE (single-element
     # transform) so it is evaluated ONCE per row. Referencing it as a
@@ -958,10 +993,17 @@ def winnowing_fingerprints(
     # ~n window lambdas — an O(n²) md5 blowup measured at 114s vs
     # ~2s for 500 docs at sf0.01.
     fps = F.transform(F.array(hps), winnow)[0]
-    sel = documents.where(F.length("text") >= k).select(
+    sel = fan_out(documents.where(F.length("text") >= k)).select(
         "doc_id", fps.alias("fps")
     )
-    return sel.select("doc_id", F.explode("fps").alias("h"))
+    # explode_OUTER, deliberately: plain explode makes the optimizer
+    # infer `size(fps) > 0 AND isnotnull(fps)` and push it through the
+    # projection BELOW the fan-out exchange — re-evaluating the entire
+    # md5+winnow expression twice per row inside the single-task scan
+    # stage (measured: the whole 10s wall was this). fps is never
+    # null/empty here (length ≥ k ⇒ ≥ 1 window), so outer semantics
+    # are identical and the inference rule can't fire.
+    return sel.select("doc_id", F.explode_outer("fps").alias("h"))
 
 
 def winnowing_pairs(
