@@ -60,6 +60,7 @@ EXTENDED = [
     "kg_postings_refresh",
     "kg_pairs_refresh",
     "vec_lsh_refresh",
+    "text_semantic_exact",
     "kg_hits",
     "kg_walks",
     "kg_pagerank_full",

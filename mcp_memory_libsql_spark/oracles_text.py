@@ -1769,3 +1769,42 @@ drops AS (
 SELECT doc_id, lang, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 """
+
+
+def _semantic_exact_oracle(
+    query_text: str = "hash join filter on the customer table"
+    " with vector scan window",
+    k: int = 10,
+    scale: int = 1 << 30,
+) -> str:
+    """text_semantic_exact: the same rational-weight retrieval built
+    from scratch in SQL — query tf from the IDENTICAL python-side
+    tokenization of the same literal, per-term contribution
+    (tf·qtf·2³⁰) // df², exact BIGINT sum, deterministic top-k."""
+    import re
+
+    q: dict[str, int] = {}
+    for tok in re.findall("[a-z0-9]+", query_text.lower()):
+        q[tok] = q.get(tok, 0) + 1
+    values = ", ".join(f"('{t}', {n})" for t, n in sorted(q.items()))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+q(token, qtf) AS (VALUES {values}),
+c AS (
+  SELECT doc_id, (tf * qtf * {scale}) // (df * df) AS c
+  FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(c) AS BIGINT) AS score_scaled
+FROM c GROUP BY doc_id
+ORDER BY score_scaled DESC, doc_id
+LIMIT {k}
+"""
+
+
+ORACLES["text_semantic_exact"] = _semantic_exact_oracle()

@@ -1017,7 +1017,7 @@ def q_text_semantic_search(spark, sf_dir):
     pipeline, doc_vecs = _tfidf_index(spark, sf_dir)
     return embed.semantic_search(
         t["documents"],
-        "government documents about tax accounts and economic policy",
+        "hash join filter on the customer table with vector scan window",
         k=10,
         pipeline=pipeline,
         doc_vecs=doc_vecs,
@@ -2657,4 +2657,21 @@ def q_vec_lsh_refresh(spark, sf_dir):
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("table_id").cast("bigint").alias("table_id"),
         F.col("sig").cast("bigint").alias("sig"),
+    )
+
+
+@query("text_semantic_exact")
+def q_text_semantic_exact(spark, sf_dir):
+    # integer-exact sparse-retrieval twin of text_semantic_search
+    # (vector/embed.semantic_search_exact): rational tf/df weights,
+    # per-term integer quantization before the sum — the embed+score
+    # path under the hash gate; the MLlib cosine serving stays
+    # rows-only. FULL oracle.
+    from .vector import embed
+
+    t = load_tables(spark, sf_dir)
+    return embed.semantic_search_exact(
+        t["documents"],
+        "hash join filter on the customer table with vector scan window",
+        k=10,
     )

@@ -497,3 +497,28 @@ def test_pq_distortion_profile_consistent(spark, sf_dir):
         for r in prof
     }
     assert got == want
+
+
+def test_semantic_search_exact_self_retrieval(spark):
+    """The integer-exact retrieval twin must rank the document that
+    IS the query first, and score docs sharing no query term not at
+    all; contributions are integer-quantized so the score is an exact
+    BIGINT in both engines (the parity suite pins the cross-engine
+    hash)."""
+    from mcp_memory_libsql_spark.vector.embed import semantic_search_exact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta unrelated words here"),
+            (3, "totally different content entirely"),
+            (4, "alpha alpha alpha spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    out = semantic_search_exact(docs, "alpha beta gamma delta", k=4).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1  # the verbatim match wins
+    assert 3 not in ids  # no shared term, no score
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n_terms == 4 and by_id[2].n_terms == 2
