@@ -322,6 +322,67 @@ def index_refresh_point(spark, dst: str, copies: int) -> dict:
     }
 
 
+def suggestion_recall(spark, k: int = 25) -> dict:
+    """Member-level cost of NEIGHBOR_CAP hub suppression (VERDICT r06
+    item 4): both suggestion feeds recomputed UNCAPPED on the
+    driver-provided sf0.01 corpus — small enough that the true hubs'
+    C(w,2) explode is feasible (~28M pairs), so this is a genuine
+    uncapped ground truth, not a bigger cap — and recall@k of the
+    default capped feed measured against it. For the Jaccard feed the
+    readout also counts how many truth pairs share ONLY hub neighbors
+    (width > cap): uncapped, two degree-1 entities whose sole common
+    neighbor is a nation hub score J = 1.0 — the exact noise class
+    the cap exists to suppress (and the reason the RA feed weights
+    shared neighbors by 1/deg)."""
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.kg import similarity as sim
+    from mcp_memory_libsql_spark.kg import views as kg_views
+
+    sf_dir = "/root/testdata/sf0.01"
+    g = kg_views.kg(load_tables(spark, sf_dir))
+    rel = g["relations"].persist()
+    big = 1 << 30
+    out: dict = {"corpus": sf_dir, "k": k, "cap": sim.NEIGHBOR_CAP}
+    feeds = {
+        "jaccard_feed": sim.suggest_relations,
+        "ra_feed": sim.suggest_relations_weighted,
+    }
+    truth_sets = {}
+    for name, fn in feeds.items():
+        capped = {(r[0], r[1]) for r in fn(rel, k=k).collect()}
+        truth = {(r[0], r[1]) for r in fn(rel, k=k, cap=big).collect()}
+        truth_sets[name] = truth
+        out[name] = {
+            "recall_at_k": round(len(capped & truth) / max(len(truth), 1), 4)
+        }
+    # diagnostic: truth pairs whose every shared neighbor is a hub
+    tp = spark.createDataFrame(
+        sorted(truth_sets["jaccard_feed"]), "a string, b string"
+    )
+    und = sim.undirected_neighbors(rel)
+    non_hub = (
+        und.groupBy("nbr")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") <= sim.NEIGHBOR_CAP)
+        .select("nbr")
+    )
+    na = und.select(F.col("name").alias("a"), "nbr")
+    nb = und.select(F.col("name").alias("b"), "nbr")
+    with_signal = (
+        tp.join(na, "a")
+        .join(nb, ["b", "nbr"])
+        .join(non_hub, "nbr", "leftsemi")
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    n_truth = len(truth_sets["jaccard_feed"])
+    out["jaccard_feed"]["truth_pairs_hub_only"] = n_truth - with_signal
+    out["jaccard_feed"]["truth_pairs_total"] = n_truth
+    rel.unpersist()
+    return out
+
+
 def cap_bites(spark, sf_dir: str) -> dict:
     """Measured recall cost of every skew cap at this corpus size.
 
@@ -516,6 +577,9 @@ def main() -> None:
     ibuilds: dict[int, float] = {}
     full: dict = {}
     refresh_entry: dict | None = None
+    # member-level hub-suppression readout — driver testdata, one-time
+    sugg = suggestion_recall(spark)
+    print(f"suggestion recall: {json.dumps(sugg)}", flush=True)
     # LARGEST point first: the per-point checkpoint then carries the
     # scale-relevant (judged) point even if a later point crashes or
     # the round clock runs out — the failure mode that matters is
@@ -684,7 +748,7 @@ def main() -> None:
         # largest point (the 100x OOM that motivated this) must not
         # lose the completed ones
         _emit(full, points, sweep, rows_by, bites, ibuilds,
-              refresh=refresh_entry, partial=copies)
+              refresh=refresh_entry, sugg=sugg, partial=copies)
 
     # VERDICT r05 item 4 (tail settle): one extra perturbed-docs-ONLY
     # point at 3× the largest for dedup_ngram_jaccard — the
@@ -714,12 +778,13 @@ def main() -> None:
         print(f"dedup_ngram_jaccard_perturbed rows ({big}x): {n}", flush=True)
         shutil.rmtree(pert, ignore_errors=True)
 
-    _emit(full, points, sweep, rows_by, bites, ibuilds, refresh=refresh_entry)
+    _emit(full, points, sweep, rows_by, bites, ibuilds,
+          refresh=refresh_entry, sugg=sugg)
     spark.stop()
 
 
 def _emit(full, points, sweep, rows_by, bites, ibuilds, refresh=None,
-          partial=None) -> None:
+          sugg=None, partial=None) -> None:
     out = dict(full)
     out["sweep_points"] = points
     out["growth"] = {
@@ -745,6 +810,8 @@ def _emit(full, points, sweep, rows_by, bites, ibuilds, refresh=None,
     out["cap_bites_by_copies"] = {str(c): b for c, b in bites.items()}
     if refresh is not None:
         out["index_refresh"] = refresh
+    if sugg is not None:
+        out["suggestion_recall"] = sugg
     out["index_build_sec_by_copies"] = {str(c): v for c, v in ibuilds.items()}
     if partial is not None:
         out["partial_through_copies"] = partial
