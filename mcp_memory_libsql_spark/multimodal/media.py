@@ -339,7 +339,14 @@ def encode_media(documents: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    return documents.select("doc_id", "text", "n_chars").mapInPandas(
+    # fan_out: the encoder is the heaviest per-row step in the media
+    # family, and a small documents parquet arrives as ONE scan task
+    # (row-group bound) — every downstream decode/feature op would
+    # inherit the single-partition layout through mapInPandas. No-op
+    # when the scan is already wide (io/layout.fan_out).
+    from ..io.layout import fan_out
+
+    return fan_out(documents.select("doc_id", "text", "n_chars")).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
