@@ -65,6 +65,22 @@ def _hint(df: DataFrame, n: int) -> DataFrame:
     return F.broadcast(df) if n <= BROADCAST_KEY_MAX else df
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Reliable (disk-backed) eager checkpoint: truncates lineage like
+    localCheckpoint — without it the nested intermediates multiply into
+    a ~10⁸-char analyzed plan — but the blocks are FILES in the
+    checkpoint dir, so executor storage eviction can never lose them
+    (localCheckpoint's fatal failure mode under bench-scale memory
+    pressure). Sets a per-process temp checkpoint dir on first use if
+    the session has none (the vanilla driver sessions don't)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_refresh_ckpt_"))
+    return df.checkpoint(eager=True)
+
+
 def _edges(und: DataFrame) -> DataFrame:
     """Bidirectional (name, nbr) stream of an a<b undirected artifact
     — ``name`` is the member entity, ``nbr`` the postings group key
@@ -107,11 +123,22 @@ def refresh_neighbor_index(
     only consumers). Pass ``old_sizes`` — the (nid, sz) table the
     registry persists next to the postings — to skip the one O(E)
     explode-rollup this function otherwise derives it with."""
-    d_new = delta_undirected(old_und, delta_relations).localCheckpoint(eager=True)
+    # RELIABLE checkpoints (disk-backed via _ckpt), deliberately not
+    # localCheckpoint and not persist: these intermediates nest inside
+    # one another (dsz → sizes → rw_rows → scored_pairs → merge), so
+    # WITHOUT lineage truncation the final pair plan multiplies the
+    # shared subtrees into a ~10⁸-char tree (measured: 97k Exchange
+    # nodes, OOM at analysis time) — and WITH localCheckpoint the
+    # blocks are non-recomputable, so a storage-pressure eviction at
+    # bench scale died with "Block rdd_N does not exist". A reliable
+    # checkpoint cuts lineage AND survives eviction (the files live in
+    # the checkpoint dir until session exit). The broadcast-gate
+    # counts below read the materialized files.
+    d_new = _ckpt(delta_undirected(old_und, delta_relations))
     und_merged = old_und.unionByName(d_new)
 
     # groups gaining members = both endpoints of every new edge
-    affected = _edges(d_new).select("nbr").distinct().localCheckpoint(eager=True)
+    affected = _ckpt(_edges(d_new).select("nbr").distinct())
     n_aff = affected.count()
 
     # old surviving membership of the affected groups (absent row =
@@ -132,13 +159,12 @@ def refresh_neighbor_index(
     )
     # net per-entity index-size change: retained members cancel (+1/−1),
     # new members +1, members of cap-crossing groups −1
-    dsz = (
+    dsz = _ckpt(
         new_aff.select("nid", F.lit(1).alias("d"))
         .unionByName(old_aff.select("nid", F.lit(-1).alias("d")))
         .groupBy("nid")
         .agg(F.sum("d").alias("dsz"))
         .where(F.col("dsz") != 0)
-        .localCheckpoint(eager=True)
     )
     n_ch = dsz.count()
 
@@ -159,7 +185,7 @@ def refresh_neighbor_index(
         .join(old_postings.select("nbr"), "nbr", "leftsemi")
     )
     rewrite = (
-        affected.unionByName(ch_groups).distinct().localCheckpoint(eager=True)
+        _ckpt(affected.unionByName(ch_groups).distinct())
     )
     n_rw = rewrite.count()
 
@@ -206,7 +232,7 @@ def refresh_neighbor_index(
     if old_pairs is not None:
         # two consumers (postings output + the new-contribution
         # explode below) — pin the rebuilt groups
-        rw_rows = rw_rows.localCheckpoint(eager=True)
+        rw_rows = _ckpt(rw_rows)
     postings_merged = old_postings.join(
         _hint(rewrite, n_rw), "nbr", "left_anti"
     ).unionByName(rw_rows)
@@ -243,8 +269,8 @@ def refresh_neighbor_index(
                 F.sum("d_common").alias("d_common"),
                 F.sum("d_ra").alias("d_ra"),
             )
-            .localCheckpoint(eager=True)
         )
+        delta_agg = _ckpt(delta_agg)
         n_keys = delta_agg.count()
         keys = delta_agg.select("na", "nb")
         # untouched pairs pass through on ONE scan (map-side anti join

@@ -68,6 +68,13 @@ _LSH_DIRS: dict[tuple[str, str], str] = {}
 # one level above the signatures, like the KG scored-pair stream):
 # four dedup surfaces consume the identical pair set.
 _LSH_PAIR_DIRS: dict[tuple[str, str], str] = {}
+# Base-split artifacts for the incremental-refresh oracle twins
+# (kg_postings_refresh / kg_pairs_refresh): the 80%% base build written
+# ONCE per (session, sf_dir) and read back from parquet — disk-backed
+# exactly like the production old-index the refresh consumes, and zero
+# driver-heap residency (a persisted pair stream OOM'd the vanilla 1g
+# gate session).
+_REFRESH_BASE_DIRS: dict[tuple[str, str], str] = {}
 # One re-entrant guard for every check-then-build index cache above:
 # without it, two threads racing the same (appId, sf_dir) key would
 # both write parquet and one tempdir would clobber the other's dict
@@ -92,7 +99,8 @@ def _evict_stale(app_id: str) -> None:
     for cache in (_KG_CACHE, _TFIDF_CACHE, _LPA_CACHE, _EMB_COUNTS):
         for k in [k for k in cache if k[0] != app_id]:
             del cache[k]
-    for dirs in (_KG_DIRS, _NBR_DIRS, _LSH_DIRS, _LSH_PAIR_DIRS):
+    for dirs in (_KG_DIRS, _NBR_DIRS, _LSH_DIRS, _LSH_PAIR_DIRS,
+                 _REFRESH_BASE_DIRS):
         for k in [k for k in dirs if k[0] != app_id]:
             shutil.rmtree(dirs.pop(k), ignore_errors=True)
 
@@ -100,7 +108,8 @@ def _evict_stale(app_id: str) -> None:
 def _cleanup_index_dirs() -> None:
     import shutil
 
-    for dirs in (_KG_DIRS, _NBR_DIRS, _LSH_DIRS, _LSH_PAIR_DIRS):
+    for dirs in (_KG_DIRS, _NBR_DIRS, _LSH_DIRS, _LSH_PAIR_DIRS,
+                 _REFRESH_BASE_DIRS):
         for path in dirs.values():
             shutil.rmtree(path, ignore_errors=True)
         dirs.clear()
@@ -2549,6 +2558,51 @@ def _refresh_split(rel):
     return rel.where(~is_delta), rel.where(is_delta)
 
 
+def _refresh_base(spark: SparkSession, sf_dir: str):
+    """Disk-backed BASE-split artifacts for the refresh twins:
+    (postings, names, pairs, und) of the md5-bucketed 80%% slice plus
+    the 20%% delta slice, built once per (session, sf_dir) and read
+    back from parquet — the exact shape of the production old index
+    (and heap-free: the gate session runs with a 1g vanilla driver)."""
+    import tempfile
+
+    from .kg import similarity
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _INDEX_LOCK:
+        _evict_stale(key[0])
+        if key not in _REFRESH_BASE_DIRS:
+            path = tempfile.mkdtemp(prefix="spark_refresh_base_")
+            g, _ = _kg(spark, sf_dir)
+            base, delta = _refresh_split(g["relations"])
+            postings, names = similarity.neighbor_postings(base)
+            postings.write.mode("overwrite").parquet(path + "/postings")
+            names.write.mode("overwrite").parquet(path + "/names")
+            similarity.scored_pairs(
+                spark.read.parquet(path + "/postings")
+            ).write.mode("overwrite").parquet(path + "/pairs")
+            (
+                base.where(F.col("source") != F.col("target"))
+                .select(
+                    F.least("source", "target").alias("a"),
+                    F.greatest("source", "target").alias("b"),
+                )
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(path + "/und")
+            )
+            delta.write.mode("overwrite").parquet(path + "/delta")
+            _REFRESH_BASE_DIRS[key] = path
+        p = _REFRESH_BASE_DIRS[key]
+    return (
+        spark.read.parquet(p + "/postings"),
+        spark.read.parquet(p + "/names"),
+        spark.read.parquet(p + "/pairs"),
+        spark.read.parquet(p + "/und"),
+        spark.read.parquet(p + "/delta"),
+    )
+
+
 @query("kg_postings_refresh")
 def q_kg_postings_refresh(spark, sf_dir):
     # incremental neighbor-index maintenance (kg/refresh.py): build
@@ -2559,22 +2613,7 @@ def q_kg_postings_refresh(spark, sf_dir):
     from .kg import refresh as kgr
     from .kg import similarity
 
-    g, _ = _kg(spark, sf_dir)
-    base, delta = _refresh_split(g["relations"])
-    postings, names = similarity.neighbor_postings(base)
-    # the refresh reads each old artifact several times (anti/semi/
-    # size derivation) — pin them, exactly like the disk-backed
-    # artifacts the production path reads
-    postings = postings.localCheckpoint(eager=True)
-    und = (
-        base.where(F.col("source") != F.col("target"))
-        .select(
-            F.least("source", "target").alias("a"),
-            F.greatest("source", "target").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    postings, names, pairs, und, delta = _refresh_base(spark, sf_dir)
     new_p, new_n, _, _ = kgr.refresh_neighbor_index(
         postings, names, None, und, delta
     )
@@ -2596,20 +2635,7 @@ def q_kg_pairs_refresh(spark, sf_dir):
     from .kg import refresh as kgr
     from .kg import similarity
 
-    g, _ = _kg(spark, sf_dir)
-    base, delta = _refresh_split(g["relations"])
-    postings, names = similarity.neighbor_postings(base)
-    postings = postings.localCheckpoint(eager=True)
-    pairs = similarity.scored_pairs(postings).localCheckpoint(eager=True)
-    und = (
-        base.where(F.col("source") != F.col("target"))
-        .select(
-            F.least("source", "target").alias("a"),
-            F.greatest("source", "target").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    postings, names, pairs, und, delta = _refresh_base(spark, sf_dir)
     _, new_n, new_pairs, _ = kgr.refresh_neighbor_index(
         postings, names, pairs, und, delta
     )
