@@ -143,9 +143,13 @@ def pagerank(relations: DataFrame, iterations: int = 5, damping: float = 0.85) -
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0).cast("double"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    # rank map is O(V) ≪ O(E): same gated broadcast as pagerank_full
+    # (the checkpointed map has no stats, so the planner otherwise
+    # shuffles the edge side every round)
+    hint = broadcast if n_nodes <= BROADCAST_LABEL_MAX else (lambda df: df)
     for _ in range(iterations):
         contribs = (
-            edges_w.join(ranks, edges_w["source"] == ranks["name"])
+            edges_w.join(hint(ranks), edges_w["source"] == ranks["name"])
             .select(
                 F.col("target").alias("name"),
                 (F.col("rank") / F.col("out_degree")).alias("contrib"),
@@ -198,12 +202,17 @@ def hits(relations: DataFrame, iterations: int = 2) -> DataFrame:
         .distinct()
         .persist()
     )
+    # score maps are O(V) ≪ O(E): same gated broadcast as
+    # pagerank_full — checkpointed maps carry no stats, so without the
+    # hint the planner shuffles the edge side twice per round
+    n_nodes = nodes.count()
+    hint = broadcast if n_nodes <= BROADCAST_LABEL_MAX else (lambda df: df)
     hubs = nodes.withColumn("h", F.lit(1).cast("bigint"))
     auths = None
     for _ in range(iterations):
         # authority(v) = Σ h(u) over in-edges (u, v)
         auths = (
-            edges.join(hubs, edges["source"] == hubs["name"])
+            edges.join(hint(hubs), edges["source"] == hubs["name"])
             .groupBy(F.col("target").alias("name"))
             .agg(F.sum("h").alias("a"))
         )
@@ -212,7 +221,7 @@ def hits(relations: DataFrame, iterations: int = 2) -> DataFrame:
         )
         # hub(u) = Σ a(v) over out-edges (u, v), from THIS round's a
         hubs = (
-            edges.join(auths, edges["target"] == auths["name"])
+            edges.join(hint(auths), edges["target"] == auths["name"])
             .groupBy(F.col("source").alias("name"))
             .agg(F.sum("a").alias("h"))
         )
@@ -252,9 +261,14 @@ def connected_components(relations: DataFrame, max_iter: int = 50) -> DataFrame:
     labels = edges.select(F.col("a").alias("name")).distinct().withColumn(
         "component", F.col("name")
     )
+    # component map is O(V) ≪ O(E): same gated broadcast as
+    # pagerank_full (the checkpointed map has no stats, so the planner
+    # otherwise shuffles the edge side every round)
+    n_nodes = labels.count()
+    hint = broadcast if n_nodes <= BROADCAST_LABEL_MAX else (lambda df: df)
     for _ in range(max_iter):
         neighbor_min = (
-            edges.join(labels, edges["a"] == labels["name"])
+            edges.join(hint(labels), edges["a"] == labels["name"])
             .groupBy(F.col("b").alias("name"))
             .agg(F.min("component").alias("nbr_component"))
         )
@@ -508,15 +522,21 @@ def k_core(relations: DataFrame, k: int = 3, max_iter: int = 20) -> DataFrame:
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     live = sym  # (a, b) adjacency of the current induced subgraph
+    # keep-set is O(V) ≪ O(E) and only shrinks while peeling: gate the
+    # per-round broadcast on the INITIAL node count (an upper bound
+    # for every round), same rationale as pagerank_full's rank map —
+    # without the hint both induced-subgraph joins shuffle live edges
+    n_nodes = sym.select("a").distinct().count()
+    hint = broadcast if n_nodes <= BROADCAST_LABEL_MAX else (lambda df: df)
     prev_rows = None  # unknown until the first materialization
     for _ in range(max_iter):
         deg = live.groupBy("a").agg(F.count("*").alias("core_degree"))
         keep = deg.where(F.col("core_degree") >= k)
         obs = Observation()
         nxt = (
-            live.join(keep.select("a"), "a")
+            live.join(hint(keep.select("a")), "a")
             .join(
-                keep.select(F.col("a").alias("b")),
+                hint(keep.select(F.col("a").alias("b"))),
                 "b",
             )
             .observe(obs, F.count(F.lit(1)).alias("rows"))
@@ -693,7 +713,9 @@ def personalized_pagerank(
         edges.select(F.col("source").alias("name"))
         .unionByName(edges.select(F.col("target").alias("name")))
         .distinct()
+        .persist()
     )
+    n_nodes = nodes.count()  # gates the per-round rank-map broadcast
     seed_nodes = seeds.select("name").distinct().join(nodes, "name")
     n_seeds = seed_nodes.count()  # scalar — sizes the teleport term
     if n_seeds == 0:
@@ -718,9 +740,13 @@ def personalized_pagerank(
             F.lit(0.0)
         ),
     )
+    # rank map is O(V) ≪ O(E): same gated broadcast as pagerank_full
+    # (6.4s → 4.4s there; the checkpointed map has no stats, so the
+    # planner otherwise shuffles the edge side every round)
+    hint = broadcast if n_nodes <= BROADCAST_LABEL_MAX else (lambda df: df)
     for _ in range(iterations):
         contribs = (
-            edges_w.join(ranks, edges_w["source"] == ranks["name"])
+            edges_w.join(hint(ranks), edges_w["source"] == ranks["name"])
             .select(
                 F.col("target").alias("name"),
                 (F.col("rank") / F.col("out_degree")).alias("contrib"),
@@ -762,9 +788,15 @@ def label_propagation(relations: DataFrame, iterations: int = 4) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("name"))
     )
+    # label map is O(V) ≪ O(E): same gated broadcast as pagerank_full
+    # (the checkpointed map has no stats, so the planner otherwise
+    # shuffles the edge side every round — this is the LPA index
+    # build, the heaviest growing line in the rehearsal's build wall)
+    n_nodes = labels.count()
+    hint = broadcast if n_nodes <= BROADCAST_LABEL_MAX else (lambda df: df)
     for _ in range(iterations):
         counts = (
-            edges.join(labels, edges["a"] == labels["name"])
+            edges.join(hint(labels), edges["a"] == labels["name"])
             .groupBy(F.col("b").alias("name"), "label")
             .agg(F.count("*").alias("c"))
         )
