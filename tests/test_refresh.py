@@ -116,14 +116,14 @@ def test_nbr_refresh_type_collapse_and_growth(spark):
 
 
 def test_nbr_refresh_real_graph(spark, sf_dir):
-    """80/20 md5 split of the real KG relations — the registry twin's
+    """95/5 md5 split of the real KG relations — the registry twin's
     exact shape, asserted within-engine over all four artifacts."""
     from mcp_memory_libsql_spark.textops.tokenize import md5_hash32
 
     g = kg_views.kg(load_tables(spark, sf_dir))
     rel = g["relations"]
     key = F.concat_ws("|", "source", "target", "relation_type")
-    is_delta = F.pmod(md5_hash32(key), F.lit(5)) == 0
+    is_delta = F.pmod(md5_hash32(key), F.lit(20)) == 0
     base, delta = rel.where(~is_delta), rel.where(is_delta)
 
     old_p, old_n = neighbor_postings(base)
