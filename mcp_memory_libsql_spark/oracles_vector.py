@@ -100,6 +100,30 @@ SELECT vec_id,
 FROM m
 """
 
+# Integer-exact X^T X upper triangle (vector/pca.gram_exact): the
+# same quantize-once BIGINT recipe as vec_quantize_int8
+# (floor(x·2^20 + 0.5) — half-up spelled as floor, bit-identical
+# across engines), then exact product sums. The oracle takes the
+# self-join path where the Spark side explodes per-row products —
+# identical integers either way.
+ORACLES["vec_gram_exact"] = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+           AS qe
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, generate_subscripts(qe, 1) - 1 AS i, unnest(qe) AS qv
+  FROM q
+)
+SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+       CAST(SUM(a.qv * b.qv) AS BIGINT) AS gram
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2
+"""
+
 # Doc↔embedding bridge rollups (analytics/bridge.py): 1:1 join on
 # doc_id = vec_id, then per-lang / per-label audits.
 ORACLES["bridge_lang_stats"] = """

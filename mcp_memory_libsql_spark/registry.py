@@ -1359,6 +1359,19 @@ def q_vec_pca(spark, sf_dir):
     return pca.pca_projection(t["embeddings"], k=8)
 
 
+@query("vec_gram_exact")
+def q_vec_gram_exact(spark, sf_dir):
+    # integer-exact X^T X upper triangle (vector/pca.gram_exact):
+    # the distributed half of vec_pca's sufficient statistic under
+    # the hash gate (quantize once to BIGINT, exact product sums; the
+    # rows-only part of PCA shrinks to the driver-side eigensolve).
+    # FULL oracle.
+    from .vector import pca
+
+    t = load_tables(spark, sf_dir)
+    return pca.gram_exact(t["embeddings"])
+
+
 @query("events_heavy_hitters_cms")
 def q_events_heavy_hitters_cms(spark, sf_dir):
     from .analytics import sketches

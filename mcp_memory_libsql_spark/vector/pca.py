@@ -126,3 +126,50 @@ def pca_projection(embeddings: DataFrame, k: int = 8) -> DataFrame:
         F.round(F.col("pc")[0], 6).alias("pc1"),
         F.round(F.col("pc")[1], 6).alias("pc2"),
     )
+
+
+def gram_exact(embeddings: DataFrame, scale_bits: int = 20) -> DataFrame:
+    """(i, j, gram) — integer-exact upper-triangle second-moment
+    matrix of the corpus: coordinates quantized once to BIGINT
+    (floor(x·2^scale_bits + 0.5) — the vector/quant.py rounding
+    discipline, bit-identical across engines), then gram(i,j) =
+    Σ_v q_i(v)·q_j(v) as an exact BIGINT sum. This is the distributed
+    half of :func:`fit_pca`'s sufficient statistic (X^T X) under the
+    hash gate — the driver-side eigensolve is deterministic LAPACK,
+    so gating the accumulation is what proves the DISTRIBUTED part.
+
+    Scale: no join — each row expands to its own d(d+1)/2 products
+    in one narrow lambda (flatten(transform(...slice...))), and the
+    groupBy's map-side partial aggregation collapses every partition
+    to ≤ d(d+1)/2 rows before the exchange, so the shuffle is ~2080
+    rows per partition regardless of corpus size. Overflow headroom:
+    |x| < 1 in this corpus → product < 2^40, so BIGINT holds the sum
+    beyond 2^22 vectors; shrink scale_bits if your corpus is larger
+    or wider-valued.
+    """
+    s = float(1 << scale_bits)
+    q = embeddings.select(
+        F.expr(
+            f"transform(embedding, x ->"
+            f" CAST(floor(CAST(x AS DOUBLE) * {s} + 0.5) AS BIGINT))"
+        ).alias("qe")
+    )
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(qe, (qi, i) ->"
+                " transform(slice(qe, i + 1, size(qe) - i), (qj, k) ->"
+                " struct(i AS i, i + k AS j, qi * qj AS p))))"
+            )
+        ).alias("t")
+    )
+    return (
+        pairs.select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("gram"))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.col("gram").cast("bigint").alias("gram"),
+        )
+    )

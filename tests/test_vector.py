@@ -522,3 +522,27 @@ def test_semantic_search_exact_self_retrieval(spark):
     assert 3 not in ids  # no shared term, no score
     by_id = {r.doc_id: r for r in out}
     assert by_id[1].n_terms == 4 and by_id[2].n_terms == 2
+
+
+def test_gram_exact_matches_numpy(spark, sf_dir):
+    """gram_exact ≡ the numpy integer computation on the real corpus:
+    quantize with the same floor(x·2^20 + 0.5), accumulate X^T X in
+    int64, compare every upper-triangle cell — proves the explode +
+    partial-agg plan computes the exact sufficient statistic
+    fit_pca's float path approximates."""
+    import numpy as np
+
+    from mcp_memory_libsql_spark.io.tables import load_table
+    from mcp_memory_libsql_spark.vector.pca import gram_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("embedding").collect()
+    x = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    q = np.floor(x * (1 << 20) + 0.5).astype(np.int64)
+    want = q.T @ q  # d×d, exact in int64 at this corpus size
+    got = {(r.i, r.j): r.gram for r in gram_exact(emb).collect()}
+    d = x.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for i in range(d):
+        for j in range(i, d):
+            assert got[(i, j)] == want[i, j], (i, j)
