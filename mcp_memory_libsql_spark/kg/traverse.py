@@ -146,7 +146,7 @@ def pagerank(relations: DataFrame, iterations: int = 5, damping: float = 0.85) -
     # rank map is O(V) ≪ O(E): same gated broadcast as pagerank_full
     # (the checkpointed map has no stats, so the planner otherwise
     # shuffles the edge side every round)
-    hint = broadcast if n_nodes <= BROADCAST_LABEL_MAX else (lambda df: df)
+    hint = broadcast if n_nodes <= BROADCAST_LOOP_MAX else (lambda df: df)
     for _ in range(iterations):
         contribs = (
             edges_w.join(hint(ranks), edges_w["source"] == ranks["name"])
@@ -206,7 +206,7 @@ def hits(relations: DataFrame, iterations: int = 2) -> DataFrame:
     # pagerank_full — checkpointed maps carry no stats, so without the
     # hint the planner shuffles the edge side twice per round
     n_nodes = nodes.count()
-    hint = broadcast if n_nodes <= BROADCAST_LABEL_MAX else (lambda df: df)
+    hint = broadcast if n_nodes <= BROADCAST_LOOP_MAX else (lambda df: df)
     hubs = nodes.withColumn("h", F.lit(1).cast("bigint"))
     auths = None
     for _ in range(iterations):
@@ -265,7 +265,7 @@ def connected_components(relations: DataFrame, max_iter: int = 50) -> DataFrame:
     # pagerank_full (the checkpointed map has no stats, so the planner
     # otherwise shuffles the edge side every round)
     n_nodes = labels.count()
-    hint = broadcast if n_nodes <= BROADCAST_LABEL_MAX else (lambda df: df)
+    hint = broadcast if n_nodes <= BROADCAST_LOOP_MAX else (lambda df: df)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(hint(labels), edges["a"] == labels["name"])
@@ -387,6 +387,16 @@ TRIANGLE_DEG_CAP = 64
 # practical executor/driver broadcast ceiling. Beyond it the label
 # joins fall back to the planner's shuffle strategy.
 BROADCAST_LABEL_MAX = 10_000_000
+# Tighter gate for PER-ROUND broadcasts inside iterative loops
+# (PageRank/HITS/components/k-core/LPA): successive rounds' broadcast
+# hash relations coexist in executor heaps until the old plans are
+# GC'd, so an N-round loop can hold ~N live relations where a one-shot
+# broadcast (modularity's label map) holds one. 2M rows ≈ 200-300 MB
+# hashed — a few of those fit any sane executor heap; 10M × several
+# rounds OOM'd the 8g local rehearsal driver at the 100× point (4M
+# nodes), which is exactly the hazard a 1000-executor cluster would
+# hit per-executor.
+BROADCAST_LOOP_MAX = 2_000_000
 
 
 def triangle_stats(relations: DataFrame, cap: int = TRIANGLE_DEG_CAP) -> DataFrame:
@@ -527,7 +537,7 @@ def k_core(relations: DataFrame, k: int = 3, max_iter: int = 20) -> DataFrame:
     # for every round), same rationale as pagerank_full's rank map —
     # without the hint both induced-subgraph joins shuffle live edges
     n_nodes = sym.select("a").distinct().count()
-    hint = broadcast if n_nodes <= BROADCAST_LABEL_MAX else (lambda df: df)
+    hint = broadcast if n_nodes <= BROADCAST_LOOP_MAX else (lambda df: df)
     prev_rows = None  # unknown until the first materialization
     for _ in range(max_iter):
         deg = live.groupBy("a").agg(F.count("*").alias("core_degree"))
@@ -743,7 +753,7 @@ def personalized_pagerank(
     # rank map is O(V) ≪ O(E): same gated broadcast as pagerank_full
     # (6.4s → 4.4s there; the checkpointed map has no stats, so the
     # planner otherwise shuffles the edge side every round)
-    hint = broadcast if n_nodes <= BROADCAST_LABEL_MAX else (lambda df: df)
+    hint = broadcast if n_nodes <= BROADCAST_LOOP_MAX else (lambda df: df)
     for _ in range(iterations):
         contribs = (
             edges_w.join(hint(ranks), edges_w["source"] == ranks["name"])
@@ -793,7 +803,7 @@ def label_propagation(relations: DataFrame, iterations: int = 4) -> DataFrame:
     # shuffles the edge side every round — this is the LPA index
     # build, the heaviest growing line in the rehearsal's build wall)
     n_nodes = labels.count()
-    hint = broadcast if n_nodes <= BROADCAST_LABEL_MAX else (lambda df: df)
+    hint = broadcast if n_nodes <= BROADCAST_LOOP_MAX else (lambda df: df)
     for _ in range(iterations):
         counts = (
             edges.join(hint(labels), edges["a"] == labels["name"])
@@ -1261,14 +1271,14 @@ def pagerank_full(
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0).cast("double"))
     # rank map is O(V) ≪ O(E): broadcast it into the per-round edge
-    # join EXPLICITLY, gated on the measured node count exactly like
-    # community_modularity's label map — the checkpointed rank RDD has
-    # no stats, so without the hint the planner shuffles the 1.2M-row
-    # edge side every round (measured 6.4s → 4.4s at sf0.1, values
-    # identical). Past the gate the planner's shuffle join returns —
-    # an unconditional O(V) broadcast is a memory hazard at the
-    # extreme-V scale this module aims for.
-    hint = broadcast if n_nodes <= BROADCAST_LABEL_MAX else (lambda df: df)
+    # join EXPLICITLY, gated on the measured node count — the
+    # checkpointed rank RDD has no stats, so without the hint the
+    # planner shuffles the 1.2M-row edge side every round (measured
+    # 6.4s → 4.4s at sf0.1, values identical). The LOOP gate (see
+    # BROADCAST_LOOP_MAX) is tighter than modularity's one-shot gate
+    # because each round's broadcast relation stays live until its
+    # plan is GC'd; past the gate the planner's shuffle join returns.
+    hint = broadcast if n_nodes <= BROADCAST_LOOP_MAX else (lambda df: df)
     ranks = base.withColumn("rank", F.lit(1.0 / n_nodes))
     for it in range(iterations):
         dm = ranks.where(F.col("has_out") == 0).agg(
