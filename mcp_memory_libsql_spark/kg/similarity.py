@@ -424,9 +424,19 @@ def merge_candidates(
         .withColumn("component", F.col("name"))
         .localCheckpoint(eager=True)
     )
+    # label/pointer maps are O(V) with no stats after the checkpoint:
+    # per-round gated broadcast, same rationale and gate as the
+    # traverse.py loops (BROADCAST_LOOP_MAX — successive rounds'
+    # relations coexist in the heap)
+    from ..kg.traverse import BROADCAST_LOOP_MAX
+
+    n_nodes = labels.count()
+    hint = (
+        F.broadcast if n_nodes <= BROADCAST_LOOP_MAX else (lambda df: df)
+    )
     for _ in range(max_iter):
         neighbor_min = (
-            edges.join(labels, edges["a"] == labels["name"])
+            edges.join(hint(labels), edges["a"] == labels["name"])
             .groupBy(F.col("b").alias("name"))
             .agg(F.min("component").alias("nbr_component"))
         )
@@ -448,7 +458,9 @@ def merge_candidates(
         )
         obs = Observation()
         new_labels = (
-            propagated.join(ptr, propagated["component"] == ptr["_c"], "left")
+            propagated.join(
+                hint(ptr), propagated["component"] == ptr["_c"], "left"
+            )
             .select(
                 "name",
                 F.least(
