@@ -813,6 +813,13 @@ def _emit(full, points, sweep, rows_by, bites, ibuilds, refresh=None,
     if sugg is not None:
         out["suggestion_recall"] = sugg
     out["index_build_sec_by_copies"] = {str(c): v for c, v in ibuilds.items()}
+    # the local-mode heap the run used: local[32] crams every executor
+    # thread into ONE JVM, so the default 8g (=250MB/thread) OOMs the
+    # 100x postings build's map-side collect_list partials — a sandbox
+    # artifact, not a plan defect (a production executor owns a
+    # multi-GB heap per a handful of cores). Recorded so walls are
+    # comparable across rounds only at the same setting.
+    out["driver_mem"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     if partial is not None:
         out["partial_through_copies"] = partial
     out["note"] = (
