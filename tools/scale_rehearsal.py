@@ -642,9 +642,14 @@ def main() -> None:
 
         ibuilds[copies] = {"total": index_build_sec, **parts}
 
-        # VERDICT r06 item 1: the +1-copy incremental-refresh point,
-        # at the LARGEST (most scale-relevant) sweep point only
-        if copies == max(points):
+        # VERDICT r06 item 1: the +1-copy incremental-refresh point.
+        # Measured at the 30× point, NOT the largest: the rebuild half
+        # needs a second full pair-stream materialization next to the
+        # point's existing ~37G index artifacts, and at 100× that
+        # second copy + its C(w,2) shuffle spill exceeds the sandbox's
+        # ~94G usable disk (measured ENOSPC mid-rebuild; the refresh
+        # half alone was fine — 132.5s vs the point's 971.3s build).
+        if copies == (30 if 30 in points else max(points)):
             refresh_entry = index_refresh_point(spark, dst, copies)
         bites[copies] = cap_bites(spark, dst)
         print(f"cap bites ({copies}x): {json.dumps(bites[copies])}", flush=True)
