@@ -84,6 +84,7 @@ EXTENDED = [
     "basket_rules",
     "orders_rfm",
     "vec_pca",
+    "vec_gram_exact",
     "doc_keywords",
     "events_funnel_steps",
     "vec_hamming_knn",
