@@ -123,8 +123,12 @@ SWEEP = [
 ]
 # sweep ops whose OUTPUT ROW COUNT is recorded per point — separates
 # output growth (true duplicates multiply with copies) from plan
-# growth for the dedup family
-COUNT_ROWS = {"dedup_ngram_jaccard"}
+# growth for the dedup family. dedup_substring joined after its r07
+# 30→100× segment came out 1.69: on the copies corpus every repeated
+# window matches across all copies, so its output plausibly grows
+# like ngram's raw path — the row counts (and, next round, a
+# perturbed twin) are what turn that hypothesis into a measurement.
+COUNT_ROWS = {"dedup_ngram_jaccard", "dedup_substring"}
 # at points >30 only the heaviest subset runs (top-3 extended walls
 # at sf0.1 + the superlinear suspect), to bound the 100x wall-clock
 SWEEP_100X = [
