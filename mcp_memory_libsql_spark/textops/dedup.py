@@ -618,12 +618,22 @@ def substring_fingerprints(
     within-doc repetition never inflates the shuffle and there is no
     extra distinct shuffle — the explode output goes straight to the
     postings groupBy.
+
+    SPARK_GRAFT_FAST_HASH=1 swaps the window md5 for xxhash64 — the
+    dense per-window digest is this op's entire map-side CPU bill, the
+    same 100 TB lever the shingle/gram miners already expose (the r07
+    rehearsal's first substring fasthash column measured NO speedup
+    because this function ignored the flag). Default stays md5 so the
+    DuckDB oracle hash gate is untouched.
     """
+    from .tokenize import fast_hash_enabled
+
+    win_hash = F.xxhash64 if fast_hash_enabled() else F.md5
     starts = F.sequence(F.lit(0), F.length("text") - width, F.lit(stride))
     hashes = F.array_distinct(
         F.transform(
             starts,
-            lambda s: F.md5(F.col("text").substr(s + F.lit(1), F.lit(width))),
+            lambda s: win_hash(F.col("text").substr(s + F.lit(1), F.lit(width))),
         )
     )
     # fan_out + explode_outer: see winnowing_fingerprints — the array

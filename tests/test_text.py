@@ -492,8 +492,23 @@ def test_fast_hash_path_preserves_dedup_semantics(spark, monkeypatch):
         for r in dd.winnowing_pairs(docs, min_shared=1).collect()
     }
     assert (1, 2) in pairs
+    # the substring miner honors the flag too (r07: its first fasthash
+    # rehearsal column measured no speedup because it didn't) — same
+    # pair semantics, genuinely different hash family (bigint keys)
+    sub_fast = {
+        (r.doc_a, r.doc_b)
+        for r in dd.substring_dup_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in sub_fast
+    assert dict(dd.substring_fingerprints(docs).dtypes)["h"] == "bigint"
     monkeypatch.delenv("SPARK_GRAFT_FAST_HASH")
     assert minhash_rows() == base  # default path untouched
+    assert dict(dd.substring_fingerprints(docs).dtypes)["h"] == "string"
+    sub_base = {
+        (r.doc_a, r.doc_b)
+        for r in dd.substring_dup_pairs(docs, min_shared=1).collect()
+    }
+    assert sub_base == sub_fast
 
 
 def test_ngram_novelty_semantics(spark):

@@ -125,10 +125,18 @@ SWEEP = [
 # output growth (true duplicates multiply with copies) from plan
 # growth for the dedup family. dedup_substring joined after its r07
 # 30→100× segment came out 1.69: on the copies corpus every repeated
-# window matches across all copies, so its output plausibly grows
-# like ngram's raw path — the row counts (and, next round, a
-# perturbed twin) are what turn that hypothesis into a measurement.
-COUNT_ROWS = {"dedup_ngram_jaccard", "dedup_substring"}
+# window matches across all copies (a within-copy-unique window's
+# posting list is exactly `copies` long → C(copies,2) pairs per
+# window until DF_CAP bites at copies=100), so its output plausibly
+# grows like ngram's raw path. dedup_winnowing joined after its r07
+# 30→100× segment came out 1.39 — same postings-combo output math.
+COUNT_ROWS = {"dedup_ngram_jaccard", "dedup_substring", "dedup_winnowing"}
+# ops that get a PERTURBED-corpus twin (cross-copy sharing engineered
+# away — the pure plan-growth path) with wall + output rows per point
+# and a 3×-largest tail point. The perturbation suffixes every 2nd
+# word token per copy, which lands inside every 40-char substring
+# window too, so one corpus serves both miners.
+PERTURBED = ["dedup_ngram_jaccard", "dedup_substring"]
 # at points >30 only the heaviest subset runs (top-3 extended walls
 # at sf0.1 + the superlinear suspect), to bound the 100x wall-clock
 SWEEP_100X = [
@@ -141,15 +149,17 @@ SWEEP_100X = [
 ]
 
 
-def build(spark, copies: int, dst: str) -> None:
+def build(spark, copies: int, dst: str, tables=None) -> None:
     """Materialize the copies corpus: one crossJoin against
     range(copies) per table (a single scan multiplied row-wise — the
     r04 version unioned `copies` scan branches, whose plan grew
-    linearly with the point and dominated the 100x build)."""
+    linearly with the point and dominated the 100x build). `tables`
+    restricts the build for targeted --keys reruns (the doc-only
+    dedup miners never touch the 5 GB of facts at 100×)."""
     if os.path.isdir(dst):
         shutil.rmtree(dst)
     ci = F.col("_ci")
-    for name in TABLE_NAMES:  # load_tables() is lazy — enumerate
+    for name in tables or TABLE_NAMES:  # load_tables() is lazy — enumerate
         df = load_table(spark, SRC, name)
         keys = SHIFT.get(name)
         if keys is None:
@@ -567,23 +577,46 @@ def _run(spark, key: str, dst: str) -> float:
 
 
 def main() -> None:
-    points = sorted(
-        int(x)
-        for x in (sys.argv[1] if len(sys.argv) > 1 else "3,10,30,100").split(",")
-    )
+    # `--keys a,b` reruns ONLY those sweep subjects and MERGES their
+    # growth entries into the existing artifact (everything else —
+    # cap_bites, index builds, refresh point, suggestion recall, the
+    # anchor headline suite — is kept from the full run, not re-paid).
+    # `--tables documents` restricts the corpus build to the tables
+    # the targeted keys actually scan.
+    argv = sys.argv[1:]
+    only_keys: list[str] | None = None
+    only_tables: list[str] | None = None
+    pos: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--keys":
+            only_keys = argv[i + 1].split(",")
+            i += 2
+        elif argv[i] == "--tables":
+            only_tables = argv[i + 1].split(",")
+            i += 2
+        else:
+            pos.append(argv[i])
+            i += 1
+    targeted = only_keys is not None
+    points = sorted(int(x) for x in (pos[0] if pos else "3,10,30,100").split(","))
     anchor = 10 if 10 in points else points[-1]
     spark = get_spark("scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
+    sweep_list = [k for k in SWEEP if only_keys is None or k in only_keys]
+    sweep_100x = [k for k in SWEEP_100X if only_keys is None or k in only_keys]
     sweep: dict[str, dict[int, float]] = {}
     rows_by: dict[str, dict[int, int]] = {}
     bites: dict[int, dict] = {}
     ibuilds: dict[int, float] = {}
     full: dict = {}
     refresh_entry: dict | None = None
-    # member-level hub-suppression readout — driver testdata, one-time
-    sugg = suggestion_recall(spark)
-    print(f"suggestion recall: {json.dumps(sugg)}", flush=True)
+    sugg = None
+    if not targeted:
+        # member-level hub-suppression readout — driver testdata, one-time
+        sugg = suggestion_recall(spark)
+        print(f"suggestion recall: {json.dumps(sugg)}", flush=True)
     # LARGEST point first: the per-point checkpoint then carries the
     # scale-relevant (judged) point even if a later point crashes or
     # the round clock runs out — the failure mode that matters is
@@ -592,86 +625,94 @@ def main() -> None:
     for copies in sorted(points, reverse=True):
         dst = os.path.join(REPO, "_rehearsal", f"x{copies}")
         pert = os.path.join(REPO, "_rehearsal", f"x{copies}_pert")
+        point_sweep = sweep_100x if copies > 30 else sweep_list
+        pert_keys = [k for k in PERTURBED if k in point_sweep]
         t0 = time.time()
-        build(spark, copies, dst)
-        build_perturbed_docs(spark, copies, pert)
+        build(spark, copies, dst, tables=only_tables)
+        if pert_keys:
+            build_perturbed_docs(spark, copies, pert)
         build_sec = round(time.time() - t0, 1)
         print(f"built {copies}x sf0.1 at {dst} in {build_sec}s", flush=True)
 
-        # pay the one-time KG snapshot ingest (bucketed write of the
-        # scaled graph) outside the per-query timings, and record it
-        # separately — in production it is an ingest job, not latency
-        t0 = time.time()
-        QUERIES["kg_recent_entities"](spark, dst).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        kg_ingest_sec = round(time.time() - t0, 1)
-        print(f"kg ingest (one-time, {copies}x): {kg_ingest_sec}s", flush=True)
+        kg_ingest_sec = 0.0
+        index_build_sec = 0.0
+        if not targeted:
+            # pay the one-time KG snapshot ingest (bucketed write of the
+            # scaled graph) outside the per-query timings, and record it
+            # separately — in production it is an ingest job, not latency
+            t0 = time.time()
+            QUERIES["kg_recent_entities"](spark, dst).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            kg_ingest_sec = round(time.time() - t0, 1)
+            print(f"kg ingest (one-time, {copies}x): {kg_ingest_sec}s", flush=True)
 
-        # Force-build the shared disk indexes OUTSIDE the sweep
-        # timings (same attribution rule as bench.py): the sweep must
-        # measure per-query growth, not one-time ingest artifacts.
-        from mcp_memory_libsql_spark import registry as reg
+            # Force-build the shared disk indexes OUTSIDE the sweep
+            # timings (same attribution rule as bench.py): the sweep must
+            # measure per-query growth, not one-time ingest artifacts.
+            from mcp_memory_libsql_spark import registry as reg
 
-        # ALL five shared artifacts, same set as bench._build_indexes:
-        # r04 omitted LPA labels + the near-dup pair stream here, so
-        # the warm-up paid them silently and their consumers
-        # (kg_communities, dedup_semantic_keep) timed as pure
-        # index reads with the build cost unattributed. r07: timed
-        # PER ARTIFACT — the refresh-vs-rebuild entry needs the
-        # single-artifact build walls, and the +20%/round total was
-        # unattributable to a specific index before.
-        parts: dict[str, float] = {}
-        t0 = time.time()
-        g, _ = reg._kg(spark, dst)
-        parts["kg_snapshot"] = round(time.time() - t0, 1)
-        t0 = time.time()
-        reg._nbr_index(spark, dst, g)
-        parts["nbr_postings"] = round(time.time() - t0, 1)
-        t0 = time.time()
-        reg._lsh_index(spark, dst)
-        parts["lsh_signature"] = round(time.time() - t0, 1)
-        t0 = time.time()
-        reg._lpa(spark, dst, g)
-        parts["lpa_labels"] = round(time.time() - t0, 1)
-        t0 = time.time()
-        reg._lsh_pairs(spark, dst)
-        parts["lsh_neardup_pairs"] = round(time.time() - t0, 1)
-        index_build_sec = round(sum(parts.values()), 1)
-        print(
-            f"index builds ({copies}x): {index_build_sec}s "
-            f"{json.dumps(parts)}",
-            flush=True,
-        )
+            # ALL five shared artifacts, same set as bench._build_indexes:
+            # r04 omitted LPA labels + the near-dup pair stream here, so
+            # the warm-up paid them silently and their consumers
+            # (kg_communities, dedup_semantic_keep) timed as pure
+            # index reads with the build cost unattributed. r07: timed
+            # PER ARTIFACT — the refresh-vs-rebuild entry needs the
+            # single-artifact build walls, and the +20%/round total was
+            # unattributable to a specific index before.
+            parts: dict[str, float] = {}
+            t0 = time.time()
+            g, _ = reg._kg(spark, dst)
+            parts["kg_snapshot"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            reg._nbr_index(spark, dst, g)
+            parts["nbr_postings"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            reg._lsh_index(spark, dst)
+            parts["lsh_signature"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            reg._lpa(spark, dst, g)
+            parts["lpa_labels"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            reg._lsh_pairs(spark, dst)
+            parts["lsh_neardup_pairs"] = round(time.time() - t0, 1)
+            index_build_sec = round(sum(parts.values()), 1)
+            print(
+                f"index builds ({copies}x): {index_build_sec}s "
+                f"{json.dumps(parts)}",
+                flush=True,
+            )
 
-        ibuilds[copies] = {"total": index_build_sec, **parts}
+            ibuilds[copies] = {"total": index_build_sec, **parts}
 
-        # VERDICT r06 item 1: the +1-copy incremental-refresh point.
-        # Measured at the 30× point, NOT the largest: the rebuild half
-        # needs a second full pair-stream materialization next to the
-        # point's existing ~37G index artifacts, and at 100× that
-        # second copy + its C(w,2) shuffle spill exceeds the sandbox's
-        # ~94G usable disk (measured ENOSPC mid-rebuild; the refresh
-        # half alone was fine — 132.5s vs the point's 971.3s build).
-        if copies == (30 if 30 in points else max(points)):
-            refresh_entry = index_refresh_point(spark, dst, copies)
-        bites[copies] = cap_bites(spark, dst)
-        print(f"cap bites ({copies}x): {json.dumps(bites[copies])}", flush=True)
+            # VERDICT r06 item 1: the +1-copy incremental-refresh point.
+            # Measured at the 30× point, NOT the largest: the rebuild half
+            # needs a second full pair-stream materialization next to the
+            # point's existing ~37G index artifacts, and at 100× that
+            # second copy + its C(w,2) shuffle spill exceeds the sandbox's
+            # ~94G usable disk (measured ENOSPC mid-rebuild; the refresh
+            # half alone was fine — 132.5s vs the point's 971.3s build).
+            if copies == (30 if 30 in points else max(points)):
+                refresh_entry = index_refresh_point(spark, dst, copies)
+            bites[copies] = cap_bites(spark, dst)
+            print(
+                f"cap bites ({copies}x): {json.dumps(bites[copies])}",
+                flush=True,
+            )
 
-        point_sweep = SWEEP_100X if copies > 30 else SWEEP
         keys = (
             HEADLINE + HEAVY + [k for k in point_sweep if k not in HEADLINE + HEAVY]
-            if copies == anchor
+            if copies == anchor and not targeted
             else list(point_sweep)
         )
         # WARM-UP: one untimed pass over every key about to be timed
-        # (plus the perturbed twin), so codegen JIT / first-consumer
+        # (plus the perturbed twins), so codegen JIT / first-consumer
         # costs can't inflate the first timed op of the point — the
         # bug that gave r04's kg_suggest_weighted a -0.42 "exponent".
         for key in keys:
             _run(spark, key, dst)
-        if "dedup_ngram_jaccard" in keys:
-            _run(spark, "dedup_ngram_jaccard", pert)
+        for k in pert_keys:
+            _run(spark, k, pert)
         spark.catalog.clearCache()
 
         timings = {}
@@ -712,33 +753,32 @@ def main() -> None:
                     wfh = _run(spark, k, dst)
                     sweep.setdefault(f"{k}_fasthash", {})[copies] = wfh
                     print(f"{k}_fasthash ({copies}x): {wfh}s", flush=True)
-                if "dedup_ngram_jaccard" in fh_keys:
-                    _run(spark, "dedup_ngram_jaccard", pert)
-                    wfh = _run(spark, "dedup_ngram_jaccard", pert)
-                    sweep.setdefault(
-                        "dedup_ngram_jaccard_perturbed_fasthash", {}
-                    )[copies] = wfh
+                for k in pert_keys:
+                    if k not in fh_keys:
+                        continue
+                    _run(spark, k, pert)
+                    wfh = _run(spark, k, pert)
+                    sweep.setdefault(f"{k}_perturbed_fasthash", {})[copies] = wfh
                     print(
-                        f"dedup_ngram_jaccard_perturbed_fasthash "
-                        f"({copies}x): {wfh}s",
+                        f"{k}_perturbed_fasthash ({copies}x): {wfh}s",
                         flush=True,
                     )
             finally:
                 os.environ.pop("SPARK_GRAFT_FAST_HASH", None)
-        # the perturbed twin: same op, cross-copy shingle sharing
-        # engineered away — the pure plan-growth path
-        if "dedup_ngram_jaccard" in keys:
-            w = _run(spark, "dedup_ngram_jaccard", pert)
-            sweep.setdefault("dedup_ngram_jaccard_perturbed", {})[copies] = w
-            print(f"dedup_ngram_jaccard_perturbed ({copies}x): {w}s", flush=True)
-            n = QUERIES["dedup_ngram_jaccard"](spark, pert).count()
-            rows_by.setdefault("dedup_ngram_jaccard_perturbed", {})[copies] = n
-            print(f"dedup_ngram_jaccard_perturbed rows ({copies}x): {n}", flush=True)
+        # the perturbed twins: same op, cross-copy shingle/window
+        # sharing engineered away — the pure plan-growth path
+        for k in pert_keys:
+            w = _run(spark, k, pert)
+            sweep.setdefault(f"{k}_perturbed", {})[copies] = w
+            print(f"{k}_perturbed ({copies}x): {w}s", flush=True)
+            n = QUERIES[k](spark, pert).count()
+            rows_by.setdefault(f"{k}_perturbed", {})[copies] = n
+            print(f"{k}_perturbed rows ({copies}x): {n}", flush=True)
         for k in COUNT_ROWS & set(timings):
             n = QUERIES[k](spark, dst).count()
             rows_by.setdefault(k, {})[copies] = n
             print(f"{k} rows ({copies}x): {n}", flush=True)
-        if copies == anchor:
+        if copies == anchor and not targeted:
             full = {
                 "copies": copies,
                 "approx_sf": round(0.1 * copies, 2),
@@ -757,43 +797,47 @@ def main() -> None:
         # largest point (the 100x OOM that motivated this) must not
         # lose the completed ones
         _emit(full, points, sweep, rows_by, bites, ibuilds,
-              refresh=refresh_entry, sugg=sugg, partial=copies)
+              refresh=refresh_entry, sugg=sugg, partial=copies,
+              merge=targeted, only_keys=only_keys)
 
     # VERDICT r05 item 4 (tail settle): one extra perturbed-docs-ONLY
-    # point at 3× the largest for dedup_ngram_jaccard — the
+    # point at 3× the largest for each perturbed twin — the
     # non-duplicate scaling path's last segment rose to slope ~1.26 at
-    # 30→100× against a 0.977 global fit; a 300×-equivalent point
-    # (documents-only corpus, cheap to build) shows whether that
-    # segment keeps rising or was a one-point wobble.
-    if points and points[-1] >= 100:
+    # 30→100× (r05, ngram) against a 0.977 global fit; a
+    # 300×-equivalent point (documents-only corpus, cheap to build)
+    # shows whether that segment keeps rising or was a one-point wobble.
+    tail_keys = [k for k in PERTURBED if f"{k}_perturbed" in sweep]
+    if points and points[-1] >= 100 and tail_keys:
         big = points[-1] * 3
         pert = os.path.join(REPO, "_rehearsal", f"x{big}_pert")
         t0 = time.time()
         build_perturbed_docs(spark, big, pert)
         print(f"built {big}x perturbed docs in {round(time.time()-t0,1)}s",
               flush=True)
-        # one warm pass before timing: the sweep loop runs points
-        # largest-first, so the run immediately preceding this block
-        # was the SMALLEST point — codegen/JIT is hot from any prior
-        # identical-plan run, but the shuffle/memory pools are sized
-        # for the small corpus. Warm on the 300x data itself so the
-        # timed pass measures the steady state.
-        _run(spark, "dedup_ngram_jaccard", pert)
-        w = _run(spark, "dedup_ngram_jaccard", pert)
-        sweep.setdefault("dedup_ngram_jaccard_perturbed", {})[big] = w
-        print(f"dedup_ngram_jaccard_perturbed ({big}x): {w}s", flush=True)
-        n = QUERIES["dedup_ngram_jaccard"](spark, pert).count()
-        rows_by.setdefault("dedup_ngram_jaccard_perturbed", {})[big] = n
-        print(f"dedup_ngram_jaccard_perturbed rows ({big}x): {n}", flush=True)
+        for k in tail_keys:
+            # one warm pass before timing: the sweep loop runs points
+            # largest-first, so the run immediately preceding this block
+            # was the SMALLEST point — codegen/JIT is hot from any prior
+            # identical-plan run, but the shuffle/memory pools are sized
+            # for the small corpus. Warm on the 300x data itself so the
+            # timed pass measures the steady state.
+            _run(spark, k, pert)
+            w = _run(spark, k, pert)
+            sweep.setdefault(f"{k}_perturbed", {})[big] = w
+            print(f"{k}_perturbed ({big}x): {w}s", flush=True)
+            n = QUERIES[k](spark, pert).count()
+            rows_by.setdefault(f"{k}_perturbed", {})[big] = n
+            print(f"{k}_perturbed rows ({big}x): {n}", flush=True)
         shutil.rmtree(pert, ignore_errors=True)
 
     _emit(full, points, sweep, rows_by, bites, ibuilds,
-          refresh=refresh_entry, sugg=sugg)
+          refresh=refresh_entry, sugg=sugg,
+          merge=targeted, only_keys=only_keys)
     spark.stop()
 
 
 def _emit(full, points, sweep, rows_by, bites, ibuilds, refresh=None,
-          sugg=None, partial=None) -> None:
+          sugg=None, partial=None, merge=False, only_keys=None) -> None:
     out = dict(full)
     out["sweep_points"] = points
     out["growth"] = {
@@ -831,6 +875,40 @@ def _emit(full, points, sweep, rows_by, bites, ibuilds, refresh=None,
     out["driver_mem"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     if partial is not None:
         out["partial_through_copies"] = partial
+    path = os.path.join(REPO, "SCALE_REHEARSAL.json")
+    if merge:
+        # targeted --keys rerun: update ONLY the growth entries this
+        # run measured; every other section (cap_bites, index builds,
+        # refresh point, suggestion recall, anchor headline suite)
+        # stays from the last full run. Provenance goes in
+        # targeted_updates so mixed-session walls are attributable.
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = {}
+        merged = dict(prev)
+        g = dict(prev.get("growth", {}))
+        g.update(out["growth"])
+        merged["growth"] = g
+        merged.pop("partial_through_copies", None)
+        if partial is not None:
+            merged["partial_through_copies"] = partial
+        ups = [
+            u
+            for u in prev.get("targeted_updates", [])
+            if u.get("keys") != (only_keys or [])
+        ]
+        ups.append(
+            {
+                "keys": only_keys or [],
+                "points": points,
+                "driver_mem": out["driver_mem"],
+                "measured": sorted(out["growth"]),
+            }
+        )
+        merged["targeted_updates"] = ups
+        out = merged
     out["note"] = (
         "perf-only corpus: key-shifted copies of the provided sf0.1 "
         "tables; all correctness gates run on /root/testdata. "
@@ -838,9 +916,10 @@ def _emit(full, points, sweep, rows_by, bites, ibuilds, refresh=None,
         "(1.0 linear; <1 sublinear); segment_slopes = the same slope "
         "per consecutive point pair (tail visibility). Every point "
         "warm-runs each key once before timing. "
-        "dedup_ngram_jaccard_perturbed = same op on a corpus where "
-        "copies share no shingles (the non-duplicate scaling path, "
-        "word-token-exact perturbation, with one 3x-the-largest "
+        "*_perturbed = same op on a corpus where copies share no "
+        "shingles/windows (the non-duplicate scaling path, "
+        "word-token-exact perturbation — which also lands inside "
+        "every 40-char substring window — with one 3x-the-largest "
         "extra point); output_rows_by_copies separates true-duplicate "
         "output growth from plan growth. *_fasthash = the same point "
         "under SPARK_GRAFT_FAST_HASH=1 (xxhash64) for every md5-bound "
@@ -853,7 +932,7 @@ def _emit(full, points, sweep, rows_by, bites, ibuilds, refresh=None,
         "(split trigger), drop_rate = post-split residual sub-bucket "
         "drops (the actual recall loss, <=10% bar)."
     )
-    with open(os.path.join(REPO, "SCALE_REHEARSAL.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     if partial is None:
         print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
