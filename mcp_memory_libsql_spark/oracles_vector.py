@@ -421,6 +421,12 @@ WHERE ROUND(list_cosine_similarity(emb_a::DOUBLE[], emb_b::DOUBLE[]), 6)
 
 
 ORACLES["dedup_embedding_lsh"] = _neardup_lsh_oracle(0.4)
+# vec_neardup_refresh: the Spark side takes the INCREMENTAL path
+# (refresh_pairs merging a vec_id%19==0 delta into the base pair
+# stream); the oracle rebuilds the identical pair set from scratch
+# over all rows — the opposite-path trick the other refresh twins
+# use, so the hash match IS the refresh≡rebuild proof.
+ORACLES["vec_neardup_refresh"] = _neardup_lsh_oracle(0.4)
 
 ORACLES["vec_cosine_distribution"] = """
 WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000)

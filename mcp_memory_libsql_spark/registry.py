@@ -2713,6 +2713,42 @@ def q_vec_lsh_refresh(spark, sf_dir):
     )
 
 
+@query("vec_neardup_refresh")
+def q_vec_neardup_refresh(spark, sf_dir):
+    # incremental maintenance of the scored near-dup PAIR stream
+    # (vector/lsh.refresh_pairs — the third shared index gaining a
+    # refresh path, after nbr_postings and lsh_signature): the base
+    # pair stream of the vec_id%19!=0 95% is merged with the 5%
+    # delta; oracle = the FULL from-scratch rebuild over all rows
+    # (_neardup_lsh_oracle, the same generated SQL dedup_embedding_lsh
+    # gates against) — the hash gate IS the refresh≡rebuild proof.
+    # The stored base artifacts are checkpoint-materialized like the
+    # KG refresh twins' parquet base: refresh reads a stored stream,
+    # it doesn't re-derive its lineage per consumer.
+    from .vector import lsh as _lsh
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    base = emb.where(F.pmod(F.col("vec_id"), F.lit(19)) != 0)
+    delta = emb.where(F.pmod(F.col("vec_id"), F.lit(19)) == 0)
+    # width pinned to the GROWN corpus (the refresh contract; the
+    # oracle's COUNT-driven CASE sees the full table either way)
+    bits = _mining_bits(spark, sf_dir, 0.4)
+    old_idx = _lsh.bucketize(base, dim=64, n_bits=bits).localCheckpoint(
+        eager=True
+    )
+    old_pairs = _lsh.near_dup_pairs_lsh(
+        base, threshold=0.4, index=old_idx
+    ).localCheckpoint(eager=True)
+    return _lsh.refresh_pairs(
+        old_idx, old_pairs, base, delta, threshold=0.4, dim=64, n_bits=bits
+    ).select(
+        F.col("vec_a").cast("bigint").alias("vec_a"),
+        F.col("vec_b").cast("bigint").alias("vec_b"),
+        "cosine_sim",
+    )
+
+
 @query("text_semantic_exact")
 def q_text_semantic_exact(spark, sf_dir):
     # integer-exact sparse-retrieval twin of text_semantic_search

@@ -183,6 +183,146 @@ def refresh_index(
     )
 
 
+def refresh_pairs(
+    old_index: DataFrame,
+    old_pairs: DataFrame,
+    base_embeddings: DataFrame,
+    new_embeddings: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_tables: int = N_TABLES,
+    n_bits: int | None = None,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """Incremental maintenance of the scored near-dup PAIR stream
+    (the artifact one level above the signature index — the registry's
+    `_lsh_pairs`, read by four dedup surfaces): merge an append-only
+    embedding delta into an existing ``near_dup_pairs_lsh`` result
+    and return EXACTLY the full rebuild over base∪delta.
+
+    Unlike the signature index (a pure per-row function, so refresh =
+    append), pair mining is bucket-LOCAL but count-DEPENDENT:
+    ``split_fat_buckets`` sizes each bucket's md5 sub-buckets from the
+    bucket's member count, so a delta member re-deals its whole
+    bucket's sub-assignments. The refresh therefore works at bucket
+    granularity:
+
+    1. TOUCHED buckets = the delta signatures' (table_id, sig) keys.
+       Untouched buckets keep identical membership, counts, and
+       sub-assignments — their pairs are byte-identical in a rebuild.
+    2. Re-mine touched buckets under NEW membership (old members of
+       those buckets + delta) → ``new_cand``; re-mine them under OLD
+       membership → ``old_cand`` (reproduces exactly what the stored
+       stream's candidate pass emitted there, since the split is
+       bucket-local).
+    3. kept = old_pairs ∖ old_cand (pairs justified by some untouched
+       bucket — at least one, because every touched-bucket
+       justification is in old_cand).
+    4. RESCUE: a pair in old_pairs ∩ old_cand ∖ new_cand might still
+       be justified by an untouched bucket (multi-table LSH: the same
+       pair can co-bucket in several tables). Those suspects are few
+       (≤ the touched-bucket combo volume), so check them explicitly:
+       re-derive sub-assignments ONLY for untouched buckets containing
+       a suspect member and keep suspects co-sub-bucketed there.
+    5. Rescore new_cand against base∪delta vectors and threshold.
+
+    result = kept ∪ rescue ∪ new_scored = (untouched-bucket pairs) ∪
+    (touched-bucket pairs under new membership) = the rebuild, exactly
+    (pytest-pinned on cap-crossing synthetic buckets and the real sf
+    split in tests/test_refresh.py; cross-engine-pinned by the
+    ``vec_neardup_refresh`` twin whose DuckDB oracle rebuilds from
+    scratch). Every stage is delta-proportional except the two
+    anti/semi joins that scan the stored pair stream once — no
+    full-corpus re-mining. Contract: same (n_tables, n_bits,
+    bucket_cap, threshold) as the stored stream, and ``n_bits`` must
+    stay the corpus-adaptive width of the GROWN corpus — a delta big
+    enough to cross a width_for_corpus boundary is a rebuild, the
+    same boundary the signature index documents."""
+    from ..textops.tokenize import split_fat_buckets
+
+    if n_bits is None:
+        n_bits = n_bits_for_threshold(threshold)
+    d_idx = bucketize(new_embeddings, dim, n_tables, n_bits)
+    touched = d_idx.select("table_id", "sig").distinct()
+
+    def mine(idx: DataFrame) -> DataFrame:
+        capped = split_fat_buckets(
+            idx, ["table_id", "sig"], "vec_id", bucket_cap
+        )
+        return (
+            capped.groupBy("table_id", "sig", "_sub")
+            .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+            .select(F.explode(pair_combos("ids", "vec_a", "vec_b")).alias("p"))
+            .select("p.vec_a", "p.vec_b")
+            .distinct()
+        )
+
+    old_t = old_index.join(touched, ["table_id", "sig"], "leftsemi")
+    new_cand = mine(old_t.unionByName(d_idx))
+    old_cand = mine(old_t)
+
+    kept = old_pairs.join(old_cand, ["vec_a", "vec_b"], "left_anti")
+    suspects = old_pairs.join(
+        old_cand, ["vec_a", "vec_b"], "leftsemi"
+    ).join(new_cand, ["vec_a", "vec_b"], "left_anti")
+
+    members = (
+        suspects.select(F.col("vec_a").alias("vec_id"))
+        .unionByName(suspects.select(F.col("vec_b").alias("vec_id")))
+        .distinct()
+    )
+    suspect_buckets = (
+        old_index.join(members, "vec_id", "leftsemi")
+        .select("table_id", "sig")
+        .distinct()
+        .join(touched, ["table_id", "sig"], "left_anti")
+    )
+    unt = split_fat_buckets(
+        old_index.join(suspect_buckets, ["table_id", "sig"], "leftsemi"),
+        ["table_id", "sig"],
+        "vec_id",
+        bucket_cap,
+    )
+    co = (
+        unt.select("table_id", "sig", "_sub", F.col("vec_id").alias("vec_a"))
+        .join(
+            unt.select(
+                "table_id", "sig", "_sub", F.col("vec_id").alias("vec_b")
+            ),
+            ["table_id", "sig", "_sub"],
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    rescued = suspects.join(co, ["vec_a", "vec_b"], "leftsemi")
+
+    def side(df: DataFrame, key: str, emb: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(key), F.col("embedding").alias(emb)
+        )
+
+    ea = side(base_embeddings, "vec_a", "emb_a").unionByName(
+        side(new_embeddings, "vec_a", "emb_a")
+    )
+    eb = side(base_embeddings, "vec_b", "emb_b").unionByName(
+        side(new_embeddings, "vec_b", "emb_b")
+    )
+    new_scored = (
+        new_cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+    return kept.unionByName(rescued).unionByName(new_scored).distinct()
+
+
 def ann_cosine(
     embeddings: DataFrame,
     query_vec_id: int,

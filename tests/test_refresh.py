@@ -178,3 +178,136 @@ def test_lsh_refresh_identity(spark, sf_dir):
         )
         rebuilt = lsh.bucketize(emb, dim=64, n_bits=bits)
         assert _rows(refreshed) == _rows(rebuilt)
+
+
+def _synth_emb(spark, n, dim=8):
+    """Deterministic pseudo-random vectors (LCG, no RNG state)."""
+    rows = [
+        (
+            i,
+            f"v{i}",
+            [
+                ((i * 2654435761 + j * 40503) % 1000) / 500.0 - 1.0
+                for j in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+
+
+def _mine(idx, cap):
+    """Replica of refresh_pairs' candidate pass, for the
+    non-vacuity probes below only (the library path under test is
+    lsh.refresh_pairs itself)."""
+    from mcp_memory_libsql_spark.textops.tokenize import (
+        pair_combos,
+        split_fat_buckets,
+    )
+
+    capped = split_fat_buckets(idx, ["table_id", "sig"], "vec_id", cap)
+    return (
+        capped.groupBy("table_id", "sig", "_sub")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .select(F.explode(pair_combos("ids", "vec_a", "vec_b")).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
+    )
+
+
+def test_lsh_pairs_refresh_cap_crossing(spark):
+    """refresh_pairs == full re-mine on a corpus ENGINEERED to
+    exercise both hard branches. A 24-member near-identical cluster
+    (perturbations ≪ hyperplane margins, so it co-buckets in EVERY
+    table) is 3× over cap=8, forcing fat-bucket splits whose
+    per-table sub-deals are independent (the md5 salt includes the
+    table's own sig). The delta vector is CHOSEN to share the
+    cluster's signature in exactly ONE table — its arrival re-deals
+    that table's sub-buckets while the other table's stay untouched,
+    so some old pair loses its touched-table justification but keeps
+    the untouched-table one: the rescue branch's exact case.
+    threshold=-1 keeps every candidate so the test pins
+    CANDIDATE-set maintenance, not scoring. Non-vacuity is asserted,
+    not assumed: the re-deal must remove old pairs and a naive
+    kept∪new merge that skips the untouched-bucket rescue must
+    differ from the rebuild."""
+    dim, nt, nb, cap, thr = 8, 2, 4, 8, -1.0
+    u = [0.9, -0.7, 0.5, 0.8, -0.6, 0.4, -0.9, 0.7]
+    rows = []
+    for i in range(24):
+        v = list(u)
+        v[i % dim] += (i + 1) * 1e-7
+        rows.append((i, f"c{i}", v))
+    for i in range(60):
+        vid = 100 + i
+        v = [
+            ((vid * 2654435761 + j * 40503) % 1000) / 500.0 - 1.0
+            for j in range(dim)
+        ]
+        rows.append((vid, f"n{vid}", v))
+    all_emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    ).localCheckpoint(eager=True)
+    sig_map: dict[int, dict[int, int]] = {}
+    for r in lsh.bucketize(all_emb, dim=dim, n_tables=nt, n_bits=nb).collect():
+        sig_map.setdefault(r.vec_id, {})[r.table_id] = r.sig
+    cl = sig_map[0]
+    assert all(sig_map[i] == cl for i in range(24))  # cluster co-buckets
+    dvid = next(
+        vid
+        for vid in range(100, 160)
+        if sum(sig_map[vid][t] == cl[t] for t in range(nt)) == 1
+    )
+    base = all_emb.where(F.col("vec_id") != dvid)
+    delta = all_emb.where(F.col("vec_id") == dvid)
+    old_idx = lsh.bucketize(base, dim=dim, n_tables=nt, n_bits=nb)
+    old_pairs = lsh.near_dup_pairs_lsh(
+        base, threshold=thr, dim=dim, n_tables=nt, n_bits=nb,
+        bucket_cap=cap, index=old_idx,
+    )
+    refreshed = lsh.refresh_pairs(
+        old_idx, old_pairs, base, delta, threshold=thr, dim=dim,
+        n_tables=nt, n_bits=nb, bucket_cap=cap,
+    )
+    rebuilt = lsh.near_dup_pairs_lsh(
+        all_emb, threshold=thr, dim=dim, n_tables=nt, n_bits=nb,
+        bucket_cap=cap,
+    )
+    assert _rows(refreshed) == _rows(rebuilt)
+
+    old_set = {(r.vec_a, r.vec_b) for r in old_pairs.collect()}
+    new_set = {(r.vec_a, r.vec_b) for r in rebuilt.collect()}
+    assert old_set - new_set  # the re-deal genuinely removed pairs
+    d_idx = lsh.bucketize(delta, dim=dim, n_tables=nt, n_bits=nb)
+    touched = d_idx.select("table_id", "sig").distinct()
+    old_t = old_idx.join(touched, ["table_id", "sig"], "leftsemi")
+    old_cand = {(r.vec_a, r.vec_b) for r in _mine(old_t, cap).collect()}
+    new_cand = {
+        (r.vec_a, r.vec_b)
+        for r in _mine(old_t.unionByName(d_idx), cap).collect()
+    }
+    naive = (old_set - old_cand) | (new_set & new_cand)
+    assert naive != new_set  # the rescue branch carried real pairs
+
+
+def test_lsh_pairs_refresh_real_corpus(spark, sf_dir):
+    """refresh_pairs == full re-mine on the driver corpus with the
+    registry twin's exact split (vec_id%19) and τ=0.4 width — the
+    within-engine half of the vec_neardup_refresh oracle gate."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = emb.where(F.pmod(F.col("vec_id"), F.lit(19)) != 0)
+    delta = emb.where(F.pmod(F.col("vec_id"), F.lit(19)) == 0)
+    bits = lsh.n_bits_for_threshold(0.4)
+    old_idx = lsh.bucketize(base, dim=64, n_bits=bits).localCheckpoint(
+        eager=True
+    )
+    old_pairs = lsh.near_dup_pairs_lsh(
+        base, threshold=0.4, index=old_idx
+    ).localCheckpoint(eager=True)
+    refreshed = lsh.refresh_pairs(
+        old_idx, old_pairs, base, delta, threshold=0.4, dim=64, n_bits=bits
+    )
+    rebuilt = lsh.near_dup_pairs_lsh(emb, threshold=0.4, n_bits=bits)
+    assert _rows(refreshed) == _rows(rebuilt)

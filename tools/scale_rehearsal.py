@@ -311,6 +311,38 @@ def index_refresh_point(spark, dst: str, copies: int) -> dict:
     lsh_rebuild = round(time.time() - t0, 1)
     print(f"lsh rebuild ({copies}+1 copies): {lsh_rebuild}s", flush=True)
 
+    # the scored near-dup PAIR stream (third refreshable artifact,
+    # vector/lsh.refresh_pairs): refresh merges the delta into the
+    # stored pair parquet at the stored mining width; rebuild re-mines
+    # the full pair stream from the (already refreshed) signature
+    # index — both start from stored signatures, so the comparison
+    # isolates the pair-mining stage the refresh actually replaces.
+    # Width note: a +1-copy delta at this point does not cross a
+    # width_for_corpus boundary (checked in-plan by _mining_bits'
+    # count rule); a boundary cross IS a rebuild by contract.
+    bits = reg._mining_bits(spark, dst, 0.4)
+    old_idx_m = reg._lsh_index(spark, dst, n_bits=bits)
+    base_emb = load_tables(spark, dst)["embeddings"]
+    old_pairs = reg._lsh_pairs(spark, dst)
+    t0 = time.time()
+    noop(
+        lsh.refresh_pairs(
+            old_idx_m, old_pairs, base_emb, d_emb,
+            threshold=0.4, dim=64, n_bits=bits,
+        )
+    )
+    pairs_refresh = round(time.time() - t0, 1)
+    print(f"pairs refresh (+1 copy at {copies}x): {pairs_refresh}s", flush=True)
+    full_idx = lsh.refresh_index(old_idx_m, d_emb, dim=64, n_bits=bits)
+    t0 = time.time()
+    noop(
+        lsh.near_dup_pairs_lsh(
+            full_emb, threshold=0.4, n_bits=bits, index=full_idx
+        )
+    )
+    pairs_rebuild = round(time.time() - t0, 1)
+    print(f"pairs rebuild ({copies}+1 copies): {pairs_rebuild}s", flush=True)
+
     shutil.rmtree(ddir, ignore_errors=True)
     return {
         "copies": copies,
@@ -325,6 +357,11 @@ def index_refresh_point(spark, dst: str, copies: int) -> dict:
             "refresh_sec": lsh_refresh,
             "rebuild_sec": lsh_rebuild,
             "speedup": round(lsh_rebuild / max(lsh_refresh, 0.001), 2),
+        },
+        "lsh_neardup_pairs": {
+            "refresh_sec": pairs_refresh,
+            "rebuild_sec": pairs_rebuild,
+            "speedup": round(pairs_rebuild / max(pairs_refresh, 0.001), 2),
         },
         "note": (
             "refresh merges a 1-copy entity-disjoint delta into the "
@@ -586,6 +623,7 @@ def main() -> None:
     argv = sys.argv[1:]
     only_keys: list[str] | None = None
     only_tables: list[str] | None = None
+    refresh_only: int | None = None
     pos: list[str] = []
     i = 0
     while i < len(argv):
@@ -595,6 +633,9 @@ def main() -> None:
         elif argv[i] == "--tables":
             only_tables = argv[i + 1].split(",")
             i += 2
+        elif argv[i] == "--refresh-only":
+            refresh_only = int(argv[i + 1])
+            i += 2
         else:
             pos.append(argv[i])
             i += 1
@@ -603,6 +644,41 @@ def main() -> None:
     anchor = 10 if 10 in points else points[-1]
     spark = get_spark("scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if refresh_only is not None:
+        # re-take ONLY the +1-copy index-refresh point (corpus +
+        # stored artifacts built untimed, the entry's own timers wrap
+        # refresh/rebuild) and merge it into the existing artifact.
+        copies = refresh_only
+        dst = os.path.join(REPO, "_rehearsal", f"x{copies}")
+        t0 = time.time()
+        build(spark, copies, dst)
+        print(f"built {copies}x in {round(time.time()-t0,1)}s", flush=True)
+        entry = index_refresh_point(spark, dst, copies)
+        shutil.rmtree(dst, ignore_errors=True)
+        path = os.path.join(REPO, "SCALE_REHEARSAL.json")
+        with open(path) as f:
+            prev = json.load(f)
+        prev["index_refresh"] = entry
+        ups = [
+            u
+            for u in prev.get("targeted_updates", [])
+            if u.get("keys") != ["index_refresh"]
+        ]
+        ups.append(
+            {
+                "keys": ["index_refresh"],
+                "points": [copies],
+                "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+                "measured": ["index_refresh"],
+            }
+        )
+        prev["targeted_updates"] = ups
+        with open(path, "w") as f:
+            json.dump(prev, f, indent=1, sort_keys=True)
+        print(json.dumps(entry))
+        spark.stop()
+        return
 
     sweep_list = [k for k in SWEEP if only_keys is None or k in only_keys]
     sweep_100x = [k for k in SWEEP_100X if only_keys is None or k in only_keys]
