@@ -965,7 +965,30 @@ def _emit(full, points, sweep, rows_by, bites, ibuilds, refresh=None,
             prev = {}
         merged = dict(prev)
         g = dict(prev.get("growth", {}))
-        g.update(out["growth"])
+        for k, entry in out["growth"].items():
+            old = g.get(k)
+            if not old:
+                g[k] = entry
+                continue
+            # POINT-WISE merge: a single-point re-take (e.g. a clean
+            # 100x after a contaminated one) replaces that point and
+            # keeps the others; exponents/slopes recomputed over the
+            # merged walls so the fit always reflects every point.
+            walls = dict(old.get("wall_sec_by_copies", {}))
+            walls.update(entry.get("wall_sec_by_copies", {}))
+            w_int = {int(c): t for c, t in walls.items()}
+            new_e = {
+                "wall_sec_by_copies": walls,
+                "exponent": _exponent(w_int),
+                "segment_slopes": _segment_slopes(w_int),
+            }
+            rows = dict(old.get("output_rows_by_copies", {}))
+            rows.update(entry.get("output_rows_by_copies", {}))
+            if rows:
+                r_int = {int(c): float(n) for c, n in rows.items()}
+                new_e["output_rows_by_copies"] = rows
+                new_e["output_rows_exponent"] = _exponent(r_int)
+            g[k] = new_e
         merged["growth"] = g
         merged.pop("partial_through_copies", None)
         if partial is not None:
