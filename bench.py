@@ -60,6 +60,8 @@ EXTENDED = [
     "kg_postings_refresh",
     "kg_pairs_refresh",
     "vec_lsh_refresh",
+    "vec_neardup_refresh",
+    "dedup_substring_star",
     "text_semantic_exact",
     "kg_hits",
     "kg_walks",

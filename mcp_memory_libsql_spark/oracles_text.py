@@ -992,11 +992,16 @@ GROUP BY 1, 2
 # (width 40, stride 10) hashed per doc — the CTE mirrors
 # textops.dedup.substring_fingerprints (in-row list_distinct ==
 # Spark's array_distinct before the explode).
+# window hashes are 60-bit BIGINTs (the ngram/winnowing recipe), not
+# 32-char hex strings: the postings shuffle carries ~2.5x fewer bytes
+# per row — the 300x-equivalent rehearsal point measured the hex-key
+# variant spilling exactly where the BIGINT miners stayed linear
 _SUBSTR_CTE = """
 WITH w AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(0, length(text) - 40 + 1, 10),
-           s -> md5(substr(text, CAST(s AS INTEGER) + 1, 40))))) AS h
+           s -> ('0x' || substr(md5(substr(text, CAST(s AS INTEGER) + 1, 40)),
+                               1, 15))::BIGINT))) AS h
   FROM documents WHERE length(text) >= 40
 )"""
 
@@ -1009,6 +1014,29 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM w a
 JOIN ok ON a.h = ok.h
 JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+)
+
+# the star twin: each window's members pair with the window's MIN
+# doc only — min-per-h window function instead of the clique
+# self-join; same BETWEEN 2 AND cap posting filter, same >= 2
+# evidence rule (windows where BOTH docs hold the span AND doc_keep
+# is that window's minimum)
+ORACLES["dedup_substring_star"] = (
+    _SUBSTR_CTE
+    + """,
+wc AS (
+  SELECT h, doc_id,
+         COUNT(*) OVER (PARTITION BY h) AS c,
+         MIN(doc_id) OVER (PARTITION BY h) AS keep
+  FROM w
+)
+SELECT keep AS doc_keep, doc_id AS doc_dup,
+       COUNT(*)::BIGINT AS shared_windows
+FROM wc
+WHERE c BETWEEN 2 AND 100 AND doc_id <> keep
 GROUP BY 1, 2
 HAVING COUNT(*) >= 2
 """

@@ -1564,6 +1564,19 @@ def q_dedup_substring_docs(spark, sf_dir):
     return dd.substring_dup_coverage(t["documents"])
 
 
+@query("dedup_substring_star")
+def q_dedup_substring_star(spark, sf_dir):
+    # output-bounded star twin of dedup_substring: per-window stars
+    # preserve the pair graph's connected components (the input the
+    # keep-list machinery actually needs) at Σ|postings| output
+    # instead of Σ C(|postings|,2) — the scale path for
+    # heavily-duplicated corpora, where the rehearsal measured the
+    # clique twin's OUTPUT (not its plan) growing ~copies². FULL
+    # oracle (min-per-window CTE mirror).
+    t = load_tables(spark, sf_dir)
+    return dd.substring_dup_star(t["documents"])
+
+
 @query("dedup_bloom")
 def q_dedup_bloom(spark, sf_dir):
     # Bloom-filter membership audit vs exact truth — full oracle

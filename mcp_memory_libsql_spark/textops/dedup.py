@@ -619,21 +619,26 @@ def substring_fingerprints(
     extra distinct shuffle — the explode output goes straight to the
     postings groupBy.
 
-    SPARK_GRAFT_FAST_HASH=1 swaps the window md5 for xxhash64 — the
-    dense per-window digest is this op's entire map-side CPU bill, the
-    same 100 TB lever the shingle/gram miners already expose (the r07
-    rehearsal's first substring fasthash column measured NO speedup
-    because this function ignored the flag). Default stays md5 so the
-    DuckDB oracle hash gate is untouched.
+    Window keys are 60-bit BIGINTs (tokenize.md5_hash60 — the same
+    portable recipe the ngram and winnowing miners use), NOT md5 hex
+    strings: a 33-char string key carries ~2.5× more shuffle bytes
+    per posting row, and the 300×-equivalent rehearsal point measured
+    the hex-key variant spilling (161s vs the BIGINT miners' linear
+    walls) exactly where the shuffle outgrew the partition budget.
+    Collisions at 60 bits are negligible (~1e-5 expected across 2²²
+    distinct windows). md5_hash60 honors SPARK_GRAFT_FAST_HASH —
+    xxhash64 flag-on for the 100 TB CPU bill (the r07 rehearsal's
+    first substring fasthash column measured NO speedup because this
+    function bypassed the flag-aware helpers), md5-derived default so
+    the DuckDB oracle hash gate is bit-identical.
     """
-    from .tokenize import fast_hash_enabled
-
-    win_hash = F.xxhash64 if fast_hash_enabled() else F.md5
     starts = F.sequence(F.lit(0), F.length("text") - width, F.lit(stride))
     hashes = F.array_distinct(
         F.transform(
             starts,
-            lambda s: win_hash(F.col("text").substr(s + F.lit(1), F.lit(width))),
+            lambda s: md5_hash60(
+                F.col("text").substr(s + F.lit(1), F.lit(width))
+            ),
         )
     )
     # fan_out + explode_outer: see winnowing_fingerprints — the array
@@ -674,6 +679,53 @@ def substring_dup_pairs(
     return (
         postings.select(F.explode(combos).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count("*").alias("shared_windows"))
+        .where(F.col("shared_windows") >= min_shared)
+    )
+
+
+def substring_dup_star(
+    documents: DataFrame,
+    width: int = SUBSTR_WIDTH,
+    stride: int = SUBSTR_STRIDE,
+    cap: int = DF_CAP,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Output-bounded twin of :func:`substring_dup_pairs` →
+    (doc_keep, doc_dup, shared_windows), doc_keep < doc_dup: each
+    window pairs its posting list's members with the list's MIN
+    doc_id only (a star, not a clique).
+
+    WHY: on a heavily-duplicated corpus the clique emission is
+    OUTPUT-quadratic — a span copied into w docs emits C(w,2) pairs
+    per window, which is exactly what the scale rehearsal measured as
+    dedup_substring's super-linear 30→100× tail (the plan is linear;
+    the answer itself grows ~copies²). Downstream dedup doesn't need
+    the clique: keep-lists come from CONNECTED COMPONENTS of the pair
+    graph, and a per-window star ({a,b,c} → (a,b),(a,c)) has the same
+    transitive closure as the clique — so this variant feeds the same
+    cluster/keep machinery with Σ|postings| output instead of
+    Σ C(|postings|,2): ~cap/2× less in the worst bucket, ~linear in
+    corpus size on the duplicated-corpus path. shared_windows keeps
+    the ≥ ``min_shared`` evidence rule: it counts windows where BOTH
+    docs hold the span and doc_keep is that window's minimum — still
+    a copied-span witness, same stride-overlap argument.
+
+    Plan: identical single shuffle to the clique twin (postings
+    groupBy on the window hash); the pair explode is |ids|−1 wide
+    instead of C(|ids|,2)."""
+    wnd = substring_fingerprints(documents, width, stride)
+    postings = (
+        wnd.groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= cap))
+    )
+    return (
+        postings.select(
+            F.element_at("ids", 1).alias("doc_keep"),
+            F.explode(F.slice("ids", 2, cap)).alias("doc_dup"),
+        )
+        .groupBy("doc_keep", "doc_dup")
         .agg(F.count("*").alias("shared_windows"))
         .where(F.col("shared_windows") >= min_shared)
     )

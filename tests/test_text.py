@@ -494,16 +494,18 @@ def test_fast_hash_path_preserves_dedup_semantics(spark, monkeypatch):
     assert (1, 2) in pairs
     # the substring miner honors the flag too (r07: its first fasthash
     # rehearsal column measured no speedup because it didn't) — same
-    # pair semantics, genuinely different hash family (bigint keys)
+    # pair semantics, genuinely different hash family
     sub_fast = {
         (r.doc_a, r.doc_b)
         for r in dd.substring_dup_pairs(docs, min_shared=1).collect()
     }
     assert (1, 2) in sub_fast
-    assert dict(dd.substring_fingerprints(docs).dtypes)["h"] == "bigint"
+    fp_fast = {r.h for r in dd.substring_fingerprints(docs).collect()}
     monkeypatch.delenv("SPARK_GRAFT_FAST_HASH")
     assert minhash_rows() == base  # default path untouched
-    assert dict(dd.substring_fingerprints(docs).dtypes)["h"] == "string"
+    fp_base = {r.h for r in dd.substring_fingerprints(docs).collect()}
+    assert fp_fast != fp_base  # genuinely a different hash family
+    assert all(0 <= h < 1 << 60 for h in fp_base | fp_fast)
     sub_base = {
         (r.doc_a, r.doc_b)
         for r in dd.substring_dup_pairs(docs, min_shared=1).collect()
@@ -661,3 +663,58 @@ def test_shard_plan_incremental_equals_replan(spark, sf_dir):
         if r.doc_id >= 100
     }
     assert inc == full and len(inc) > 0
+
+
+def test_substring_star_preserves_components(spark):
+    """The star twin's whole claim: per-window stars have the same
+    transitive closure as the clique pair set (keep-lists see
+    identical duplicate groups), with no more output rows. Docs are
+    built around shared 40+-char spans so posting lists reach width
+    3-4 and the star genuinely drops clique edges."""
+    span1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    span2 = "completely different boilerplate footer text repeated across documents"
+    docs = spark.createDataFrame(
+        [
+            (1, span1 + " alpha unique tail one for doc"),
+            (2, span1 + " beta unique tail two for doc"),
+            (3, span1 + " gamma unique tail three for doc"),
+            (4, span2 + " delta unique tail four for doc"),
+            (5, span2 + " epsilon unique tail five for doc"),
+            (6, "an entirely unrelated document with no shared span at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    from mcp_memory_libsql_spark.textops import dedup as dd
+
+    clique = {
+        (r.doc_a, r.doc_b)
+        for r in dd.substring_dup_pairs(docs, min_shared=1).collect()
+    }
+    star = {
+        (r.doc_keep, r.doc_dup)
+        for r in dd.substring_dup_star(docs, min_shared=1).collect()
+    }
+    assert star  # non-vacuous
+    assert star <= clique  # star edges are clique edges
+    assert len(star) <= len(clique)
+
+    def components(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        groups: dict[int, set] = {}
+        for n in nodes:
+            groups.setdefault(find(n), set()).add(n)
+        return {frozenset(g) for g in groups.values() if len(g) > 1}
+
+    nodes = set(range(1, 7))
+    assert components(star, nodes) == components(clique, nodes)
+    # and the clique genuinely had extra edges to drop (width-3 group)
+    assert len(clique) > len(star)

@@ -120,6 +120,10 @@ SWEEP = [
     # a flag-off wall at the same point
     "dedup_minhash_lsh_capped",
     "dedup_substring",
+    # the output-bounded star twin: its growth vs the clique twin IS
+    # the measurement that the star reduction removes the
+    # output-quadratic tail
+    "dedup_substring_star",
 ]
 # sweep ops whose OUTPUT ROW COUNT is recorded per point — separates
 # output growth (true duplicates multiply with copies) from plan
@@ -130,7 +134,12 @@ SWEEP = [
 # window until DF_CAP bites at copies=100), so its output plausibly
 # grows like ngram's raw path. dedup_winnowing joined after its r07
 # 30→100× segment came out 1.39 — same postings-combo output math.
-COUNT_ROWS = {"dedup_ngram_jaccard", "dedup_substring", "dedup_winnowing"}
+COUNT_ROWS = {
+    "dedup_ngram_jaccard",
+    "dedup_substring",
+    "dedup_substring_star",
+    "dedup_winnowing",
+}
 # ops that get a PERTURBED-corpus twin (cross-copy sharing engineered
 # away — the pure plan-growth path) with wall + output rows per point
 # and a 3×-largest tail point. The perturbation suffixes every 2nd
@@ -146,6 +155,7 @@ SWEEP_100X = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_capped",
     "dedup_substring",
+    "dedup_substring_star",
 ]
 
 
