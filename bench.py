@@ -62,6 +62,7 @@ EXTENDED = [
     "vec_lsh_refresh",
     "vec_neardup_refresh",
     "dedup_substring_star",
+    "dedup_winnowing_star",
     "text_semantic_exact",
     "kg_hits",
     "kg_walks",

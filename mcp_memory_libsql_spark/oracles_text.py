@@ -992,16 +992,11 @@ GROUP BY 1, 2
 # (width 40, stride 10) hashed per doc — the CTE mirrors
 # textops.dedup.substring_fingerprints (in-row list_distinct ==
 # Spark's array_distinct before the explode).
-# window hashes are 60-bit BIGINTs (the ngram/winnowing recipe), not
-# 32-char hex strings: the postings shuffle carries ~2.5x fewer bytes
-# per row — the 300x-equivalent rehearsal point measured the hex-key
-# variant spilling exactly where the BIGINT miners stayed linear
 _SUBSTR_CTE = """
 WITH w AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(0, length(text) - 40 + 1, 10),
-           s -> ('0x' || substr(md5(substr(text, CAST(s AS INTEGER) + 1, 40)),
-                               1, 15))::BIGINT))) AS h
+           s -> md5(substr(text, CAST(s AS INTEGER) + 1, 40))))) AS h
   FROM documents WHERE length(text) >= 40
 )"""
 
@@ -1515,6 +1510,21 @@ SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
 FROM p x JOIN p y ON x.h = y.h AND x.doc_id < y.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= 3
 """
+
+# star twin over the same winnowing fingerprint CTEs: min-per-h
+# window instead of the clique self-join (see dedup_substring_star)
+ORACLES["dedup_winnowing_star"] = (
+    ORACLES["dedup_winnowing"].split("SELECT x.doc_id")[0]
+    + """
+SELECT keep AS doc_keep, doc_id AS doc_dup,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM (
+  SELECT h, doc_id, MIN(doc_id) OVER (PARTITION BY h) AS keep FROM p
+)
+WHERE doc_id <> keep
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+"""
+)
 
 # Bloom-filter incremental dedup: the IDENTICAL md5-positioned filter
 # (m=4096 bits as 60-bit BIGINT words, j=3 seeds) built and probed in

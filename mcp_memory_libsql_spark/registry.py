@@ -1577,6 +1577,16 @@ def q_dedup_substring_star(spark, sf_dir):
     return dd.substring_dup_star(t["documents"])
 
 
+@query("dedup_winnowing_star")
+def q_dedup_winnowing_star(spark, sf_dir):
+    # same star reduction over the winnowing fingerprint set (the
+    # rehearsal measured the clique twin's output exponent at 2.04 on
+    # the copies corpus — the keep-list consumers only need the
+    # components). FULL oracle.
+    t = load_tables(spark, sf_dir)
+    return dd.winnowing_star(t["documents"])
+
+
 @query("dedup_bloom")
 def q_dedup_bloom(spark, sf_dir):
     # Bloom-filter membership audit vs exact truth — full oracle

@@ -619,24 +619,27 @@ def substring_fingerprints(
     extra distinct shuffle — the explode output goes straight to the
     postings groupBy.
 
-    Window keys are 60-bit BIGINTs (tokenize.md5_hash60 — the same
-    portable recipe the ngram and winnowing miners use), NOT md5 hex
-    strings: a 33-char string key carries ~2.5× more shuffle bytes
-    per posting row, and the 300×-equivalent rehearsal point measured
-    the hex-key variant spilling (161s vs the BIGINT miners' linear
-    walls) exactly where the shuffle outgrew the partition budget.
-    Collisions at 60 bits are negligible (~1e-5 expected across 2²²
-    distinct windows). md5_hash60 honors SPARK_GRAFT_FAST_HASH —
-    xxhash64 flag-on for the 100 TB CPU bill (the r07 rehearsal's
-    first substring fasthash column measured NO speedup because this
-    function bypassed the flag-aware helpers), md5-derived default so
-    the DuckDB oracle hash gate is bit-identical.
+    Window keys are md5 HEX STRINGS, kept deliberately after a
+    measured A/B against the BIGINT recipes: at 30× volume with the
+    postings groupBy + combo explode, hex md5 ran 5.5s vs 6.3s for
+    conv-folded 60-bit keys and 5.5-6.3s for xxhash64 — the
+    narrower-key shuffle saves less than the fold costs here, because
+    the per-doc array_distinct already bounds the posting rows to
+    ~|text|/stride and the wall is dominated by the combo output, not
+    key bytes. SPARK_GRAFT_FAST_HASH=1 swaps the window md5 for
+    xxhash64 (the 100 TB CPU lever — the r07 rehearsal's first
+    substring fasthash column measured NO speedup because this
+    function ignored the flag); the md5 default keeps the DuckDB
+    oracle hash gate bit-identical.
     """
+    from .tokenize import fast_hash_enabled
+
+    win_hash = F.xxhash64 if fast_hash_enabled() else F.md5
     starts = F.sequence(F.lit(0), F.length("text") - width, F.lit(stride))
     hashes = F.array_distinct(
         F.transform(
             starts,
-            lambda s: md5_hash60(
+            lambda s: win_hash(
                 F.col("text").substr(s + F.lit(1), F.lit(width))
             ),
         )
@@ -1073,6 +1076,38 @@ def winnowing_pairs(
     return (
         postings.select(F.explode(combos).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count("*").cast("bigint").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
+def winnowing_star(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    cap: int = DF_CAP,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Output-bounded star twin of :func:`winnowing_pairs` →
+    (doc_keep, doc_dup, shared_fps): per-fingerprint stars instead of
+    cliques, exactly the :func:`substring_dup_star` reduction over
+    the winnowing fingerprint set. The rehearsal measured the clique
+    twin's OUTPUT growing with exponent 2.04 on the duplicated-copies
+    corpus (22.4M pairs at 100×) — the answer, not the plan; this
+    twin feeds the same connected-component keep-list machinery at
+    Σ|postings| output."""
+    fp = winnowing_fingerprints(documents, k, w)
+    postings = (
+        fp.groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= cap))
+    )
+    return (
+        postings.select(
+            F.element_at("ids", 1).alias("doc_keep"),
+            F.explode(F.slice("ids", 2, cap)).alias("doc_dup"),
+        )
+        .groupBy("doc_keep", "doc_dup")
         .agg(F.count("*").cast("bigint").alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )

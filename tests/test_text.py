@@ -505,7 +505,8 @@ def test_fast_hash_path_preserves_dedup_semantics(spark, monkeypatch):
     assert minhash_rows() == base  # default path untouched
     fp_base = {r.h for r in dd.substring_fingerprints(docs).collect()}
     assert fp_fast != fp_base  # genuinely a different hash family
-    assert all(0 <= h < 1 << 60 for h in fp_base | fp_fast)
+    assert all(isinstance(h, int) for h in fp_fast)  # xxhash64 longs
+    assert all(isinstance(h, str) for h in fp_base)  # oracle-gated md5 hex
     sub_base = {
         (r.doc_a, r.doc_b)
         for r in dd.substring_dup_pairs(docs, min_shared=1).collect()

@@ -120,10 +120,11 @@ SWEEP = [
     # a flag-off wall at the same point
     "dedup_minhash_lsh_capped",
     "dedup_substring",
-    # the output-bounded star twin: its growth vs the clique twin IS
-    # the measurement that the star reduction removes the
+    # the output-bounded star twins: their growth vs the clique twins
+    # IS the measurement that the star reduction removes the
     # output-quadratic tail
     "dedup_substring_star",
+    "dedup_winnowing_star",
 ]
 # sweep ops whose OUTPUT ROW COUNT is recorded per point — separates
 # output growth (true duplicates multiply with copies) from plan
@@ -139,6 +140,7 @@ COUNT_ROWS = {
     "dedup_substring",
     "dedup_substring_star",
     "dedup_winnowing",
+    "dedup_winnowing_star",
 }
 # ops that get a PERTURBED-corpus twin (cross-copy sharing engineered
 # away — the pure plan-growth path) with wall + output rows per point
@@ -156,6 +158,7 @@ SWEEP_100X = [
     "dedup_minhash_lsh_capped",
     "dedup_substring",
     "dedup_substring_star",
+    "dedup_winnowing_star",
 ]
 
 
