@@ -231,9 +231,12 @@ def refresh_pairs(
     (pytest-pinned on cap-crossing synthetic buckets and the real sf
     split in tests/test_refresh.py; cross-engine-pinned by the
     ``vec_neardup_refresh`` twin whose DuckDB oracle rebuilds from
-    scratch). Every stage is delta-proportional except the two
-    anti/semi joins that scan the stored pair stream once — no
-    full-corpus re-mining. Contract: same (n_tables, n_bits,
+    scratch). Every stage is candidate-sized except map-side scans of
+    the stored index and pair stream (broadcast-able candidate sets on
+    the join build side); the stored data is never SHUFFLED — the
+    first version's final union+distinct re-shuffled the whole pair
+    stream and lost to the rebuild at the 30× rehearsal point even
+    for a 40-row delta. No full-corpus re-mining. Contract: same (n_tables, n_bits,
     bucket_cap, threshold) as the stored stream, and ``n_bits`` must
     stay the corpus-adaptive width of the GROWN corpus — a delta big
     enough to cross a width_for_corpus boundary is a rebuild, the
@@ -320,7 +323,25 @@ def refresh_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
-    return kept.unionByName(rescued).unionByName(new_scored).distinct()
+    # The three branches are made structurally DISJOINT instead of
+    # union+distinct — a global distinct would shuffle the ENTIRE
+    # stored pair stream (measured 97s for a 40-row delta at the 30×
+    # rehearsal point, worse than the 48s rebuild), turning the
+    # refresh into a full-corpus job. kept∩rescued = ∅ (anti vs semi
+    # on old_cand); rescued∩new = ∅ (rescue is anti new_cand); the
+    # only overlap is kept∩new_scored = old_pairs ∩ new_cand ∖
+    # old_cand (`replay` — pairs the touched re-mine re-derives that
+    # an untouched bucket already justifies), removed from the new
+    # branch with candidate-sized joins. old_pairs is scanned
+    # map-side (broadcast-able candidate sets on the build side) and
+    # never shuffled.
+    replay = (
+        old_pairs.join(new_cand, ["vec_a", "vec_b"], "leftsemi")
+        .join(old_cand, ["vec_a", "vec_b"], "left_anti")
+        .select("vec_a", "vec_b")
+    )
+    new_fixed = new_scored.join(replay, ["vec_a", "vec_b"], "left_anti")
+    return kept.unionByName(rescued).unionByName(new_fixed)
 
 
 def ann_cosine(

@@ -253,7 +253,9 @@ def build_delta_copy(spark, base_copies: int, dst: str) -> None:
         df.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
 
 
-def index_refresh_point(spark, dst: str, copies: int) -> dict:
+def index_refresh_point(
+    spark, dst: str, copies: int, pairs_only: bool = False
+) -> dict:
     """+1-copy delta measurement for the two heaviest shared indexes:
     refresh (disk-backed N-copy artifacts + 1-copy delta, via
     kg.refresh / vector.lsh.refresh_index) vs a from-scratch rebuild
@@ -282,47 +284,54 @@ def index_refresh_point(spark, dst: str, copies: int) -> dict:
     d_rel = kg_views.kg(t_delta)["relations"].localCheckpoint(eager=True)
     d_emb = t_delta["embeddings"]
 
-    g, _ = reg._kg(spark, dst)
-    postings, names, pairs, und, sizes = reg._nbr_index(spark, dst, g)
+    nbr_refresh = nbr_rebuild = lsh_refresh = lsh_rebuild = None
+    if not pairs_only:
+        g, _ = reg._kg(spark, dst)
+        postings, names, pairs, und, sizes = reg._nbr_index(spark, dst, g)
 
-    t0 = time.time()
-    new_p, new_n, new_pairs, new_und = refresh_neighbor_index(
-        postings, names, pairs, und, d_rel, old_sizes=sizes
-    )
-    for df in (new_p, new_n, new_pairs, new_und):
-        noop(df)
-    nbr_refresh = round(time.time() - t0, 1)
-    print(f"nbr refresh (+1 copy at {copies}x): {nbr_refresh}s", flush=True)
-
-    full_rel = g["relations"].unionByName(d_rel)
-    t0 = time.time()
-    p2, n2 = neighbor_postings(full_rel)
-    p2 = p2.persist()
-    noop(p2)
-    noop(n2)
-    noop(scored_pairs(p2))
-    noop(
-        full_rel.where(F.col("source") != F.col("target"))
-        .select(
-            F.least("source", "target").alias("a"),
-            F.greatest("source", "target").alias("b"),
+        t0 = time.time()
+        new_p, new_n, new_pairs, new_und = refresh_neighbor_index(
+            postings, names, pairs, und, d_rel, old_sizes=sizes
         )
-        .distinct()
-    )
-    p2.unpersist()
-    nbr_rebuild = round(time.time() - t0, 1)
-    print(f"nbr rebuild ({copies}+1 copies): {nbr_rebuild}s", flush=True)
+        for df in (new_p, new_n, new_pairs, new_und):
+            noop(df)
+        nbr_refresh = round(time.time() - t0, 1)
+        print(f"nbr refresh (+1 copy at {copies}x): {nbr_refresh}s",
+              flush=True)
 
-    old_idx = reg._lsh_index(spark, dst)
-    t0 = time.time()
-    noop(lsh.refresh_index(old_idx, d_emb, dim=64, n_bits=lsh.MAX_BITS))
-    lsh_refresh = round(time.time() - t0, 1)
-    print(f"lsh refresh (+1 copy at {copies}x): {lsh_refresh}s", flush=True)
+        full_rel = g["relations"].unionByName(d_rel)
+        t0 = time.time()
+        p2, n2 = neighbor_postings(full_rel)
+        p2 = p2.persist()
+        noop(p2)
+        noop(n2)
+        noop(scored_pairs(p2))
+        noop(
+            full_rel.where(F.col("source") != F.col("target"))
+            .select(
+                F.least("source", "target").alias("a"),
+                F.greatest("source", "target").alias("b"),
+            )
+            .distinct()
+        )
+        p2.unpersist()
+        nbr_rebuild = round(time.time() - t0, 1)
+        print(f"nbr rebuild ({copies}+1 copies): {nbr_rebuild}s", flush=True)
+
+        old_idx = reg._lsh_index(spark, dst)
+        t0 = time.time()
+        noop(lsh.refresh_index(old_idx, d_emb, dim=64, n_bits=lsh.MAX_BITS))
+        lsh_refresh = round(time.time() - t0, 1)
+        print(f"lsh refresh (+1 copy at {copies}x): {lsh_refresh}s",
+              flush=True)
+        t0 = time.time()
+        noop(lsh.bucketize(
+            load_tables(spark, dst)["embeddings"].unionByName(d_emb),
+            dim=64, n_bits=lsh.MAX_BITS,
+        ))
+        lsh_rebuild = round(time.time() - t0, 1)
+        print(f"lsh rebuild ({copies}+1 copies): {lsh_rebuild}s", flush=True)
     full_emb = load_tables(spark, dst)["embeddings"].unionByName(d_emb)
-    t0 = time.time()
-    noop(lsh.bucketize(full_emb, dim=64, n_bits=lsh.MAX_BITS))
-    lsh_rebuild = round(time.time() - t0, 1)
-    print(f"lsh rebuild ({copies}+1 copies): {lsh_rebuild}s", flush=True)
 
     # the scored near-dup PAIR stream (third refreshable artifact,
     # vector/lsh.refresh_pairs): refresh merges the delta into the
@@ -356,25 +365,81 @@ def index_refresh_point(spark, dst: str, copies: int) -> dict:
     pairs_rebuild = round(time.time() - t0, 1)
     print(f"pairs rebuild ({copies}+1 copies): {pairs_rebuild}s", flush=True)
 
+    # SPARSE delta variant — the regime the pair refresh is FOR. The
+    # +1-copy delta (~3% of rows) touches ~|delta|·tables of the
+    # ~rows/TARGET_BUCKET total buckets, i.e. about HALF of them, so
+    # bucket-granular re-mining covers half the corpus and the
+    # rebuild-from-stored-signatures wins (measured 0.45x above at
+    # 30x). A day's-arrivals-sized delta (1/50th of a copy) is
+    # bucket-sparse and shows the intended asymmetry; both numbers
+    # stay in the artifact so the breakeven (|delta|·tables ≈
+    # #buckets) is measured, not asserted.
+    d_sparse = d_emb.where(F.pmod(F.col("vec_id"), F.lit(50)) == 0)
+    n_sparse = d_sparse.count()
+    t0 = time.time()
+    noop(
+        lsh.refresh_pairs(
+            old_idx_m, old_pairs, base_emb, d_sparse,
+            threshold=0.4, dim=64, n_bits=bits,
+        )
+    )
+    pairs_refresh_sp = round(time.time() - t0, 1)
+    print(
+        f"pairs refresh (sparse {n_sparse} rows at {copies}x): "
+        f"{pairs_refresh_sp}s",
+        flush=True,
+    )
+    sparse_idx = lsh.refresh_index(old_idx_m, d_sparse, dim=64, n_bits=bits)
+    t0 = time.time()
+    noop(
+        lsh.near_dup_pairs_lsh(
+            base_emb.unionByName(d_sparse), threshold=0.4, n_bits=bits,
+            index=sparse_idx,
+        )
+    )
+    pairs_rebuild_sp = round(time.time() - t0, 1)
+    print(
+        f"pairs rebuild (base+{n_sparse} rows): {pairs_rebuild_sp}s",
+        flush=True,
+    )
+
     shutil.rmtree(ddir, ignore_errors=True)
-    return {
+    out = {
         "copies": copies,
         "delta_copies": 1,
         "delta_build_sec": delta_build_sec,
-        "nbr_postings": {
-            "refresh_sec": nbr_refresh,
-            "rebuild_sec": nbr_rebuild,
-            "speedup": round(nbr_rebuild / max(nbr_refresh, 0.001), 2),
-        },
-        "lsh_signature": {
-            "refresh_sec": lsh_refresh,
-            "rebuild_sec": lsh_rebuild,
-            "speedup": round(lsh_rebuild / max(lsh_refresh, 0.001), 2),
-        },
+        **(
+            {}
+            if pairs_only
+            else {
+                "nbr_postings": {
+                    "refresh_sec": nbr_refresh,
+                    "rebuild_sec": nbr_rebuild,
+                    "speedup": round(
+                        nbr_rebuild / max(nbr_refresh, 0.001), 2
+                    ),
+                },
+                "lsh_signature": {
+                    "refresh_sec": lsh_refresh,
+                    "rebuild_sec": lsh_rebuild,
+                    "speedup": round(
+                        lsh_rebuild / max(lsh_refresh, 0.001), 2
+                    ),
+                },
+            }
+        ),
         "lsh_neardup_pairs": {
             "refresh_sec": pairs_refresh,
             "rebuild_sec": pairs_rebuild,
             "speedup": round(pairs_rebuild / max(pairs_refresh, 0.001), 2),
+        },
+        "lsh_neardup_pairs_sparse_delta": {
+            "delta_rows": n_sparse,
+            "refresh_sec": pairs_refresh_sp,
+            "rebuild_sec": pairs_rebuild_sp,
+            "speedup": round(
+                pairs_rebuild_sp / max(pairs_refresh_sp, 0.001), 2
+            ),
         },
         "note": (
             "refresh merges a 1-copy entity-disjoint delta into the "
@@ -384,6 +449,7 @@ def index_refresh_point(spark, dst: str, copies: int) -> dict:
             "oracle-pinned, not re-proved here."
         ),
     }
+    return out
 
 
 def suggestion_recall(spark, k: int = 25) -> dict:
@@ -637,6 +703,7 @@ def main() -> None:
     only_keys: list[str] | None = None
     only_tables: list[str] | None = None
     refresh_only: int | None = None
+    pairs_only = False
     pos: list[str] = []
     i = 0
     while i < len(argv):
@@ -649,6 +716,9 @@ def main() -> None:
         elif argv[i] == "--refresh-only":
             refresh_only = int(argv[i + 1])
             i += 2
+        elif argv[i] == "--pairs-only":
+            pairs_only = True
+            i += 1
         else:
             pos.append(argv[i])
             i += 1
@@ -667,12 +737,17 @@ def main() -> None:
         t0 = time.time()
         build(spark, copies, dst)
         print(f"built {copies}x in {round(time.time()-t0,1)}s", flush=True)
-        entry = index_refresh_point(spark, dst, copies)
+        entry = index_refresh_point(spark, dst, copies, pairs_only=pairs_only)
         shutil.rmtree(dst, ignore_errors=True)
         path = os.path.join(REPO, "SCALE_REHEARSAL.json")
         with open(path) as f:
             prev = json.load(f)
-        prev["index_refresh"] = entry
+        if pairs_only and prev.get("index_refresh", {}).get(
+            "copies"
+        ) == copies:
+            prev["index_refresh"] = {**prev["index_refresh"], **entry}
+        else:
+            prev["index_refresh"] = entry
         ups = [
             u
             for u in prev.get("targeted_updates", [])
