@@ -245,7 +245,16 @@ def refresh_pairs(
 
     if n_bits is None:
         n_bits = n_bits_for_threshold(threshold)
-    d_idx = bucketize(new_embeddings, dim, n_tables, n_bits)
+    # The candidate-sized intermediates (delta signatures, touched
+    # mining results, suspects) are each consumed by SEVERAL
+    # downstream joins; eager localCheckpoints evaluate the mining
+    # subtree once instead of once per consumer (profiled at the 30×
+    # rehearsal point with a 40-row delta: the re-evaluations were
+    # ~15s of the 19s wall — the refresh was re-mining the touched
+    # buckets five times).
+    d_idx = bucketize(new_embeddings, dim, n_tables, n_bits).localCheckpoint(
+        eager=True
+    )
     touched = d_idx.select("table_id", "sig").distinct()
 
     def mine(idx: DataFrame) -> DataFrame:
@@ -261,13 +270,15 @@ def refresh_pairs(
         )
 
     old_t = old_index.join(touched, ["table_id", "sig"], "leftsemi")
-    new_cand = mine(old_t.unionByName(d_idx))
-    old_cand = mine(old_t)
+    new_cand = mine(old_t.unionByName(d_idx)).localCheckpoint(eager=True)
+    old_cand = mine(old_t).localCheckpoint(eager=True)
 
     kept = old_pairs.join(old_cand, ["vec_a", "vec_b"], "left_anti")
-    suspects = old_pairs.join(
-        old_cand, ["vec_a", "vec_b"], "leftsemi"
-    ).join(new_cand, ["vec_a", "vec_b"], "left_anti")
+    suspects = (
+        old_pairs.join(old_cand, ["vec_a", "vec_b"], "leftsemi")
+        .join(new_cand, ["vec_a", "vec_b"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
 
     members = (
         suspects.select(F.col("vec_a").alias("vec_id"))
