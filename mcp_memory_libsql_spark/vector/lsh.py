@@ -236,7 +236,18 @@ def refresh_pairs(
     the join build side); the stored data is never SHUFFLED — the
     first version's final union+distinct re-shuffled the whole pair
     stream and lost to the rebuild at the 30× rehearsal point even
-    for a 40-row delta. No full-corpus re-mining. Contract: same (n_tables, n_bits,
+    for a 40-row delta. No full-corpus re-mining.
+
+    REGIME BOUNDARY (measured, in SCALE_REHEARSAL index_refresh): the
+    refresh wins only while the delta is bucket-SPARSE — touched
+    buckets ≈ |delta|·n_tables against ~N/TARGET_BUCKET total, so a
+    delta above ~N/(TARGET_BUCKET·n_tables) rows re-mines a large
+    corpus fraction AND pays candidate materialization on top: the
+    +1-copy (~3% of rows) rehearsal delta touches ~half of all
+    buckets and measures 0.35× (rebuild wins); a 40-row delta
+    measures 1.24×. Batch arrivals past the boundary should take the
+    rebuild path — which stays cheap precisely because it reuses the
+    stored (separately refreshable) signature index. Contract: same (n_tables, n_bits,
     bucket_cap, threshold) as the stored stream, and ``n_bits`` must
     stay the corpus-adaptive width of the GROWN corpus — a delta big
     enough to cross a width_for_corpus boundary is a rebuild, the

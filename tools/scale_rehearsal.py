@@ -446,7 +446,14 @@ def index_refresh_point(
             "disk-backed N-copy artifacts; rebuild recomputes the same "
             "artifacts from scratch over the identical N+1 rows; both "
             "timed to the noop sink. Identity is pytest- and "
-            "oracle-pinned, not re-proved here."
+            "oracle-pinned, not re-proved here. lsh_neardup_pairs is "
+            "bucket-granular, so its +1-copy entry measures the past-"
+            "breakeven regime by construction (the delta touches "
+            "~|delta|*tables of ~rows/32 buckets, about half) and the "
+            "rebuild is expected to win there; the sparse_delta twin "
+            "measures the day's-arrivals regime the refresh exists "
+            "for. Both stay recorded so the breakeven is a measured "
+            "boundary."
         ),
     }
     return out
