@@ -1014,14 +1014,29 @@ HAVING COUNT(*) >= 2
 """
 )
 
-# the star twin: each window's members pair with the window's MIN
-# doc only — min-per-h window function instead of the clique
-# self-join; same BETWEEN 2 AND cap posting filter, same >= 2
-# evidence rule (windows where BOTH docs hold the span AND doc_keep
-# is that window's minimum)
-ORACLES["dedup_substring_star"] = (
-    _SUBSTR_CTE
-    + """,
+# the star twin over SPAN witnesses: keys are md5 over each ADJACENT
+# window-hash pair (positional, not deduplicated first — mirrors
+# textops.dedup.substring_span_fingerprints), so one shared key
+# already encodes two consecutive shared windows (≥ width+stride
+# contiguous copied chars) and the keep-independent threshold is 1 —
+# the min-per-key star then provably has the clique-over-spans
+# components (no post-star filtering exists to condition on keep)
+_SUBSTR_SPAN_CTE = """
+WITH hp AS (
+  SELECT doc_id, list_transform(
+           range(0, length(text) - 40 + 1, 10),
+           s -> md5(substr(text, CAST(s AS INTEGER) + 1, 40))) AS hs
+  FROM documents WHERE length(text) >= 50
+),
+w AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(hs)),
+           i -> md5(hs[CAST(i AS INTEGER)] || ':'
+                    || hs[CAST(i AS INTEGER) + 1])))) AS h
+  FROM hp
+)"""
+
+_SUBSTR_STAR_BODY = """,
 wc AS (
   SELECT h, doc_id,
          COUNT(*) OVER (PARTITION BY h) AS c,
@@ -1029,11 +1044,59 @@ wc AS (
   FROM w
 )
 SELECT keep AS doc_keep, doc_id AS doc_dup,
-       COUNT(*)::BIGINT AS shared_windows
+       COUNT(*)::BIGINT AS shared_spans
 FROM wc
 WHERE c BETWEEN 2 AND 100 AND doc_id <> keep
 GROUP BY 1, 2
-HAVING COUNT(*) >= 2
+"""
+
+ORACLES["dedup_substring_star"] = _SUBSTR_SPAN_CTE + _SUBSTR_STAR_BODY
+
+# connected components over the star pair stream (recursive walk,
+# exactly the dedup_clusters recipe) — the keep-list consumers
+_STAR_CC_BODY = """,
+star AS (
+  SELECT keep AS doc_keep, doc_id AS doc_dup
+  FROM wc WHERE c BETWEEN 2 AND 100 AND doc_id <> keep
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_keep AS a, doc_dup AS b FROM star
+  UNION
+  SELECT doc_dup, doc_keep FROM star
+),
+cc AS (
+  WITH RECURSIVE walk(node, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, walk.comp FROM walk JOIN edges e ON walk.node = e.a
+  )
+  SELECT node, MIN(comp) AS cluster_id FROM walk GROUP BY node
+)
+"""
+
+_SUBSTR_WC = """,
+wc AS (
+  SELECT h, doc_id,
+         COUNT(*) OVER (PARTITION BY h) AS c,
+         MIN(doc_id) OVER (PARTITION BY h) AS keep
+  FROM w
+)"""
+
+ORACLES["dedup_substring_clusters"] = (
+    _SUBSTR_SPAN_CTE
+    + _SUBSTR_WC
+    + _STAR_CC_BODY
+    + "SELECT node AS doc_id, cluster_id FROM cc"
+)
+
+ORACLES["dedup_substring_keep"] = (
+    _SUBSTR_SPAN_CTE
+    + _SUBSTR_WC
+    + _STAR_CC_BODY
+    + """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
 """
 )
 
@@ -1511,18 +1574,56 @@ FROM p x JOIN p y ON x.h = y.h AND x.doc_id < y.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= 3
 """
 
-# star twin over the same winnowing fingerprint CTEs: min-per-h
-# window instead of the clique self-join (see dedup_substring_star)
-ORACLES["dedup_winnowing_star"] = (
-    ORACLES["dedup_winnowing"].split("SELECT x.doc_id")[0]
-    + """
-SELECT keep AS doc_keep, doc_id AS doc_dup,
-       CAST(COUNT(*) AS BIGINT) AS shared_fps
-FROM (
-  SELECT h, doc_id, MIN(doc_id) OVER (PARTITION BY h) AS keep FROM p
+# star twin over winnowing SPAN witnesses: the positional per-window
+# minima (same hps/list_min pipeline as dedup_winnowing), consecutive
+# repeats run-collapsed, then md5 keys over each adjacent pair —
+# mirrors textops.dedup.winnowing_span_fingerprints exactly (1-based
+# list_filter index; ms[0] is NULL so i = 1 keeps the first element,
+# matching Spark's null-safe compare against F.get(ms, -1))
+_WINNOW_SPAN_CTE = """
+WITH hs AS (
+  SELECT doc_id,
+    list_transform(range(1, length(text) - 25 + 2),
+      p -> ('0x' || substr(md5(substr(text, p::INTEGER, 25)), 1, 8))::BIGINT
+             * 33554432 + (33554432 - 1 - p)) AS hps
+  FROM documents WHERE length(text) >= 25
+),
+mins AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, greatest(2::BIGINT, len(hps)::BIGINT - 8 + 2)),
+      j -> list_min(list_slice(hps, j, j + 7)) >> 25) AS ms
+  FROM hs
+),
+col AS (
+  SELECT doc_id,
+         list_filter(ms, (x, i) -> i = 1 OR x <> ms[i - 1]) AS cs
+  FROM mins
+),
+w AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(cs)),
+    i -> md5(CAST(cs[CAST(i AS INTEGER)] AS VARCHAR) || ':'
+             || CAST(cs[CAST(i AS INTEGER) + 1] AS VARCHAR))))) AS h
+  FROM col
+)"""
+
+ORACLES["dedup_winnowing_star"] = _WINNOW_SPAN_CTE + _SUBSTR_STAR_BODY
+
+ORACLES["dedup_winnowing_clusters"] = (
+    _WINNOW_SPAN_CTE
+    + _SUBSTR_WC
+    + _STAR_CC_BODY
+    + "SELECT node AS doc_id, cluster_id FROM cc"
 )
-WHERE doc_id <> keep
-GROUP BY 1, 2 HAVING COUNT(*) >= 3
+
+ORACLES["dedup_winnowing_keep"] = (
+    _WINNOW_SPAN_CTE
+    + _SUBSTR_WC
+    + _STAR_CC_BODY
+    + """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
 """
 )
 

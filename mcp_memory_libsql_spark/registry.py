@@ -1566,25 +1566,66 @@ def q_dedup_substring_docs(spark, sf_dir):
 
 @query("dedup_substring_star")
 def q_dedup_substring_star(spark, sf_dir):
-    # output-bounded star twin of dedup_substring: per-window stars
-    # preserve the pair graph's connected components (the input the
-    # keep-list machinery actually needs) at Σ|postings| output
+    # output-bounded star twin of dedup_substring: per-SPAN-witness
+    # stars (adjacent-window bigram keys — evidence packed into the
+    # key, so the keep-independent threshold is 1 and the star
+    # PROVABLY preserves the clique-over-spans components, fixing the
+    # r07 keep-conditioned min_shared rule) at Σ|postings| output
     # instead of Σ C(|postings|,2) — the scale path for
     # heavily-duplicated corpora, where the rehearsal measured the
     # clique twin's OUTPUT (not its plan) growing ~copies². FULL
-    # oracle (min-per-window CTE mirror).
+    # oracle (adjacent-bigram + min-per-key CTE mirror).
     t = load_tables(spark, sf_dir)
     return dd.substring_dup_star(t["documents"])
 
 
+@query("dedup_substring_clusters")
+def q_dedup_substring_clusters(spark, sf_dir):
+    # THE consumer the star twin exists for: HashMin connected
+    # components over the span-witness star pair graph — exact
+    # keep-list input at linear pair-stream output (rehearsal: star
+    # 5.7s vs clique 48.7s at 100×). FULL oracle (recursive-CTE
+    # components over the mirrored star SQL).
+    t = load_tables(spark, sf_dir)
+    return dd.substring_dup_clusters(t["documents"])
+
+
+@query("dedup_substring_keep")
+def q_dedup_substring_keep(spark, sf_dir):
+    # corpus after copied-span cluster dedup: drop non-canonical
+    # members via broadcast anti-join — the end-to-end 100 TB
+    # substring-dedup ship shape (star pairs → components → keep),
+    # no stage quadratic in the duplication factor. FULL oracle.
+    t = load_tables(spark, sf_dir)
+    return dd.substring_keep_docs(t["documents"])
+
+
 @query("dedup_winnowing_star")
 def q_dedup_winnowing_star(spark, sf_dir):
-    # same star reduction over the winnowing fingerprint set (the
-    # rehearsal measured the clique twin's output exponent at 2.04 on
-    # the copies corpus — the keep-list consumers only need the
-    # components). FULL oracle.
+    # same span-witness star reduction over the winnowing fingerprint
+    # sequence (run-collapsed adjacent selected fps; the rehearsal
+    # measured the clique twin's output exponent at 2.04 on the
+    # copies corpus — keep-list consumers only need components). FULL
+    # oracle.
     t = load_tables(spark, sf_dir)
     return dd.winnowing_star(t["documents"])
+
+
+@query("dedup_winnowing_clusters")
+def q_dedup_winnowing_clusters(spark, sf_dir):
+    # components over the winnowing span-witness star graph — the
+    # insertion-robust cluster twin (star 43.0s vs clique 205.0s at
+    # 100× in the r07 rehearsal). FULL oracle (recursive CTE).
+    t = load_tables(spark, sf_dir)
+    return dd.winnowing_dup_clusters(t["documents"])
+
+
+@query("dedup_winnowing_keep")
+def q_dedup_winnowing_keep(spark, sf_dir):
+    # corpus after winnowing cluster dedup (broadcast anti-join keep)
+    # — closes the star scale path end-to-end. FULL oracle.
+    t = load_tables(spark, sf_dir)
+    return dd.winnowing_keep_docs(t["documents"])
 
 
 @query("dedup_bloom")
@@ -2764,7 +2805,17 @@ def q_vec_neardup_refresh(spark, sf_dir):
         base, threshold=0.4, index=old_idx
     ).localCheckpoint(eager=True)
     return _lsh.refresh_pairs(
-        old_idx, old_pairs, base, delta, threshold=0.4, dim=64, n_bits=bits
+        old_idx,
+        old_pairs,
+        base,
+        delta,
+        threshold=0.4,
+        dim=64,
+        n_bits=bits,
+        # the gate VERIFIES the append-only contract the exactness
+        # proof assumes (one early-exit semi probe); production
+        # ingest that guarantees disjointness skips the scan
+        check_disjoint=True,
     ).select(
         F.col("vec_a").cast("bigint").alias("vec_a"),
         F.col("vec_b").cast("bigint").alias("vec_b"),

@@ -687,37 +687,122 @@ def substring_dup_pairs(
     )
 
 
+def _span_key(a: Column, b: Column) -> Column:
+    """Combine two adjacent fingerprint columns into ONE span-witness
+    key. md5 default keeps the DuckDB oracle bit-identical (hex
+    windows concatenate raw; BIGINT winnowing fps render as decimal
+    strings with a ':' separator — both engines cast identically);
+    SPARK_GRAFT_FAST_HASH=1 hashes the pair JVM-native."""
+    from .tokenize import fast_hash_enabled
+
+    if fast_hash_enabled():
+        return F.xxhash64(a, b)
+    return F.md5(
+        F.concat(a.cast("string"), F.lit(":"), b.cast("string"))
+    )
+
+
+def _adjacent_bigrams(arr: Column) -> Column:
+    """Distinct span keys over ADJACENT element pairs of ``arr`` (in
+    array order): zip_with of the two length−1 slices. Empty when the
+    array has < 2 elements. Single-arg on purpose — it is passed
+    straight to F.transform, which would feed the element index into
+    any second parameter."""
+    n1 = F.greatest(F.lit(0), F.size(arr) - 1)
+    return F.array_distinct(
+        F.zip_with(F.slice(arr, 1, n1), F.slice(arr, 2, n1), _span_key)
+    )
+
+
+def substring_span_fingerprints(
+    documents: DataFrame, width: int = SUBSTR_WIDTH, stride: int = SUBSTR_STRIDE
+) -> DataFrame:
+    """(doc_id, h) — SPAN witnesses: md5 keys over each ADJACENT pair
+    of window hashes (windows at starts 0, stride, 2·stride …, in
+    position order, NOT deduplicated first). Two docs share a span
+    key iff they share two consecutive stride-aligned windows — i.e.
+    ≥ width+stride contiguous copied characters, the exact
+    copied-span evidence :func:`substring_dup_pairs` encodes as
+    ``min_shared=2`` counting. Packing the evidence INTO THE KEY is
+    what lets :func:`substring_dup_star` threshold at 1 witness,
+    where the star/clique component equivalence is exact (see there).
+
+    Docs need ≥ 2 windows (length ≥ width+stride) to produce a span;
+    shorter docs can never carry two-window evidence in the clique
+    twin either — exact/prefix dedup owns that regime.
+
+    Plan: one in-row projection (window hash array → zip_with bigram
+    → array_distinct), fan_out + explode_outer exactly as
+    :func:`substring_fingerprints` (the array is provably non-empty
+    under the length gate, and plain explode's inferred size-filter
+    would re-evaluate the dense md5 hashing inside the scan stage)."""
+    from .tokenize import fast_hash_enabled
+
+    win_hash = F.xxhash64 if fast_hash_enabled() else F.md5
+    starts = F.sequence(F.lit(0), F.length("text") - width, F.lit(stride))
+    hashes = F.transform(
+        starts,
+        lambda s: win_hash(F.col("text").substr(s + F.lit(1), F.lit(width))),
+    )
+    # bind the window-hash array as a lambda variable (single-element
+    # transform) so the slices/zip_with reference ONE evaluation —
+    # projection collapse would otherwise inline the md5 array into
+    # each of the three uses (the winnowing O(n²) lesson)
+    spans = F.transform(F.array(hashes), _adjacent_bigrams)[0]
+    return fan_out(
+        documents.where(F.length("text") >= width + stride)
+    ).select("doc_id", F.explode_outer(spans).alias("h"))
+
+
 def substring_dup_star(
     documents: DataFrame,
     width: int = SUBSTR_WIDTH,
     stride: int = SUBSTR_STRIDE,
     cap: int = DF_CAP,
-    min_shared: int = 2,
+    min_shared: int = 1,
 ) -> DataFrame:
-    """Output-bounded twin of :func:`substring_dup_pairs` →
-    (doc_keep, doc_dup, shared_windows), doc_keep < doc_dup: each
-    window pairs its posting list's members with the list's MIN
-    doc_id only (a star, not a clique).
+    """Output-bounded star twin of :func:`substring_dup_pairs` →
+    (doc_keep, doc_dup, shared_spans), doc_keep < doc_dup: each SPAN
+    witness (adjacent-window bigram key,
+    :func:`substring_span_fingerprints`) pairs its posting list's
+    members with the list's MIN doc_id only (a star, not a clique).
 
-    WHY: on a heavily-duplicated corpus the clique emission is
+    WHY a star: on a heavily-duplicated corpus the clique emission is
     OUTPUT-quadratic — a span copied into w docs emits C(w,2) pairs
-    per window, which is exactly what the scale rehearsal measured as
-    dedup_substring's super-linear 30→100× tail (the plan is linear;
-    the answer itself grows ~copies²). Downstream dedup doesn't need
-    the clique: keep-lists come from CONNECTED COMPONENTS of the pair
-    graph, and a per-window star ({a,b,c} → (a,b),(a,c)) has the same
-    transitive closure as the clique — so this variant feeds the same
-    cluster/keep machinery with Σ|postings| output instead of
-    Σ C(|postings|,2): ~cap/2× less in the worst bucket, ~linear in
-    corpus size on the duplicated-corpus path. shared_windows keeps
-    the ≥ ``min_shared`` evidence rule: it counts windows where BOTH
-    docs hold the span and doc_keep is that window's minimum — still
-    a copied-span witness, same stride-overlap argument.
+    per key (the rehearsal measured dedup_substring's output exponent
+    at 2.045 on the copies corpus). Keep-lists need only CONNECTED
+    COMPONENTS of the pair graph, and a per-key star ({a,b,c} →
+    (a,b),(a,c)) has the clique's transitive closure — Σ|postings|
+    output instead of Σ C(|postings|,2).
+
+    WHY span witnesses instead of raw windows: the first version
+    counted raw shared windows and filtered ``>= 2`` AFTER the star
+    reduction — but those counts are conditioned on doc_keep being
+    each window's minimum, so a pair's evidence fragments across
+    keeps (postings {2,3} + {1,2,3}: clique pair (2,3) counts 2,
+    every star edge counts 1 → the {2,3} duplicate group silently
+    vanished at the default threshold). Span witnesses make the
+    evidence rule KEEP-INDEPENDENT: one witness already encodes two
+    consecutive shared windows (≥ width+stride contiguous copied
+    chars), so the registered default is ``min_shared=1`` — and at
+    threshold 1 no post-star filtering happens, so the star's
+    components provably equal the clique-over-spans components on
+    EVERY input (per-key stars and cliques have identical transitive
+    closure; union over keys preserves it). Deliberate, documented
+    divergence from the clique twin: two docs sharing ≥2 scattered
+    NON-adjacent windows (two independent 40-char coincidences, no
+    contiguous copied span) pair in :func:`substring_dup_pairs` but
+    not here — the star targets copied-span dedup, where the clique's
+    own ``min_shared=2`` + stride-overlap docstring argument lives.
+    ``shared_spans`` counts this keep's witnesses (a lower-bound
+    diagnostic, not the symmetric intersection size); raising
+    ``min_shared`` above 1 reintroduces the keep-conditioning and
+    voids the component guarantee — diagnostic use only.
 
     Plan: identical single shuffle to the clique twin (postings
-    groupBy on the window hash); the pair explode is |ids|−1 wide
+    groupBy on the span key); the pair explode is |ids|−1 wide
     instead of C(|ids|,2)."""
-    wnd = substring_fingerprints(documents, width, stride)
+    wnd = substring_span_fingerprints(documents, width, stride)
     postings = (
         wnd.groupBy("h")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -729,8 +814,8 @@ def substring_dup_star(
             F.explode(F.slice("ids", 2, cap)).alias("doc_dup"),
         )
         .groupBy("doc_keep", "doc_dup")
-        .agg(F.count("*").alias("shared_windows"))
-        .where(F.col("shared_windows") >= min_shared)
+        .agg(F.count("*").cast("bigint").alias("shared_spans"))
+        .where(F.col("shared_spans") >= min_shared)
     )
 
 
@@ -1081,22 +1166,100 @@ def winnowing_pairs(
     )
 
 
+def winnowing_span_fingerprints(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, h) — winnowing SPAN witnesses: md5 keys over each
+    ADJACENT pair of run-collapsed selected fingerprints (the
+    positional per-window minima of :func:`winnowing_fingerprints`,
+    consecutive repeats collapsed, then bigrams in selection order).
+    Two docs share a span key iff their winnowing selections agree on
+    two consecutive distinct fingerprints — by the winnowing
+    self-containedness guarantee, an identical region of ≥ ~2(w+k)
+    chars reproduces the interior selection sequence exactly, so
+    copied spans yield shared bigrams while isolated single-
+    fingerprint coincidences (one k-gram collision) never do. The
+    evidence lives IN THE KEY, so :func:`winnowing_star` thresholds
+    at 1 witness, where star ≡ clique on components (see
+    :func:`substring_dup_star` for the conditioning bug this fixes).
+
+    Plan: the same one-projection in-row pipeline as
+    :func:`winnowing_fingerprints` — dense gram hashes → per-window
+    minima → run-collapse (filter vs previous element) → zip_with
+    bigrams — every intermediate bound as a lambda variable
+    (single-element transform) so it is evaluated ONCE per row (the
+    measured O(n²) projection-collapse blowup). Docs whose collapsed
+    selection has < 2 fingerprints produce an empty array →
+    explode_outer null → filtered (the isNotNull filter sits ABOVE
+    the generate, so the optimizer cannot rewrite it into a
+    size-filter below the fan_out exchange)."""
+    S = WINNOW_POS_SCALE
+    cnt = F.length("text") - k + 1
+    hps = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda p: md5_hash32(F.col("text").substr(p, F.lit(k))) * F.lit(S)
+        + (F.lit(S - 1) - p),
+    )
+
+    def mins_of(arr):
+        m = F.greatest(F.lit(1), F.size(arr) - w + 1)
+        return F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.shiftright(
+                F.array_min(F.slice(arr, j, w)), WINNOW_POS_BITS
+            ),
+        )
+
+    def collapse(ms):
+        # keep an element where it differs from its predecessor; F.get is
+        # 0-based and null-safe, so index −1 (first element) compares
+        # against NULL and <=> returns false → kept
+        return F.filter(ms, lambda x, i: ~x.eqNullSafe(F.get(ms, i - 1)))
+
+    spans = F.transform(
+        F.array(hps),
+        lambda arr: F.transform(
+            F.array(mins_of(arr)),
+            lambda ms: F.transform(
+                F.array(collapse(ms)), _adjacent_bigrams
+            )[0],
+        )[0],
+    )[0]
+    sel = fan_out(documents.where(F.length("text") >= k)).select(
+        "doc_id", spans.alias("sp")
+    )
+    return sel.select(
+        "doc_id", F.explode_outer("sp").alias("h")
+    ).where(F.col("h").isNotNull())
+
+
 def winnowing_star(
     documents: DataFrame,
     k: int = WINNOW_K,
     w: int = WINNOW_W,
     cap: int = DF_CAP,
-    min_shared: int = 3,
+    min_shared: int = 1,
 ) -> DataFrame:
     """Output-bounded star twin of :func:`winnowing_pairs` →
-    (doc_keep, doc_dup, shared_fps): per-fingerprint stars instead of
-    cliques, exactly the :func:`substring_dup_star` reduction over
-    the winnowing fingerprint set. The rehearsal measured the clique
-    twin's OUTPUT growing with exponent 2.04 on the duplicated-copies
-    corpus (22.4M pairs at 100×) — the answer, not the plan; this
-    twin feeds the same connected-component keep-list machinery at
-    Σ|postings| output."""
-    fp = winnowing_fingerprints(documents, k, w)
+    (doc_keep, doc_dup, shared_spans): per-key stars instead of
+    cliques over the winnowing SPAN-witness set
+    (:func:`winnowing_span_fingerprints`) — exactly the
+    :func:`substring_dup_star` reduction, including its evidence-rule
+    fix: one span witness already encodes two consecutive shared
+    winnowing fingerprints, so the registered default ``min_shared=1``
+    applies NO post-star thresholding and the star's connected
+    components provably equal the clique-over-spans components on
+    every input (the first version's raw-fingerprint counts were
+    conditioned on doc_keep being each posting's minimum, which
+    fragmented a pair's evidence across keeps and could silently drop
+    duplicate groups at the default threshold). Deliberate divergence
+    from :func:`winnowing_pairs`: docs sharing ≥3 SCATTERED
+    fingerprints with no two consecutive (independent k-gram
+    coincidences, not a copied region) pair there but not here. The
+    rehearsal measured the clique twin's output exponent at 2.04 on
+    the copies corpus — this twin feeds the same connected-component
+    keep-list machinery at Σ|postings| output."""
+    fp = winnowing_span_fingerprints(documents, k, w)
     postings = (
         fp.groupBy("h")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -1108,9 +1271,102 @@ def winnowing_star(
             F.explode(F.slice("ids", 2, cap)).alias("doc_dup"),
         )
         .groupBy("doc_keep", "doc_dup")
-        .agg(F.count("*").cast("bigint").alias("shared_fps"))
-        .where(F.col("shared_fps") >= min_shared)
+        .agg(F.count("*").cast("bigint").alias("shared_spans"))
+        .where(F.col("shared_spans") >= min_shared)
     )
+
+
+def _star_clusters(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over a star pair
+    stream (doc_keep, doc_dup): the 32d recipe (HashMin min-label
+    propagation, one shuffle per round, lineage cut) applied to the
+    output-bounded star graph. cluster_id = min reachable doc_id."""
+    from ..kg.traverse import connected_components
+
+    edges = pairs.select(
+        F.col("doc_keep").alias("source"), F.col("doc_dup").alias("target")
+    )
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("name").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _star_keep(documents: DataFrame, members: DataFrame) -> DataFrame:
+    """Corpus after star-cluster dedup: drop every non-canonical
+    member (doc_id ≠ its cluster's min); singletons pass through. The
+    drop set is bounded by duplicated docs only → broadcast anti-join,
+    the full corpus never shuffles (the 32e recipe)."""
+    from pyspark.sql.functions import broadcast
+
+    drops = members.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return documents.join(broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def substring_dup_clusters(
+    documents: DataFrame,
+    width: int = SUBSTR_WIDTH,
+    stride: int = SUBSTR_STRIDE,
+    cap: int = DF_CAP,
+) -> DataFrame:
+    """Copied-span duplicate groups → (doc_id, cluster_id): connected
+    components over the :func:`substring_dup_star` pair graph. THE
+    consumer the star twin exists for: the star emits Σ|postings|
+    rows (rehearsal: 5.7s vs the clique's 48.7s at 100× on the copies
+    corpus) and, at the registered min_shared=1 span-witness
+    semantics, has provably the clique-over-spans components — so
+    this keep-list input is exact while the pair stream stays linear
+    in corpus size on heavily-duplicated corpora."""
+    pairs = substring_dup_star(documents, width, stride, cap)
+    return _star_clusters(pairs)
+
+
+def substring_keep_docs(
+    documents: DataFrame,
+    width: int = SUBSTR_WIDTH,
+    stride: int = SUBSTR_STRIDE,
+    cap: int = DF_CAP,
+) -> DataFrame:
+    """Corpus after substring-span cluster dedup → (doc_id, lang,
+    source, n_chars): drop non-canonical members of every
+    :func:`substring_dup_clusters` group. End-to-end this is the
+    100 TB copied-span dedup ship shape: star pair stream (linear
+    output) → HashMin components → broadcast anti-join — no stage is
+    quadratic in the duplication factor."""
+    members = substring_dup_clusters(documents, width, stride, cap)
+    return _star_keep(documents, members)
+
+
+def winnowing_dup_clusters(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    cap: int = DF_CAP,
+) -> DataFrame:
+    """Winnowing (MOSS) duplicate groups → (doc_id, cluster_id):
+    connected components over the :func:`winnowing_star` span-witness
+    pair graph — the insertion-robust analog of
+    :func:`substring_dup_clusters` (rehearsal: star 43.0s vs clique
+    205.0s at 100×)."""
+    pairs = winnowing_star(documents, k, w, cap)
+    return _star_clusters(pairs)
+
+
+def winnowing_keep_docs(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    cap: int = DF_CAP,
+) -> DataFrame:
+    """Corpus after winnowing cluster dedup → (doc_id, lang, source,
+    n_chars): the :func:`substring_keep_docs` recipe over the
+    position-robust fingerprint set."""
+    members = winnowing_dup_clusters(documents, k, w, cap)
+    return _star_keep(documents, members)
 
 
 BLOOM_BITS = 4096  # filter size m

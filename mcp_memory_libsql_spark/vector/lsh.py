@@ -193,6 +193,7 @@ def refresh_pairs(
     n_tables: int = N_TABLES,
     n_bits: int | None = None,
     bucket_cap: int = BUCKET_CAP,
+    check_disjoint: bool = False,
 ) -> DataFrame:
     """Incremental maintenance of the scored near-dup PAIR stream
     (the artifact one level above the signature index — the registry's
@@ -251,9 +252,31 @@ def refresh_pairs(
     bucket_cap, threshold) as the stored stream, and ``n_bits`` must
     stay the corpus-adaptive width of the GROWN corpus — a delta big
     enough to cross a width_for_corpus boundary is a rebuild, the
-    same boundary the signature index documents."""
+    same boundary the signature index documents. And the delta must
+    be APPEND-ONLY: ``new_embeddings`` vec_ids disjoint from
+    ``base_embeddings`` — an overlapping id would duplicate rows in
+    the rescore joins and silently break the kept/old_cand algebra
+    (the exactness proof assumes old∪new is a disjoint union).
+    ``check_disjoint=True`` verifies this with one early-exiting
+    semi-join probe (an extra base scan — the registry gate runs it;
+    production callers whose ingest already guarantees append-only
+    can skip the scan)."""
     from ..textops.tokenize import split_fat_buckets
 
+    if check_disjoint:
+        overlap = (
+            new_embeddings.select("vec_id")
+            .join(base_embeddings.select("vec_id"), "vec_id", "leftsemi")
+            .limit(3)
+            .collect()
+        )
+        if overlap:
+            ids = sorted(r.vec_id for r in overlap)
+            raise ValueError(
+                "refresh_pairs requires an append-only delta: vec_ids "
+                f"{ids}… exist in base_embeddings — take the rebuild path "
+                "(near_dup_pairs_lsh over the corrected corpus) instead"
+            )
     if n_bits is None:
         n_bits = n_bits_for_threshold(threshold)
     # The candidate-sized intermediates (delta signatures, touched

@@ -311,3 +311,33 @@ def test_lsh_pairs_refresh_real_corpus(spark, sf_dir):
     )
     rebuilt = lsh.near_dup_pairs_lsh(emb, threshold=0.4, n_bits=bits)
     assert _rows(refreshed) == _rows(rebuilt)
+
+
+def test_lsh_pairs_refresh_rejects_overlapping_delta(spark, sf_dir):
+    """The exactness algebra assumes an APPEND-ONLY delta; an
+    overlapping vec_id used to duplicate rows in the rescore joins
+    silently. With check_disjoint=True (the registry gate's setting)
+    misuse fails loudly instead."""
+    import pytest as _pytest
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = emb.where(F.pmod(F.col("vec_id"), F.lit(19)) != 0)
+    # delta deliberately overlaps base on one id
+    delta = emb.where(
+        (F.pmod(F.col("vec_id"), F.lit(19)) == 0)
+        | (F.col("vec_id") == base.agg(F.min("vec_id")).collect()[0][0])
+    )
+    bits = lsh.n_bits_for_threshold(0.4)
+    old_idx = lsh.bucketize(base, dim=64, n_bits=bits)
+    old_pairs = lsh.near_dup_pairs_lsh(base, threshold=0.4, index=old_idx)
+    with _pytest.raises(ValueError, match="append-only"):
+        lsh.refresh_pairs(
+            old_idx,
+            old_pairs,
+            base,
+            delta,
+            threshold=0.4,
+            dim=64,
+            n_bits=bits,
+            check_disjoint=True,
+        )

@@ -666,12 +666,152 @@ def test_shard_plan_incremental_equals_replan(spark, sf_dir):
     assert inc == full and len(inc) > 0
 
 
+def _components(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    groups: dict[int, set] = {}
+    for n in nodes:
+        groups.setdefault(find(n), set()).add(n)
+    return {frozenset(g) for g in groups.values() if len(g) > 1}
+
+
 def test_substring_star_preserves_components(spark):
-    """The star twin's whole claim: per-window stars have the same
-    transitive closure as the clique pair set (keep-lists see
-    identical duplicate groups), with no more output rows. Docs are
-    built around shared 40+-char spans so posting lists reach width
-    3-4 and the star genuinely drops clique edges."""
+    """The star twin's whole claim AT ITS REGISTERED DEFAULTS: the
+    span-witness star (min_shared=1 over adjacent-window bigram keys)
+    has the same transitive closure as the clique pair set at the
+    clique's registered min_shared=2 on copied-span corpora —
+    keep-lists see identical duplicate groups, with fewer output
+    rows. Docs are built around shared 70-char spans so posting lists
+    reach width 3 and the star genuinely drops clique edges."""
+    span1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    span2 = "completely different boilerplate footer text repeated across documents"
+    docs = spark.createDataFrame(
+        [
+            (1, span1 + " alpha unique tail one for doc"),
+            (2, span1 + " beta unique tail two for doc"),
+            (3, span1 + " gamma unique tail three for doc"),
+            (4, span2 + " delta unique tail four for doc"),
+            (5, span2 + " epsilon unique tail five for doc"),
+            (6, "an entirely unrelated document with no shared span at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    from mcp_memory_libsql_spark.textops import dedup as dd
+
+    # REGISTERED defaults on both sides — the r07 advice showed the
+    # old keep-conditioned rule diverging exactly here
+    clique = {
+        (r.doc_a, r.doc_b) for r in dd.substring_dup_pairs(docs).collect()
+    }
+    star = {
+        (r.doc_keep, r.doc_dup)
+        for r in dd.substring_dup_star(docs).collect()
+    }
+    assert star  # non-vacuous
+    # every star edge carries ≥2 consecutive shared windows → it is a
+    # clique(min_shared=2) pair too
+    assert star <= clique
+    nodes = set(range(1, 7))
+    assert _components(star, nodes) == _components(clique, nodes)
+    # and the clique genuinely had extra edges to drop (width-3 group)
+    assert len(clique) > len(star)
+
+
+def test_substring_star_keep_independent_evidence(spark):
+    """The r07 advice counter-example, rebuilt at span granularity:
+    a smaller-id doc (1) shares SOME of the copied region with docs
+    2 and 3, which share a LONGER region between themselves. Under
+    the old keep-conditioned rule ({1,2,3} windows sent all evidence
+    to doc 1's star edges while the (2,3) pair's own count
+    fragmented), the {2,3} group could silently vanish at the default
+    threshold. Span witnesses are keep-independent: every shared span
+    is one self-sufficient witness, so all three docs land in ONE
+    component on both paths."""
+    shared = (
+        "zebra quartz vivid jumble of fixed characters spanning windows "
+        "abcdefghij klmnopqrst uvwxyz0123 456789abcd efghijklmn opqrstuvwx"
+    )
+    # doc 1 copies only the head of the shared region; 2 and 3 copy
+    # all of it — so some spans post {2,3} and some post {1,2,3}
+    docs = spark.createDataFrame(
+        [
+            (1, shared[:60] + " one tail entirely distinct from others xx"),
+            (2, shared + " two tail entirely distinct from the others"),
+            (3, shared + " three tail fully distinct from the others"),
+        ],
+        "doc_id long, text string",
+    )
+    from mcp_memory_libsql_spark.textops import dedup as dd
+
+    star = {
+        (r.doc_keep, r.doc_dup)
+        for r in dd.substring_dup_star(docs).collect()
+    }
+    spans = dd.substring_span_fingerprints(docs)
+    posting_sets = {
+        frozenset(r.ids)
+        for r in spans.groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .collect()
+    }
+    # the corpus really produces BOTH posting shapes of the advice
+    # example — {2,3} evidence alongside {1,2,3} evidence
+    assert frozenset([2, 3]) in posting_sets
+    assert frozenset([1, 2, 3]) in posting_sets
+    clique = {
+        (r.doc_a, r.doc_b) for r in dd.substring_dup_pairs(docs).collect()
+    }
+    nodes = {1, 2, 3}
+    assert _components(star, nodes) == _components(clique, nodes) == {
+        frozenset([1, 2, 3])
+    }
+
+
+def test_substring_star_divergence_is_scattered_windows_only(spark):
+    """Documented, intended divergence: two docs sharing ≥2 SCATTERED
+    non-adjacent windows (independent 40-char coincidences, no
+    contiguous copied span) pair in the clique twin but produce no
+    span witness — the star targets copied-span dedup. This pins the
+    chosen semantics at the registered defaults."""
+    w1 = "A" * 19 + "x" * 21  # one full window of repeated filler
+    w2 = "B" * 19 + "y" * 21
+    # both docs contain windows w1 and w2 at stride-aligned offsets,
+    # separated by DIFFERENT 40-char junk — so the two shared windows
+    # are never adjacent
+    docs = spark.createDataFrame(
+        [
+            (1, w1 + "j" * 40 + w2 + " first document tail here"),
+            (2, w1 + "k" * 40 + w2 + " second document tail goes"),
+        ],
+        "doc_id long, text string",
+    )
+    from mcp_memory_libsql_spark.textops import dedup as dd
+
+    clique = {
+        (r.doc_a, r.doc_b) for r in dd.substring_dup_pairs(docs).collect()
+    }
+    star = {
+        (r.doc_keep, r.doc_dup)
+        for r in dd.substring_dup_star(docs).collect()
+    }
+    assert (1, 2) in clique  # scattered evidence pairs the clique
+    assert star == set()  # and intentionally NOT the span star
+
+
+def test_winnowing_star_preserves_components(spark):
+    """Winnowing span-witness star vs the winnowing clique at both
+    REGISTERED defaults (star min_shared=1 witnesses, clique
+    min_shared=3 fingerprints) on a copied-span corpus: identical
+    duplicate groups."""
     span1 = "the quick brown fox jumps over the lazy dog near the river bank today"
     span2 = "completely different boilerplate footer text repeated across documents"
     docs = spark.createDataFrame(
@@ -688,34 +828,59 @@ def test_substring_star_preserves_components(spark):
     from mcp_memory_libsql_spark.textops import dedup as dd
 
     clique = {
-        (r.doc_a, r.doc_b)
-        for r in dd.substring_dup_pairs(docs, min_shared=1).collect()
+        (r.doc_a, r.doc_b) for r in dd.winnowing_pairs(docs).collect()
     }
     star = {
-        (r.doc_keep, r.doc_dup)
-        for r in dd.substring_dup_star(docs, min_shared=1).collect()
+        (r.doc_keep, r.doc_dup) for r in dd.winnowing_star(docs).collect()
     }
-    assert star  # non-vacuous
-    assert star <= clique  # star edges are clique edges
-    assert len(star) <= len(clique)
+    assert star
+    nodes = set(range(1, 7))
+    assert _components(star, nodes) == _components(clique, nodes)
+    assert len(clique) > len(star)
 
-    def components(pairs, nodes):
-        parent = {n: n for n in nodes}
 
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+def test_star_keep_lists_match_clique_fed_path(spark):
+    """End-to-end keep-list equality (the r07 verdict's item 1 gate):
+    the registered star-fed consumers (substring_keep_docs /
+    winnowing_keep_docs) produce exactly the keep-list that HashMin
+    components over the CLIQUE pair stream would, on the copied-span
+    corpus — so switching the scale path changes cost, not answers."""
+    from pyspark.sql import functions as SF
 
-        for a, b in pairs:
-            parent[find(a)] = find(b)
-        groups: dict[int, set] = {}
-        for n in nodes:
-            groups.setdefault(find(n), set()).add(n)
-        return {frozenset(g) for g in groups.values() if len(g) > 1}
+    span1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    span2 = "completely different boilerplate footer text repeated across documents"
+    docs = spark.createDataFrame(
+        [
+            (1, span1 + " alpha unique tail one for doc"),
+            (2, span1 + " beta unique tail two for doc"),
+            (3, span1 + " gamma unique tail three for doc"),
+            (4, span2 + " delta unique tail four for doc"),
+            (5, span2 + " epsilon unique tail five for doc"),
+            (6, "an entirely unrelated document with no shared span at all here"),
+        ],
+        "doc_id long, text string",
+    ).select(
+        "doc_id",
+        "text",
+        SF.lit("en").alias("lang"),
+        SF.lit("crawl").alias("source"),
+        SF.length("text").alias("n_chars"),
+    )
+    from mcp_memory_libsql_spark.textops import dedup as dd
 
     nodes = set(range(1, 7))
-    assert components(star, nodes) == components(clique, nodes)
-    # and the clique genuinely had extra edges to drop (width-3 group)
-    assert len(clique) > len(star)
+
+    def clique_keep(pairs_df, a="doc_a", b="doc_b"):
+        pairs = {(r[a], r[b]) for r in pairs_df.collect()}
+        comps = _components(pairs, nodes)
+        drops = {d for g in comps for d in g if d != min(g)}
+        return nodes - drops
+
+    star_sub = {
+        r.doc_id for r in dd.substring_keep_docs(docs).collect()
+    }
+    assert star_sub == clique_keep(dd.substring_dup_pairs(docs))
+    star_win = {
+        r.doc_id for r in dd.winnowing_keep_docs(docs).collect()
+    }
+    assert star_win == clique_keep(dd.winnowing_pairs(docs))
