@@ -1203,3 +1203,125 @@ JOIN sizes sa ON sa.name = entity_a
 JOIN sizes sb ON sb.name = entity_b
 WHERE n_common >= 3
 """
+
+
+# --------------------------------------------------------- maintenance gate
+
+# refresh-vs-rebuild plan rows (maintenance.choose_refresh mirrored as
+# SQL arithmetic): identical counts, identical width CASE, identical
+# boundary constants — the hash match proves the in-plan gate computes
+# exactly the documented policy on both engines.
+_W = "CASE " + " ".join(
+    f"WHEN {{n}} <= {32 * (1 << w)} THEN {w}" for w in range(4, 16)
+) + " ELSE 16 END"
+
+
+def _width(n: str) -> str:
+    return _W.format(n=n)
+
+
+def _plan_postings_cte(sfx: str, pred: str) -> str:
+    return f""",
+base_{sfx} AS (SELECT * FROM relations WHERE NOT ({pred})),
+delta_{sfx} AS (SELECT * FROM relations WHERE ({pred})),
+undb_{sfx} AS (
+  SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+  FROM base_{sfx} WHERE source <> target
+),
+newe_{sfx} AS (
+  SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+  FROM delta_{sfx} WHERE source <> target
+  EXCEPT
+  SELECT a, b FROM undb_{sfx}
+),
+endp_{sfx} AS (
+  SELECT a AS name FROM newe_{sfx} UNION SELECT b FROM newe_{sfx}
+),
+bidir_{sfx} AS (
+  SELECT a AS name, b AS nbr FROM undb_{sfx}
+  UNION ALL
+  SELECT b, a FROM undb_{sfx}
+),
+kept_{sfx} AS (
+  SELECT nbr FROM bidir_{sfx} GROUP BY nbr HAVING COUNT(*) <= 256
+),
+sizes_{sfx} AS (
+  SELECT name, COUNT(*) AS sz FROM bidir_{sfx}
+  WHERE nbr IN (SELECT nbr FROM kept_{sfx}) GROUP BY name
+),
+stats_{sfx} AS (
+  SELECT
+    (SELECT COUNT(*) FROM base_{sfx})::BIGINT AS n_base,
+    (SELECT COUNT(*) FROM delta_{sfx})::BIGINT AS n_delta,
+    ((SELECT COUNT(*) FROM endp_{sfx})
+     + COALESCE((SELECT SUM(s.sz) FROM endp_{sfx} e
+                 JOIN sizes_{sfx} s USING (name)), 0)) AS n_rw,
+    (SELECT COUNT(*) FROM kept_{sfx}) AS n_groups
+)"""
+
+
+_M32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+_DENSE_PRED = (
+    _M32.format(x="source || '|' || target || '|' || relation_type")
+    + " % 20 = 0"
+)
+_SPARSE_PRED = (
+    _M32.format(x="source") + " % 200 = 0 AND "
+    + _M32.format(x="target") + " % 200 = 0"
+)
+
+
+def _emb_plan_row(artifact: str, kind: str, mod: int) -> str:
+    nb, nd = f"nb{mod}", f"nd{mod}"
+    crossed = f"{_width(nb)} <> {_width(f'({nb} + {nd})')}"
+    if kind == "signatures":
+        frac = f"CASE WHEN {crossed} THEN 1.0 ELSE 0.0 END"
+        boundary = "0.5"
+    else:
+        frac = (
+            f"CASE WHEN {crossed} THEN 1.0 ELSE "
+            f"ROUND(LEAST(1.0, 32.0 * {nd} / GREATEST({nb}, 1)), 6) END"
+        )
+        boundary = "0.075"
+    return f"""
+SELECT '{artifact}' AS artifact, {nb} AS n_base, {nd} AS n_delta,
+       CAST({frac} AS DOUBLE) AS est_frac,
+       CAST({boundary} AS DOUBLE) AS boundary,
+       CASE WHEN {frac} <= {boundary} THEN 'refresh' ELSE 'rebuild' END
+         AS path
+FROM embc"""
+
+
+def _postings_plan_row(artifact: str, sfx: str) -> str:
+    frac = "ROUND(LEAST(1.0, (n_rw * 1.0) / GREATEST(n_groups, 1)), 6)"
+    return f"""
+SELECT '{artifact}' AS artifact, n_base, n_delta,
+       CAST({frac} AS DOUBLE) AS est_frac,
+       CAST(0.5 AS DOUBLE) AS boundary,
+       CASE WHEN {frac} <= 0.5 THEN 'refresh' ELSE 'rebuild' END AS path
+FROM stats_{sfx}"""
+
+
+ORACLES["index_refresh_plan"] = (
+    KG_CTE
+    + """,
+embc AS (
+  SELECT
+    SUM(CASE WHEN vec_id % 19 <> 0 THEN 1 ELSE 0 END)::BIGINT AS nb19,
+    SUM(CASE WHEN vec_id % 19 = 0 THEN 1 ELSE 0 END)::BIGINT AS nd19,
+    SUM(CASE WHEN vec_id % 500 <> 0 THEN 1 ELSE 0 END)::BIGINT AS nb500,
+    SUM(CASE WHEN vec_id % 500 = 0 THEN 1 ELSE 0 END)::BIGINT AS nd500
+  FROM embeddings
+)"""
+    + _plan_postings_cte("d", _DENSE_PRED)
+    + _plan_postings_cte("s", _SPARSE_PRED)
+    + _emb_plan_row("lsh_signature", "signatures", 19)
+    + "\nUNION ALL"
+    + _emb_plan_row("lsh_pairs", "pairs", 19)
+    + "\nUNION ALL"
+    + _emb_plan_row("lsh_pairs_sparse", "pairs", 500)
+    + "\nUNION ALL"
+    + _postings_plan_row("nbr_postings", "d")
+    + "\nUNION ALL"
+    + _postings_plan_row("nbr_postings_sparse", "s")
+)

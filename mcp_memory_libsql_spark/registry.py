@@ -2838,3 +2838,139 @@ def q_text_semantic_exact(spark, sf_dir):
         "hash join filter on the customer table with vector scan window",
         k=10,
     )
+
+
+@query("index_refresh_plan")
+def q_index_refresh_plan(spark, sf_dir):
+    # refresh-vs-rebuild GATE decisions for the shared-index
+    # artifacts (maintenance.choose_refresh as IN-PLAN arithmetic —
+    # pure aggregates + CASE, no driver round-trip; a pytest pins
+    # these rows equal to the driver-side function): one row per
+    # (artifact, delta regime) with the estimated invalidated
+    # fraction, the measured boundary, and the chosen path. The pairs
+    # rows demonstrate BOTH measured regimes (the 5% delta saturates
+    # the buckets -> rebuild, the 0.2% delta refreshes); the postings
+    # rows do the same for the rewrite-set bound. FULL oracle
+    # (identical CASE arithmetic over identical counts in SQL).
+    from . import maintenance as mx
+    from .textops.tokenize import md5_hash32
+    from .vector.lsh import MAX_BITS, N_BITS, TARGET_BUCKET
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    g, _ = _kg(spark, sf_dir)
+    rel = g["relations"]
+
+    def width_of(n):
+        # smallest w in [N_BITS, MAX_BITS] with n <= TARGET_BUCKET*2^w
+        expr = F.lit(MAX_BITS)
+        for w in range(MAX_BITS - 1, N_BITS - 1, -1):
+            expr = F.when(n <= TARGET_BUCKET * (1 << w), w).otherwise(expr)
+        return expr
+
+    def emb_row(artifact, kind, mod):
+        nb = F.sum((F.pmod("vec_id", F.lit(mod)) != 0).cast("bigint"))
+        nd = F.sum((F.pmod("vec_id", F.lit(mod)) == 0).cast("bigint"))
+        crossed = width_of(nb) != width_of(nb + nd)
+        if kind == "signatures":
+            frac = F.when(crossed, F.lit(1.0)).otherwise(F.lit(0.0))
+            boundary = F.lit(0.5)
+        else:
+            frac = F.when(crossed, F.lit(1.0)).otherwise(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(TARGET_BUCKET)) * nd / F.greatest(nb, F.lit(1)),
+                )
+            )
+            boundary = F.lit(mx.PAIRS_MAX_TOUCHED_FRAC)
+        return emb.agg(
+            F.lit(artifact).alias("artifact"),
+            nb.alias("n_base"),
+            nd.alias("n_delta"),
+            F.round(frac, 6).alias("est_frac"),
+            boundary.alias("boundary"),
+            F.when(F.round(frac, 6) <= boundary, "refresh")
+            .otherwise("rebuild")
+            .alias("path"),
+        )
+
+    def postings_row(artifact, is_delta):
+        base = rel.where(~is_delta)
+        delta = rel.where(is_delta)
+        und_base = (
+            base.where(F.col("source") != F.col("target"))
+            .select(
+                F.least("source", "target").alias("a"),
+                F.greatest("source", "target").alias("b"),
+            )
+            .distinct()
+        )
+        new_edges = (
+            delta.where(F.col("source") != F.col("target"))
+            .select(
+                F.least("source", "target").alias("a"),
+                F.greatest("source", "target").alias("b"),
+            )
+            .distinct()
+            .join(und_base, ["a", "b"], "left_anti")
+        )
+        endpoints = (
+            new_edges.select(F.col("a").alias("name"))
+            .unionByName(new_edges.select(F.col("b").alias("name")))
+            .distinct()
+        )
+        bidir = und_base.select(
+            F.col("a").alias("name"), F.col("b").alias("nbr")
+        ).unionByName(
+            und_base.select(F.col("b").alias("name"), F.col("a").alias("nbr"))
+        )
+        kept = (
+            bidir.groupBy("nbr")
+            .agg(F.count("*").alias("w"))
+            .where(F.col("w") <= 256)
+        )
+        sizes = (
+            bidir.join(kept.select("nbr"), "nbr", "leftsemi")
+            .groupBy("name")
+            .agg(F.count("*").alias("sz"))
+        )
+        scalars = (
+            endpoints.join(sizes, "name", "left")
+            .agg(
+                F.count("*").alias("n_endpoints"),
+                F.coalesce(F.sum("sz"), F.lit(0)).alias("sz_sum"),
+            )
+            .crossJoin(kept.agg(F.count("*").alias("n_groups")))
+            .crossJoin(base.agg(F.count("*").alias("n_base")))
+            .crossJoin(delta.agg(F.count("*").alias("n_delta")))
+        )
+        frac = F.least(
+            F.lit(1.0),
+            (F.col("n_endpoints") + F.col("sz_sum"))
+            / F.greatest(F.col("n_groups"), F.lit(1)),
+        )
+        return scalars.select(
+            F.lit(artifact).alias("artifact"),
+            F.col("n_base").cast("bigint").alias("n_base"),
+            F.col("n_delta").cast("bigint").alias("n_delta"),
+            F.round(frac, 6).alias("est_frac"),
+            F.lit(mx.POSTINGS_MAX_REWRITE_FRAC).alias("boundary"),
+            F.when(
+                F.round(frac, 6) <= mx.POSTINGS_MAX_REWRITE_FRAC, "refresh"
+            )
+            .otherwise("rebuild")
+            .alias("path"),
+        )
+
+    edge_key = F.concat_ws("|", "source", "target", "relation_type")
+    dense = F.pmod(md5_hash32(edge_key), F.lit(20)) == 0
+    sparse = (F.pmod(md5_hash32(F.col("source")), F.lit(200)) == 0) & (
+        F.pmod(md5_hash32(F.col("target")), F.lit(200)) == 0
+    )
+    return (
+        emb_row("lsh_signature", "signatures", 19)
+        .unionByName(emb_row("lsh_pairs", "pairs", 19))
+        .unionByName(emb_row("lsh_pairs_sparse", "pairs", 500))
+        .unionByName(postings_row("nbr_postings", dense))
+        .unionByName(postings_row("nbr_postings_sparse", sparse))
+    )

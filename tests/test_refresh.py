@@ -341,3 +341,182 @@ def test_lsh_pairs_refresh_rejects_overlapping_delta(spark, sf_dir):
             n_bits=bits,
             check_disjoint=True,
         )
+
+
+# ------------------------------------------------- refresh-vs-rebuild gate
+
+
+def test_choose_refresh_measured_regimes():
+    """The decision function must pick the MEASURED winner in every
+    regime SCALE_REHEARSAL.json recorded at the 30x point (VERDICT
+    r07 item 2's acceptance rule)."""
+    from mcp_memory_libsql_spark.maintenance import choose_refresh
+
+    # pairs, sparse 40-row delta on the 30x corpus (60k embeddings):
+    # measured 1.24x -> refresh
+    d = choose_refresh("pairs", n_base=60000, n_delta=40)
+    assert d.path == "refresh" and d.est_frac < 0.075
+
+    # pairs, +1-copy delta (2000 rows on 60k): measured 0.35x ->
+    # rebuild (bucket saturation)
+    d = choose_refresh("pairs", n_base=60000, n_delta=2000)
+    assert d.path == "rebuild" and d.est_frac == 1.0
+
+    # signatures, same +1-copy delta: measured 6.8x -> refresh
+    # (pure per-row function; no width cross at 62k under MAX_BITS)
+    d = choose_refresh("signatures", n_base=60000, n_delta=2000)
+    assert d.path == "refresh" and d.est_frac == 0.0
+
+    # signatures, width-boundary cross: every stored signature is at
+    # the wrong width -> rebuild (510 <= 32*2^4 < 520)
+    d = choose_refresh("signatures", n_base=510, n_delta=10)
+    assert d.path == "rebuild" and d.est_frac == 1.0
+
+    # a width cross forces the pair stream to rebuild too
+    d = choose_refresh("pairs", n_base=510, n_delta=10)
+    assert d.path == "rebuild"
+
+    # postings, entity-disjoint +1-copy shape (rewrite set ~ the new
+    # copy's groups, a small fraction): measured 3.85x -> refresh
+    d = choose_refresh("postings", n_rewritten=2500, n_groups=30000)
+    assert d.path == "refresh"
+
+    # postings, scattered random delta saturating the rewrite bound
+    d = choose_refresh("postings", n_rewritten=29000, n_groups=30000)
+    assert d.path == "rebuild"
+
+    # labels mirrors postings
+    assert choose_refresh("labels", n_touched=100, n_nodes=10000).path == "refresh"
+    assert choose_refresh("labels", n_touched=9000, n_nodes=10000).path == "rebuild"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        choose_refresh("nonsense")
+
+
+def test_refresh_plan_rows_route_through_gate(spark, sf_dir):
+    """The registered index_refresh_plan rows must equal
+    maintenance.choose_refresh on the same counts — the in-plan CASE
+    arithmetic and the driver-side function are the same policy."""
+    from mcp_memory_libsql_spark import maintenance as mx
+    from mcp_memory_libsql_spark.registry import QUERIES
+
+    rows = {r.artifact: r for r in QUERIES["index_refresh_plan"](spark, sf_dir).collect()}
+    assert set(rows) == {
+        "lsh_signature",
+        "lsh_pairs",
+        "lsh_pairs_sparse",
+        "nbr_postings",
+        "nbr_postings_sparse",
+    }
+    for art, kind in [
+        ("lsh_signature", "signatures"),
+        ("lsh_pairs", "pairs"),
+        ("lsh_pairs_sparse", "pairs"),
+    ]:
+        r = rows[art]
+        d = mx.choose_refresh(kind, n_base=r.n_base, n_delta=r.n_delta)
+        assert r.path == d.path, (art, r, d)
+        assert abs(r.est_frac - d.est_frac) < 1e-6
+        assert abs(r.boundary - d.boundary) < 1e-12
+    for art in ("nbr_postings", "nbr_postings_sparse"):
+        r = rows[art]
+        assert abs(r.boundary - mx.POSTINGS_MAX_REWRITE_FRAC) < 1e-12
+        assert r.path == (
+            "refresh" if r.est_frac <= r.boundary else "rebuild"
+        )
+    # and the plan demonstrates BOTH regimes of each boundary
+    assert rows["lsh_pairs"].path == "rebuild"
+    assert rows["lsh_pairs_sparse"].path == "refresh"
+    assert rows["nbr_postings"].path == "rebuild"
+    assert rows["nbr_postings_sparse"].path == "refresh"
+
+
+def test_maintain_pairs_routes_and_matches(spark, sf_dir):
+    """maintain_pairs picks refresh for a bucket-sparse delta and
+    rebuild for the saturating one; BOTH outputs equal the
+    from-scratch rebuild (the gate changes cost, never answers)."""
+    from mcp_memory_libsql_spark.maintenance import maintain_pairs
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    bits = lsh.n_bits_for_threshold(0.4)
+
+    for mod, want in ((500, "refresh"), (19, "rebuild")):
+        base = emb.where(F.pmod(F.col("vec_id"), F.lit(mod)) != 0)
+        delta = emb.where(F.pmod(F.col("vec_id"), F.lit(mod)) == 0)
+        old_idx = lsh.bucketize(base, dim=64, n_bits=bits).localCheckpoint(
+            eager=True
+        )
+        old_pairs = lsh.near_dup_pairs_lsh(
+            base, threshold=0.4, index=old_idx
+        ).localCheckpoint(eager=True)
+        out, dec = maintain_pairs(
+            old_idx, old_pairs, base, delta,
+            threshold=0.4, dim=64, n_bits=bits,
+        )
+        assert dec.path == want, (mod, dec)
+        rebuilt = lsh.near_dup_pairs_lsh(emb, threshold=0.4, n_bits=bits)
+        assert _rows(out) == _rows(rebuilt)
+
+
+def test_maintain_signature_index_width_cross_rebuilds(spark, sf_dir):
+    """A delta crossing the width_for_corpus boundary rebuilds the
+    whole index at the NEW width; a non-crossing delta appends."""
+    from mcp_memory_libsql_spark.maintenance import maintain_signature_index
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = emb.where(F.col("vec_id") < 480)
+    delta = emb.where(F.col("vec_id") >= 480).limit(20)
+    old = lsh.bucketize(base, dim=64, n_bits=lsh.width_for_corpus(510))
+    # forced-cross counts: 510 -> w=4, 520 -> w=5
+    out, dec = maintain_signature_index(
+        old, base, delta, dim=64, counts=(510, 10)
+    )
+    assert dec.path == "rebuild" and dec.est_frac == 1.0
+    full = base.unionByName(delta)
+    assert _rows(out) == _rows(
+        lsh.bucketize(full, dim=64, n_bits=lsh.width_for_corpus(520))
+    )
+    # non-crossing: pure append, identical to rebuild at same width
+    out2, dec2 = maintain_signature_index(
+        old, base, delta, dim=64, counts=(480, 20),
+        n_bits=lsh.width_for_corpus(510),
+    )
+    assert dec2.path == "refresh"
+    assert _rows(out2) == _rows(
+        lsh.bucketize(full, dim=64, n_bits=lsh.width_for_corpus(510))
+    )
+
+
+def test_maintain_neighbor_index_routes(spark, sf_dir):
+    """Gate-routed postings maintenance: the registry's scattered 5%
+    delta saturates the rewrite bound (rebuild); an entity-local
+    sparse delta refreshes; both outputs equal the rebuild."""
+    from mcp_memory_libsql_spark.maintenance import maintain_neighbor_index
+    from mcp_memory_libsql_spark.textops.tokenize import md5_hash32
+
+    rel = kg_views.kg(load_tables(spark, sf_dir))["relations"]
+    key = F.concat_ws("|", "source", "target", "relation_type")
+    dense = F.pmod(md5_hash32(key), F.lit(20)) == 0
+    sparse = (F.pmod(md5_hash32(F.col("source")), F.lit(200)) == 0) & (
+        F.pmod(md5_hash32(F.col("target")), F.lit(200)) == 0
+    )
+    for pred, want in ((sparse, "refresh"), (dense, "rebuild")):
+        base = rel.where(~pred).localCheckpoint(eager=True)
+        delta = rel.where(pred).localCheckpoint(eager=True)
+        postings, names = neighbor_postings(base)
+        postings = postings.localCheckpoint(eager=True)
+        names = names.localCheckpoint(eager=True)
+        (new_p, new_n, _, _), dec = maintain_neighbor_index(
+            postings, names, None, _und(base), base, delta
+        )
+        assert dec.path == want, (want, dec)
+        full_p, full_n = neighbor_postings(base.unionByName(delta))
+        ex = lambda p, n: (
+            p.select("nbr", F.explode("ids").alias("m"))
+            .select("nbr", F.col("m.nid").alias("nid"), F.col("m.sz").alias("sz"))
+            .join(n, "nid")
+            .select("nbr", "name", "sz")
+        )
+        assert _rows(ex(new_p, new_n)) == _rows(ex(full_p, full_n))

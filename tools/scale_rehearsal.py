@@ -404,6 +404,71 @@ def index_refresh_point(
     )
 
     shutil.rmtree(ddir, ignore_errors=True)
+
+    # ------------------------------------------------ gate decisions
+    # (VERDICT r07 item 2): what maintenance.choose_refresh would pick
+    # for each measured regime, recorded next to the measured walls so
+    # the artifact shows the gate selecting the winner in BOTH
+    # regimes. Counts are cheap aggregates (delta + stored metadata).
+    from mcp_memory_libsql_spark.maintenance import choose_refresh
+
+    n_base_emb = base_emb.count()
+    n_delta_emb = d_emb.count()
+
+    def gate_entry(dec, refresh_sec, rebuild_sec):
+        e = {"path": dec.path, "est_frac": round(dec.est_frac, 4)}
+        if refresh_sec is not None and rebuild_sec is not None:
+            winner = "refresh" if refresh_sec < rebuild_sec else "rebuild"
+            e["measured_winner"] = winner
+            e["picked_winner"] = dec.path == winner
+        return e
+
+    gate_pairs = gate_entry(
+        choose_refresh("pairs", n_base=n_base_emb, n_delta=n_delta_emb),
+        pairs_refresh,
+        pairs_rebuild,
+    )
+    gate_pairs_sp = gate_entry(
+        choose_refresh("pairs", n_base=n_base_emb, n_delta=n_sparse),
+        pairs_refresh_sp,
+        pairs_rebuild_sp,
+    )
+    gate_sig = gate_postings = None
+    if not pairs_only:
+        gate_sig = gate_entry(
+            choose_refresh(
+                "signatures", n_base=n_base_emb, n_delta=n_delta_emb
+            ),
+            lsh_refresh,
+            lsh_rebuild,
+        )
+        from mcp_memory_libsql_spark.kg.refresh import delta_undirected
+
+        new_edges = delta_undirected(und, d_rel)
+        endpoints = (
+            new_edges.select(F.col("a").alias("name"))
+            .unionByName(new_edges.select(F.col("b").alias("name")))
+            .distinct()
+        )
+        by_name = sizes.join(names, "nid").select("name", "sz")
+        row = (
+            endpoints.join(by_name, "name", "left")
+            .agg(
+                F.count("*").alias("n_endpoints"),
+                F.coalesce(F.sum("sz"), F.lit(0)).alias("sz_sum"),
+            )
+            .collect()[0]
+        )
+        gate_postings = gate_entry(
+            choose_refresh(
+                "postings",
+                n_rewritten=int(row.n_endpoints + row.sz_sum),
+                n_groups=postings.count(),
+            ),
+            nbr_refresh,
+            nbr_rebuild,
+        )
+
     out = {
         "copies": copies,
         "delta_copies": 1,
@@ -418,6 +483,7 @@ def index_refresh_point(
                     "speedup": round(
                         nbr_rebuild / max(nbr_refresh, 0.001), 2
                     ),
+                    "gate": gate_postings,
                 },
                 "lsh_signature": {
                     "refresh_sec": lsh_refresh,
@@ -425,6 +491,7 @@ def index_refresh_point(
                     "speedup": round(
                         lsh_rebuild / max(lsh_refresh, 0.001), 2
                     ),
+                    "gate": gate_sig,
                 },
             }
         ),
@@ -432,6 +499,7 @@ def index_refresh_point(
             "refresh_sec": pairs_refresh,
             "rebuild_sec": pairs_rebuild,
             "speedup": round(pairs_rebuild / max(pairs_refresh, 0.001), 2),
+            "gate": gate_pairs,
         },
         "lsh_neardup_pairs_sparse_delta": {
             "delta_rows": n_sparse,
@@ -440,6 +508,7 @@ def index_refresh_point(
             "speedup": round(
                 pairs_rebuild_sp / max(pairs_refresh_sp, 0.001), 2
             ),
+            "gate": gate_pairs_sp,
         },
         "note": (
             "refresh merges a 1-copy entity-disjoint delta into the "
@@ -453,7 +522,12 @@ def index_refresh_point(
             "rebuild is expected to win there; the sparse_delta twin "
             "measures the day's-arrivals regime the refresh exists "
             "for. Both stay recorded so the breakeven is a measured "
-            "boundary."
+            "boundary — and since r08 the boundary is a GATE "
+            "(maintenance.choose_refresh, routed by maintain_* and "
+            "the registered index_refresh_plan query): each entry's "
+            "'gate' field records the decision the gate takes for "
+            "that regime's counts and whether it picked the measured "
+            "winner."
         ),
     }
     return out
