@@ -312,3 +312,206 @@ def refresh_neighbor_index(
         ).unionByName(merged_touched)
 
     return postings_merged, names_merged, pairs_merged, und_merged
+
+
+# ----------------------------------------------------------- LPA refresh
+
+def _sym_edges(relations: DataFrame) -> DataFrame:
+    """The symmetric distinct edge set label_propagation propagates
+    over (fwd ∪ bwd, distinct — self-loops kept, relation types
+    collapsed): ONE definition shared by the history build, the
+    refresh, and the delta derivation, so the three can never drift."""
+    fwd = relations.select(
+        F.col("source").alias("a"), F.col("target").alias("b")
+    )
+    bwd = relations.select(
+        F.col("target").alias("a"), F.col("source").alias("b")
+    )
+    return fwd.unionByName(bwd).distinct()
+
+
+def _lpa_round(edges: DataFrame, prev: DataFrame) -> DataFrame:
+    """One synchronous LPA round over ``edges`` given the previous
+    round's (name, label) map — the exact argmax-by-(count DESC,
+    label ASC) single aggregation traverse.label_propagation runs."""
+    counts = (
+        edges.join(prev, edges["a"] == prev["name"])
+        .groupBy(F.col("b").alias("name"), "label")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("name")
+        .agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("label"))
+            ).alias("s")
+        )
+        .select("name", F.col("s.label").alias("label"))
+    )
+
+
+def label_propagation_history(
+    relations: DataFrame, iterations: int = 4
+) -> DataFrame:
+    """(name, l1 … l{k}) — EVERY round's label of the synchronous LPA,
+    not just the final one. This is the stored shape that makes label
+    propagation refreshable at all: synchronous fixed-round LPA is not
+    append-monotone (a delta edge can re-seed whole communities), but
+    round r's label of node v is a deterministic function of v's
+    ≤ r-hop neighborhood — so an append-only delta can only change
+    round-r labels within r hops of a delta endpoint, PROVIDED the
+    unchanged nodes' per-round labels are still known. The final-only
+    artifact throws those away; this k-column history (k·V extra
+    label bytes, ~the size of the label map itself) keeps them.
+
+    Built with the same per-round plan as
+    :func:`traverse.label_propagation` (one groupBy + struct-min
+    argmax per round, lineage cut); a pytest pins l{k} ≡ the
+    production function's labels."""
+    edges = _sym_edges(relations).persist()
+    prev = (
+        edges.select(F.col("a").alias("name"))
+        .distinct()
+        .withColumn("label", F.col("name"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    from .traverse import BROADCAST_LOOP_MAX
+
+    n_nodes = prev.count()
+    hint = broadcast if n_nodes <= BROADCAST_LOOP_MAX else (lambda df: df)
+    hist = prev.select("name")
+    for r in range(1, iterations + 1):
+        prev = _ckpt(_lpa_round(edges, hint(prev)))
+        hist = hist.join(
+            prev.select("name", F.col("label").alias(f"l{r}")), "name"
+        )
+    edges.unpersist()
+    return hist
+
+
+def refresh_lpa_labels(
+    old_hist: DataFrame,
+    old_edges: DataFrame,
+    delta_relations: DataFrame,
+    iterations: int = 4,
+) -> DataFrame:
+    """Delta-localized LPA re-propagation (VERDICT r07 item 4) →
+    the refreshed (name, l1 … l{k}) history over base∪delta,
+    result-identical to :func:`label_propagation_history` on the
+    merged graph (pytest-pinned; the ``kg_lpa_refresh`` registry twin
+    pins it cross-engine against the from-scratch kg_communities
+    oracle SQL).
+
+    The affected-set argument (exact, not heuristic): with
+    synchronous rounds seeded from node names, round-r labels can
+    differ from the stored run ONLY for nodes in
+    A_r = D ∪ N(A_{r-1}) where D = endpoints of truly-new symmetric
+    edges (their neighbor multiset changed) — every other node sees
+    identical inputs at every round, by induction. The loop keeps a
+    monotone superset of A_r, recomputes labels ONLY there, and reads
+    every other node's round-(r-1) label from the stored history
+    (l0 = the node name itself). Each round's work is one
+    semi-filtered scan of the merged edge set (broadcast-gated on the
+    measured affected count) plus a prev-label map restricted to the
+    frontier's sources — never a full re-propagation. Community sizes
+    are global, so consumers rebuild them from the merged final
+    column (one O(V) rollup, the cheap part).
+
+    Convergence guard: the affected set grows by one hop per round
+    and the loop runs EXACTLY the stored round count, so the refresh
+    terminates by construction; the cost guard is
+    maintenance.choose_refresh("labels", …) — past the measured
+    boundary (delta-adjacent communities holding > half the nodes)
+    callers take the rebuild path (maintenance.maintain_lpa_labels
+    routes this).
+    """
+    from pyspark.sql.functions import broadcast
+
+    from .traverse import BROADCAST_LOOP_MAX
+
+    k = iterations
+    d_sym = _ckpt(_sym_edges(delta_relations).join(
+        old_edges, ["a", "b"], "left_anti"
+    ))
+    edges_full = old_edges.unionByName(d_sym).persist()
+    # D: nodes whose neighbor multiset changed (symmetric set ⇒ the b
+    # column alone covers both endpoints), including brand-new nodes
+    d_nodes = _ckpt(d_sym.select(F.col("b").alias("name")).distinct())
+
+    affected = d_nodes  # A_0 (superset: l0 never changes, but the
+    # monotone set needs a seed and D is exactly round 1's scope)
+    recomputed = d_nodes.withColumn("label", F.col("name"))  # l0 = name
+    for r in range(1, k + 1):
+        n_aff = affected.count()
+        a_hint = broadcast if n_aff <= BROADCAST_KEY_MAX else (lambda df: df)
+        # A_r = A_{r-1} ∪ N(A_{r-1}) ∪ D (monotone superset)
+        grown = (
+            edges_full.join(
+                a_hint(affected.select(F.col("name").alias("a"))),
+                "a",
+                "leftsemi",
+            )
+            .select(F.col("b").alias("name"))
+            .unionByName(affected)
+            .unionByName(d_nodes)
+            .distinct()
+        )
+        affected_new = _ckpt(grown)
+        n_new = affected_new.count()
+        g_hint = broadcast if n_new <= BROADCAST_KEY_MAX else (lambda df: df)
+        # edges INTO the affected set; their sources are the only
+        # nodes whose round-(r-1) labels we need
+        e_r = edges_full.join(
+            g_hint(affected_new.select(F.col("name").alias("b"))),
+            "b",
+            "leftsemi",
+        )
+        srcs = e_r.select(F.col("a").alias("name")).distinct()
+        stored_prev = (
+            old_hist.select("name", F.col("name").alias("label"))
+            if r == 1
+            else old_hist.select("name", F.col(f"l{r-1}").alias("label"))
+        )
+        prev = recomputed.unionByName(
+            stored_prev.join(
+                a_hint(affected), "name", "left_anti"
+            ).join(srcs, "name", "leftsemi")
+        )
+        new_labels = _ckpt(_lpa_round(e_r, prev))
+        # every affected node has ≥1 incoming edge (the symmetric set
+        # gives every edge-set node an incoming edge, and A only ever
+        # holds edge-set nodes), so new_labels covers affected_new
+        # exactly
+        if r == 1:
+            hist_re = new_labels.select(
+                "name", F.col("label").alias("l1")
+            )
+        else:
+            hist_re = hist_re.join(
+                new_labels.select("name", F.col("label").alias(f"l{r}")),
+                "name",
+                "full_outer",
+            )
+        affected = affected_new
+        recomputed = new_labels
+    # merge: recomputed rows win; untouched stored rows pass through
+    n_aff = affected.count()
+    a_hint = broadcast if n_aff <= BROADCAST_KEY_MAX else (lambda df: df)
+    untouched = old_hist.join(a_hint(affected), "name", "left_anti")
+    cols = ["name"] + [f"l{r}" for r in range(1, k + 1)]
+    # hist_re holds only rounds a node was recomputed in; for a node
+    # that entered A at round r (full_outer join left earlier rounds
+    # NULL), the earlier labels equal the STORED ones — coalesce
+    filled = hist_re.join(old_hist.select(
+        "name", *[F.col(f"l{r}").alias(f"_s{r}") for r in range(1, k + 1)]
+    ), "name", "left").select(
+        "name",
+        *[
+            F.coalesce(F.col(f"l{r}"), F.col(f"_s{r}"), F.col("name")).alias(f"l{r}")
+            for r in range(1, k + 1)
+        ],
+    )
+    out = untouched.select(*cols).unionByName(filled.select(*cols))
+    edges_full.unpersist()
+    return out

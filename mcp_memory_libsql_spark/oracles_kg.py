@@ -1325,3 +1325,9 @@ embc AS (
     + "\nUNION ALL"
     + _postings_plan_row("nbr_postings_sparse", "s")
 )
+
+
+# LPA refresh twin: the oracle IS the from-scratch full-graph
+# propagation — same rounds, same tie-break — so the refresh path's
+# hash match proves refresh ≡ rebuild cross-engine.
+ORACLES["kg_lpa_refresh"] = ORACLES["kg_communities"]

@@ -520,3 +520,116 @@ def test_maintain_neighbor_index_routes(spark, sf_dir):
             .select("nbr", "name", "sz")
         )
         assert _rows(ex(new_p, new_n)) == _rows(ex(full_p, full_n))
+
+
+# ------------------------------------------------------- LPA refresh
+
+
+def _hist_rows(df):
+    return sorted(str(r) for r in df.collect())
+
+
+def test_lpa_history_final_equals_production(spark, sf_dir):
+    """label_propagation_history's last column must be the exact
+    production label_propagation result (same rounds, same argmax) —
+    the history artifact is a superset, never a variant."""
+    from mcp_memory_libsql_spark.kg import refresh as kgr
+    from mcp_memory_libsql_spark.kg import traverse
+
+    rel = kg_views.kg(load_tables(spark, sf_dir))["relations"]
+    hist = kgr.label_propagation_history(rel, 4)
+    l4 = _rows(hist.select("name", F.col("l4").alias("community")))
+    lp = _rows(
+        traverse.label_propagation(rel, 4).select("name", "community")
+    )
+    assert l4 == lp
+
+
+def test_lpa_refresh_bridging_delta(spark):
+    """The adversarial LPA shape: the delta BRIDGES two settled
+    communities (labels must re-seed across the bridge within the
+    remaining rounds), adds a brand-new disjoint component, and
+    re-sends an existing edge (no-op). Refresh ≡ from-scratch history
+    on the merged graph."""
+    from mcp_memory_libsql_spark.kg import refresh as kgr
+
+    # two 4-cliques A and B, plus a chain hanging off A
+    def clique(ns):
+        return [(a, b) for a in ns for b in ns if a < b]
+
+    base = (
+        clique(["a1", "a2", "a3", "a4"])
+        + clique(["b1", "b2", "b3", "b4"])
+        + [("a4", "c1"), ("c1", "c2")]
+    )
+    delta = [
+        ("a1", "b1"),  # bridge between the communities
+        ("a1", "a2"),  # duplicate edge — no-op
+        ("z1", "z2"), ("z2", "z3"),  # new disjoint component
+    ]
+    base_df, delta_df = _rel(spark, base), _rel(spark, delta)
+    hist = kgr.label_propagation_history(base_df, 4).localCheckpoint(
+        eager=True
+    )
+    edges = kgr._sym_edges(base_df).localCheckpoint(eager=True)
+    refreshed = kgr.refresh_lpa_labels(hist, edges, delta_df, 4)
+    rebuilt = kgr.label_propagation_history(
+        base_df.unionByName(delta_df), 4
+    )
+    assert _hist_rows(refreshed) == _hist_rows(rebuilt)
+
+
+def test_lpa_refresh_real_graph(spark, sf_dir):
+    """The registry twin's exact 95/5 split, asserted within-engine
+    over the FULL history (the oracle twin only gates the final
+    round)."""
+    from mcp_memory_libsql_spark.kg import refresh as kgr
+    from mcp_memory_libsql_spark.textops.tokenize import md5_hash32
+
+    rel = kg_views.kg(load_tables(spark, sf_dir))["relations"]
+    key = F.concat_ws("|", "source", "target", "relation_type")
+    is_delta = F.pmod(md5_hash32(key), F.lit(20)) == 0
+    base, delta = rel.where(~is_delta), rel.where(is_delta)
+    hist = kgr.label_propagation_history(base, 4).localCheckpoint(
+        eager=True
+    )
+    edges = kgr._sym_edges(base).localCheckpoint(eager=True)
+    refreshed = kgr.refresh_lpa_labels(hist, edges, delta, 4)
+    rebuilt = kgr.label_propagation_history(rel, 4)
+    assert _hist_rows(refreshed) == _hist_rows(rebuilt)
+
+
+def test_maintain_lpa_labels_routes(spark):
+    """Gate routing: a one-edge delta inside one community refreshes;
+    a delta touching every community rebuilds; both equal the
+    from-scratch history."""
+    from mcp_memory_libsql_spark.kg import refresh as kgr
+    from mcp_memory_libsql_spark.maintenance import maintain_lpa_labels
+
+    def clique(ns):
+        return [(a, b) for a in ns for b in ns if a < b]
+
+    base = (
+        clique(["a1", "a2", "a3", "a4"])
+        + clique(["b1", "b2", "b3", "b4"])
+        + clique(["c1", "c2", "c3", "c4"])
+    )
+    base_df = _rel(spark, base)
+    hist = kgr.label_propagation_history(base_df, 4).localCheckpoint(
+        eager=True
+    )
+    edges = kgr._sym_edges(base_df).localCheckpoint(eager=True)
+
+    sparse = _rel(spark, [("a1", "a5")])  # touches community A only
+    out, dec = maintain_lpa_labels(hist, edges, base_df, sparse, 4)
+    assert dec.path == "refresh", dec
+    assert _hist_rows(out) == _hist_rows(
+        kgr.label_propagation_history(base_df.unionByName(sparse), 4)
+    )
+
+    wide = _rel(spark, [("a1", "b1"), ("b2", "c1")])  # every community
+    out2, dec2 = maintain_lpa_labels(hist, edges, base_df, wide, 4)
+    assert dec2.path == "rebuild", dec2
+    assert _hist_rows(out2) == _hist_rows(
+        kgr.label_propagation_history(base_df.unionByName(wide), 4)
+    )

@@ -331,6 +331,32 @@ def index_refresh_point(
         ))
         lsh_rebuild = round(time.time() - t0, 1)
         print(f"lsh rebuild ({copies}+1 copies): {lsh_rebuild}s", flush=True)
+
+        # LPA labels (r08, VERDICT r07 item 4): the stored artifact is
+        # the per-round label HISTORY (kg/refresh.py), billed as its
+        # own build line like refresh_base_build; refresh re-propagates
+        # only the delta-adjacent neighborhood, rebuild runs all four
+        # rounds over the merged graph.
+        from mcp_memory_libsql_spark.kg import refresh as kgr_lpa
+
+        t0 = time.time()
+        lpa_hist = kgr_lpa.label_propagation_history(
+            g["relations"], 4
+        ).localCheckpoint(eager=True)
+        lpa_edges = kgr_lpa._sym_edges(g["relations"]).localCheckpoint(
+            eager=True
+        )
+        lpa_hist_build = round(time.time() - t0, 1)
+        print(f"lpa hist build ({copies}x): {lpa_hist_build}s", flush=True)
+        t0 = time.time()
+        noop(kgr_lpa.refresh_lpa_labels(lpa_hist, lpa_edges, d_rel, 4))
+        lpa_refresh = round(time.time() - t0, 1)
+        print(f"lpa refresh (+1 copy at {copies}x): {lpa_refresh}s",
+              flush=True)
+        t0 = time.time()
+        noop(kgr_lpa.label_propagation_history(full_rel, 4))
+        lpa_rebuild = round(time.time() - t0, 1)
+        print(f"lpa rebuild ({copies}+1 copies): {lpa_rebuild}s", flush=True)
     full_emb = load_tables(spark, dst)["embeddings"].unionByName(d_emb)
 
     # the scored near-dup PAIR stream (third refreshable artifact,
@@ -433,7 +459,7 @@ def index_refresh_point(
         pairs_refresh_sp,
         pairs_rebuild_sp,
     )
-    gate_sig = gate_postings = None
+    gate_sig = gate_postings = gate_lpa = None
     if not pairs_only:
         gate_sig = gate_entry(
             choose_refresh(
@@ -468,6 +494,29 @@ def index_refresh_point(
             nbr_refresh,
             nbr_rebuild,
         )
+        # lpa: members of stored communities holding a delta endpoint
+        # (the maintain_lpa_labels proxy) + brand-new nodes
+        d_ep = (
+            kgr_lpa._sym_edges(d_rel)
+            .select(F.col("b").alias("name"))
+            .distinct()
+        )
+        final = lpa_hist.select("name", F.col("l4").alias("community"))
+        touched_comms = (
+            final.join(d_ep, "name", "leftsemi")
+            .select("community")
+            .distinct()
+        )
+        n_touched = final.join(
+            touched_comms, "community", "leftsemi"
+        ).count() + d_ep.join(lpa_hist, "name", "left_anti").count()
+        gate_lpa = gate_entry(
+            choose_refresh(
+                "labels", n_touched=n_touched, n_nodes=lpa_hist.count()
+            ),
+            lpa_refresh,
+            lpa_rebuild,
+        )
 
     out = {
         "copies": copies,
@@ -492,6 +541,15 @@ def index_refresh_point(
                         lsh_rebuild / max(lsh_refresh, 0.001), 2
                     ),
                     "gate": gate_sig,
+                },
+                "lpa_labels": {
+                    "hist_build_sec": lpa_hist_build,
+                    "refresh_sec": lpa_refresh,
+                    "rebuild_sec": lpa_rebuild,
+                    "speedup": round(
+                        lpa_rebuild / max(lpa_refresh, 0.001), 2
+                    ),
+                    "gate": gate_lpa,
                 },
             }
         ),
