@@ -839,6 +839,7 @@ def community_modularity(
     iterations: int = 4,
     labels: DataFrame | None = None,
     und: DataFrame | None = None,
+    n_labels: int | None = None,
 ) -> DataFrame:
     """Newman modularity profile of the label-propagation partition →
     (community, n_nodes, internal_edges, total_degree,
@@ -864,8 +865,15 @@ def community_modularity(
     # n_nodes) — materialize so the label map computes once whichever
     # path supplied it; a caller-provided labels frame is typically an
     # unmaterialized plan too (r06 only checkpointed the inline path,
-    # so the provided path re-evaluated the input once per consumer)
-    comms = comms.localCheckpoint(eager=True)
+    # so the provided path re-evaluated the input once per consumer).
+    # ``n_labels`` is the cardinality-hint contract (r07 ADVICE): a
+    # caller whose frame is ALREADY materialized (the registry's
+    # checkpointed _lpa artifact, a stored label table) passes its
+    # known row count and skips both the checkpoint block copy and
+    # the count job — zero extra evaluations of the provided frame.
+    if n_labels is None:
+        comms = comms.localCheckpoint(eager=True)
+        n_labels = comms.count()
     if und is None:
         # pass ``und`` (the materialized a<b distinct edge artifact
         # from the shared neighbor index) to skip this per-call
@@ -889,7 +897,6 @@ def community_modularity(
     # module aims — past the gate, fall back to the planner's shuffle
     # join (or, in a deployed store, the bucketed co-located join on
     # the name layout).
-    n_labels = comms.count()
     hint = broadcast if n_labels <= BROADCAST_LABEL_MAX else (lambda df: df)
     la = hint(
         comms.select(F.col("name").alias("a"), F.col("community").alias("ca"))

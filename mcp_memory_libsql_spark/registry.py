@@ -96,7 +96,14 @@ def _evict_stale(app_id: str) -> None:
     session leaves behind."""
     import shutil
 
-    for cache in (_KG_CACHE, _TFIDF_CACHE, _LPA_CACHE, _EMB_COUNTS):
+    for cache in (
+        _KG_CACHE,
+        _TFIDF_CACHE,
+        _LPA_CACHE,
+        _LPA_COUNTS,
+        _LPA_HIST_CACHE,
+        _EMB_COUNTS,
+    ):
         for k in [k for k in cache if k[0] != app_id]:
             del cache[k]
     for dirs in (_KG_DIRS, _NBR_DIRS, _LSH_DIRS, _LSH_PAIR_DIRS,
@@ -2010,10 +2017,24 @@ def _lpa(spark, sf_dir, g):
             # graph op, all lineage inflation. Checkpoint blocks also
             # survive catalog.clearCache() (RDD storage, not SQL
             # cache), so no self-heal repersist needed.
-            _LPA_CACHE[key] = kg_traverse.label_propagation(
+            df = kg_traverse.label_propagation(
                 g["relations"], iterations=4
             ).localCheckpoint(eager=True)
+            # count once at ingest (a block-scan job over the fresh
+            # checkpoint) so modularity's broadcast gate takes the
+            # cardinality HINT instead of re-copying + re-counting the
+            # artifact per call (r07 ADVICE item)
+            _LPA_COUNTS[key] = df.count()
+            _LPA_CACHE[key] = df
         return _LPA_CACHE[key]
+
+
+_LPA_COUNTS: dict[tuple[str, str], int] = {}
+
+
+def _lpa_count(spark, sf_dir, g) -> int:
+    _lpa(spark, sf_dir, g)
+    return _LPA_COUNTS[(spark.sparkContext.applicationId, sf_dir)]
 
 
 @query("kg_communities")
@@ -2084,6 +2105,9 @@ def q_kg_modularity(spark, sf_dir):
         iterations=4,
         labels=_lpa(spark, sf_dir, g),
         und=_nbr_index(spark, sf_dir, g)[3],
+        # cardinality hint: the labels artifact is checkpointed and
+        # counted at ingest — no per-call copy or count job
+        n_labels=_lpa_count(spark, sf_dir, g),
     )
 
 

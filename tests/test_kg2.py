@@ -597,3 +597,53 @@ def test_similar_content_jaccard_bounds(spark, sf_dir):
         assert r.inter_size <= min(r.size_a, r.size_b)
         # J = i/(sa+sb-i) recomputes exactly
         assert abs(r.jaccard - round(r.inter_size / (r.size_a + r.size_b - r.inter_size), 6)) < 1e-9
+
+
+def test_modularity_cardinality_hint_no_reevaluation(spark):
+    """r07 ADVICE regression guard: with ``n_labels`` provided (the
+    contract: the caller's labels frame is already materialized),
+    community_modularity must not re-evaluate the provided frame — no
+    checkpoint copy, no count job. Instrumented with an accumulator
+    inside the labels plan: its value after the call proves how many
+    times the frame's rows were recomputed (block re-scans of the
+    caller's checkpoint don't re-run the python stage)."""
+    from pyspark.sql import functions as F
+
+    from mcp_memory_libsql_spark.kg import traverse
+
+    rel = spark.createDataFrame(
+        [("a", "b", "R"), ("b", "c", "R"), ("c", "a", "R"),
+         ("x", "y", "R"), ("y", "z", "R")],
+        "source string, target string, relation_type string",
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    labels_plan = traverse.label_propagation(rel, 2).select(
+        "name", "community"
+    )
+    instrumented = labels_plan.mapInPandas(
+        bump, "name string, community string"
+    )
+    materialized = instrumented.localCheckpoint(eager=True)
+    n = materialized.count()
+    evals_at_ingest = acc.value
+    assert evals_at_ingest == 6  # 6 nodes, evaluated exactly once
+
+    out = traverse.community_modularity(
+        rel, labels=materialized, n_labels=n
+    ).collect()
+    assert out  # non-vacuous: real modularity rows came back
+    assert acc.value == evals_at_ingest  # ZERO re-evaluations
+
+    # and the hinted path is result-identical to the counting path
+    base = sorted(
+        map(str, traverse.community_modularity(
+            rel, labels=materialized
+        ).collect())
+    )
+    assert sorted(map(str, out)) == base
