@@ -63,6 +63,10 @@ EXTENDED = [
     "vec_neardup_refresh",
     "dedup_substring_star",
     "dedup_winnowing_star",
+    "dedup_substring_keep",
+    "dedup_winnowing_keep",
+    "kg_lpa_refresh",
+    "index_refresh_plan",
     "text_semantic_exact",
     "kg_hits",
     "kg_walks",

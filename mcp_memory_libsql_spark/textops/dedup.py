@@ -631,10 +631,26 @@ def substring_fingerprints(
     substring fasthash column measured NO speedup because this
     function ignored the flag); the md5 default keeps the DuckDB
     oracle hash gate bit-identical.
-    """
-    from .tokenize import fast_hash_enabled
 
-    win_hash = F.xxhash64 if fast_hash_enabled() else F.md5
+    SPARK_GRAFT_SUBSTR_KEY=bigint60 re-opens the 30× revert at the
+    SPILL regime (VERDICT r07 item 6): conv-folded 60-bit BIGINT
+    window keys (md5_hash60) instead of the 32-char hex string — the
+    30× A/B ran in page cache where key bytes were free, but the
+    300×-equivalent tail pushes ~30 GB of shuffle through one disk,
+    where an 8-byte key vs a ~36-byte string is a real bandwidth
+    lever. Measured by tools/ab_substring_keys.py with shuffle bytes
+    recorded; md5hex stays the default (oracle-matchable).
+    """
+    from .tokenize import fast_hash_enabled, substr_bigint_keys
+
+    if fast_hash_enabled():
+        win_hash = F.xxhash64
+    elif substr_bigint_keys():
+        from .tokenize import md5_hash60
+
+        win_hash = md5_hash60
+    else:
+        win_hash = F.md5
     starts = F.sequence(F.lit(0), F.length("text") - width, F.lit(stride))
     hashes = F.array_distinct(
         F.transform(

@@ -197,3 +197,16 @@ def pair_combos(ids, a: str = "a", b: str = "b"):
             ),
         )
     )
+
+
+def substr_bigint_keys() -> bool:
+    """SPARK_GRAFT_SUBSTR_KEY=bigint60 packs the substring-dedup
+    window keys into conv-folded 60-bit BIGINTs (md5_hash60) instead
+    of 32-char md5 hex strings. A shuffle-BYTES lever, not a CPU one:
+    the r07 30× A/B reverted BIGINT keys because the fold cost more
+    than the narrower shuffle saved *while shuffle fit page cache*;
+    the 300×-equivalent spill regime pushes ~30 GB through one disk,
+    where key width is bandwidth (measured by
+    tools/ab_substring_keys.py). Default off — the DuckDB oracle gate
+    hashes the hex-string keys."""
+    return os.environ.get("SPARK_GRAFT_SUBSTR_KEY", "") == "bigint60"

@@ -884,3 +884,18 @@ def test_star_keep_lists_match_clique_fed_path(spark):
         r.doc_id for r in dd.winnowing_keep_docs(docs).collect()
     }
     assert star_win == clique_keep(dd.winnowing_pairs(docs))
+
+
+def test_substring_bigint_key_flag_identical_pairs(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_SUBSTR_KEY=bigint60 changes window-key WIDTH (the
+    300x spill-regime shuffle lever), never the answer — and the flag
+    must actually reach the plan (the r07 fasthash lesson: a vacuous
+    flag measured as a no-op for a round)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = sorted(map(str, dedup.substring_dup_pairs(docs).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_SUBSTR_KEY", "bigint60")
+    flagged_plan = dedup.substring_fingerprints(docs)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert "conv(" in flagged_plan  # the fold is really in the plan
+    flagged = sorted(map(str, dedup.substring_dup_pairs(docs).collect()))
+    assert flagged == base

@@ -125,6 +125,11 @@ SWEEP = [
     # output-quadratic tail
     "dedup_substring_star",
     "dedup_winnowing_star",
+    # r08: the end-to-end star-fed keep path (star pairs → HashMin
+    # components → broadcast anti-join) — the wired consumer VERDICT
+    # r07 item 1 asked to measure to 100×
+    "dedup_substring_keep",
+    "dedup_winnowing_keep",
 ]
 # sweep ops whose OUTPUT ROW COUNT is recorded per point — separates
 # output growth (true duplicates multiply with copies) from plan
@@ -159,6 +164,8 @@ SWEEP_100X = [
     "dedup_substring",
     "dedup_substring_star",
     "dedup_winnowing_star",
+    "dedup_substring_keep",
+    "dedup_winnowing_keep",
 ]
 
 
