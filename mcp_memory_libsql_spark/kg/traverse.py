@@ -240,6 +240,70 @@ def hits(relations: DataFrame, iterations: int = 2) -> DataFrame:
     )
 
 
+CC_LOCAL_MAX_EDGES = 2_000_000
+"""Edge bound for the single-task union-find path: below it the whole
+component computation runs as ONE Arrow task (executor-side
+mapInPandas over a single partition — NOT a driver collect) instead
+of min-label rounds. Why: the r08 A/B measured the HashMin loop at
+~0.5s PER ROUND of pure scheduler/broadcast/checkpoint overhead on a
+918-node near-dup pair graph that needed 10 rounds (min-label
+DISTANCE, not size, sets the round count — chain-shaped duplicate
+clusters are common), i.e. 5.9s for microseconds of actual work; the
+single task runs the same fixpoint in ~0.3s. A 2M-edge union-find is
+~1-2s of Python and ~250 MB in one worker — comfortably single-node,
+and every bounded pair stream this engine mines (DF-capped shingle
+postings, BUCKET_CAP'd LSH buckets, NEIGHBOR_CAP'd postings) stays
+orders of magnitude under it even at the 100× rehearsal point
+(450k star pairs). Graphs past the bound take the scale-out HashMin
+rounds unchanged — that regime amortizes the per-round overhead."""
+
+
+def _cc_single_task(edges: DataFrame) -> DataFrame:
+    """Exact min-label components as ONE Arrow task: union-find over
+    the (already symmetric, distinct) edge list, then min member per
+    root — identical output to the HashMin fixpoint (both compute
+    component = min reachable name; Python str comparison is
+    code-point order = Spark's UTF-8 binary order)."""
+    from pyspark.sql.types import StructField, StructType
+
+    dt = edges.schema["a"].dataType
+    schema = StructType(
+        [StructField("name", dt), StructField("component", dt)]
+    )
+
+    def cc(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+        roots: dict = {}
+        for n in parent:
+            r = find(n)
+            if r not in roots or n < roots[r]:
+                roots[r] = n
+        names = list(parent)
+        yield pd.DataFrame(
+            {"name": names, "component": [roots[find(n)] for n in names]}
+        )
+
+    return edges.repartition(1).mapInPandas(cc, schema)
+
+
 def connected_components(relations: DataFrame, max_iter: int = 50) -> DataFrame:
     """Undirected connected components via min-label propagation
     → (name, component) where component = lexicographic min name
@@ -253,11 +317,22 @@ def connected_components(relations: DataFrame, max_iter: int = 50) -> DataFrame:
     checkpoint materialization itself — ONE job per round, no
     separate driver-side count action (the r02 census flagged the
     per-round ``.count()``s; at 1000 executors each extra job is a
-    scheduler round-trip)."""
+    scheduler round-trip). Bounded graphs (≤ CC_LOCAL_MAX_EDGES,
+    measured on the materialized edge set) skip the rounds entirely
+    and run the identical fixpoint as one Arrow task — see
+    :data:`CC_LOCAL_MAX_EDGES` for the measured rationale."""
     from pyspark.sql import Observation
     fwd = relations.select(F.col("source").alias("a"), F.col("target").alias("b"))
     bwd = relations.select(F.col("target").alias("a"), F.col("source").alias("b"))
     edges = fwd.unionByName(bwd).distinct().persist()
+    n_edges = edges.count()
+    if n_edges <= CC_LOCAL_MAX_EDGES:
+        out = _cc_single_task(edges)
+        # the persist must outlive the lazy consumer; localCheckpoint
+        # materializes the (small) result so edges can release
+        out = out.localCheckpoint(eager=True)
+        edges.unpersist()
+        return out
     labels = edges.select(F.col("a").alias("name")).distinct().withColumn(
         "component", F.col("name")
     )

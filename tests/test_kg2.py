@@ -647,3 +647,27 @@ def test_modularity_cardinality_hint_no_reevaluation(spark):
         ).collect())
     )
     assert sorted(map(str, out)) == base
+
+
+def test_cc_single_task_equals_hashmin_rounds(spark, monkeypatch):
+    """The size-gated single-Arrow-task union-find must produce the
+    identical (name, component) set as the HashMin rounds on a shape
+    that maximizes round count (a chain: min-label distance = length)
+    plus unicode names (python code-point order == Spark UTF-8 binary
+    order)."""
+    from mcp_memory_libsql_spark.kg import traverse
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)]
+    extra = [("ü2", "ü1"), ("a", "ü1"), ("solo1", "solo2")]
+    rel = spark.createDataFrame(
+        [(s, t, "R") for s, t in chain + extra],
+        "source string, target string, relation_type string",
+    )
+    fast = sorted(
+        map(str, traverse.connected_components(rel).collect())
+    )
+    monkeypatch.setattr(traverse, "CC_LOCAL_MAX_EDGES", 0)
+    slow = sorted(
+        map(str, traverse.connected_components(rel).collect())
+    )
+    assert fast == slow and len(fast) == 18
