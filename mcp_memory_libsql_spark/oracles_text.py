@@ -1031,8 +1031,8 @@ WITH hp AS (
 w AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(1, len(hs)),
-           i -> md5(hs[CAST(i AS INTEGER)] || ':'
-                    || hs[CAST(i AS INTEGER) + 1])))) AS h
+           i -> ('0x' || substr(md5(hs[CAST(i AS INTEGER)] || ':'
+                    || hs[CAST(i AS INTEGER) + 1]), 1, 15))::BIGINT))) AS h
   FROM hp
 )"""
 
@@ -1603,8 +1603,9 @@ col AS (
 w AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
     range(1, len(cs)),
-    i -> md5(CAST(cs[CAST(i AS INTEGER)] AS VARCHAR) || ':'
-             || CAST(cs[CAST(i AS INTEGER) + 1] AS VARCHAR))))) AS h
+    i -> ('0x' || substr(md5(CAST(cs[CAST(i AS INTEGER)] AS VARCHAR) || ':'
+             || CAST(cs[CAST(i AS INTEGER) + 1] AS VARCHAR)), 1, 15))
+           ::BIGINT))) AS h
   FROM col
 )"""
 

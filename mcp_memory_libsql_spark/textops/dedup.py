@@ -705,15 +705,20 @@ def substring_dup_pairs(
 
 def _span_key(a: Column, b: Column) -> Column:
     """Combine two adjacent fingerprint columns into ONE span-witness
-    key. md5 default keeps the DuckDB oracle bit-identical (hex
-    windows concatenate raw; BIGINT winnowing fps render as decimal
-    strings with a ':' separator — both engines cast identically);
-    SPARK_GRAFT_FAST_HASH=1 hashes the pair JVM-native."""
-    from .tokenize import fast_hash_enabled
+    key — a 60-bit BIGINT (md5_hash60 over the ':'-joined string
+    renderings, identical in DuckDB as
+    ('0x'||substr(md5(a||':'||b),1,15))::BIGINT). BIGINT, not the hex
+    string: the exploded span keys ARE the postings shuffle, and the
+    first (hex-string) version shipped 36-byte keys — the r08 sweep
+    measured the winnowing star 3× over its r07 wall before this
+    narrowed them to 8 bytes. 60 bits is the module's standing
+    collision budget (winnowing fingerprints themselves are 32-bit by
+    design); SPARK_GRAFT_FAST_HASH=1 hashes the pair JVM-native."""
+    from .tokenize import fast_hash_enabled, md5_hash60
 
     if fast_hash_enabled():
         return F.xxhash64(a, b)
-    return F.md5(
+    return md5_hash60(
         F.concat(a.cast("string"), F.lit(":"), b.cast("string"))
     )
 
