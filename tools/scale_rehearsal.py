@@ -436,8 +436,6 @@ def index_refresh_point(
         flush=True,
     )
 
-    shutil.rmtree(ddir, ignore_errors=True)
-
     # ------------------------------------------------ gate decisions
     # (VERDICT r07 item 2): what maintenance.choose_refresh would pick
     # for each measured regime, recorded next to the measured walls so
@@ -595,6 +593,10 @@ def index_refresh_point(
             "winner."
         ),
     }
+    # cleanup LAST: the gate section lazily re-reads d_emb / d_rel /
+    # new_edges from the delta dir — removing it earlier fails the
+    # gate counts with FILE_NOT_EXIST (r08 session fix).
+    shutil.rmtree(ddir, ignore_errors=True)
     return out
 
 
