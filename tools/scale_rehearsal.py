@@ -600,6 +600,95 @@ def index_refresh_point(
     return out
 
 
+def lpa_sparse_point(spark, dst: str, copies: int,
+                     hub_avoiding: bool = False) -> dict:
+    """SPARSE-delta LPA refresh-vs-rebuild. Measured regimes:
+    (a) 1/50th of a copy's relations — STILL rebuild territory here,
+    because the un-shifted nation/region hubs sit on the delta's
+    LOCATED_IN/PART_OF endpoints and their communities hold every
+    node (est_frac 1.0; measured 0.58x); (b) hub_avoiding=True keeps
+    only SUPPLIES/PURCHASED relations, whose endpoints are all
+    key-shifted brand-new entities — the 'new shard arrivals before
+    dimension links' delta whose affected set stays inside the delta
+    subgraph, so each refresh round is a broadcast-semijoin edge scan
+    instead of the rebuild's full per-round label rollup."""
+    from mcp_memory_libsql_spark.kg import refresh as kgr
+    from mcp_memory_libsql_spark.kg import views as kg_views
+    from mcp_memory_libsql_spark.io.tables import load_tables
+    from mcp_memory_libsql_spark.maintenance import choose_refresh
+    from mcp_memory_libsql_spark import registry as reg
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    ddir = os.path.join(REPO, "_rehearsal", f"x{copies}_delta1")
+    build_delta_copy(spark, copies, ddir)
+    d_rel_full = kg_views.kg(load_tables(spark, ddir))[
+        "relations"
+    ].localCheckpoint(eager=True)
+    if hub_avoiding:
+        d_rel_full = d_rel_full.where(
+            F.col("relation_type").isin("SUPPLIES", "PURCHASED")
+        )
+    d_sparse = d_rel_full.where(
+        F.pmod(F.xxhash64("source", "target"), F.lit(50)) == 0
+    ).localCheckpoint(eager=True)
+    n_sparse = d_sparse.count()
+
+    g, _ = reg._kg(spark, dst)
+    t0 = time.time()
+    hist = kgr.label_propagation_history(g["relations"], 4).localCheckpoint(
+        eager=True
+    )
+    edges = kgr._sym_edges(g["relations"]).localCheckpoint(eager=True)
+    hist_build = round(time.time() - t0, 1)
+    print(f"lpa hist build ({copies}x): {hist_build}s", flush=True)
+
+    t0 = time.time()
+    noop(kgr.refresh_lpa_labels(hist, edges, d_sparse, 4))
+    refresh_sec = round(time.time() - t0, 1)
+    print(f"lpa refresh (sparse {n_sparse} rels at {copies}x): "
+          f"{refresh_sec}s", flush=True)
+
+    t0 = time.time()
+    noop(kgr.label_propagation_history(
+        g["relations"].unionByName(d_sparse), 4
+    ))
+    rebuild_sec = round(time.time() - t0, 1)
+    print(f"lpa rebuild (base+{n_sparse} rels): {rebuild_sec}s", flush=True)
+
+    # gate counts: members of stored communities holding a delta
+    # endpoint + brand-new nodes (the maintain_lpa_labels proxy)
+    d_ep = (
+        kgr._sym_edges(d_sparse).select(F.col("b").alias("name")).distinct()
+    )
+    final = hist.select("name", F.col("l4").alias("community"))
+    touched = final.join(d_ep, "name", "leftsemi").select(
+        "community"
+    ).distinct()
+    n_touched = final.join(touched, "community", "leftsemi").count() + (
+        d_ep.join(hist, "name", "left_anti").count()
+    )
+    n_nodes = hist.count()
+    dec = choose_refresh("labels", n_touched=n_touched, n_nodes=n_nodes)
+    winner = "refresh" if refresh_sec < rebuild_sec else "rebuild"
+    entry = {
+        "delta_rels": n_sparse,
+        "hist_build_sec": hist_build,
+        "refresh_sec": refresh_sec,
+        "rebuild_sec": rebuild_sec,
+        "speedup": round(rebuild_sec / max(refresh_sec, 0.001), 2),
+        "gate": {
+            "path": dec.path,
+            "est_frac": round(dec.est_frac, 4),
+            "measured_winner": winner,
+            "picked_winner": dec.path == winner,
+        },
+    }
+    shutil.rmtree(ddir, ignore_errors=True)
+    return entry
+
+
 def suggestion_recall(spark, k: int = 25) -> dict:
     """Member-level cost of NEIGHBOR_CAP hub suppression (VERDICT r06
     item 4): both suggestion feeds recomputed UNCAPPED on the
@@ -851,6 +940,8 @@ def main() -> None:
     only_keys: list[str] | None = None
     only_tables: list[str] | None = None
     refresh_only: int | None = None
+    lpa_sparse_only: int | None = None
+    lpa_hub_avoiding = False
     pairs_only = False
     pos: list[str] = []
     i = 0
@@ -867,6 +958,13 @@ def main() -> None:
         elif argv[i] == "--pairs-only":
             pairs_only = True
             i += 1
+        elif argv[i] == "--lpa-sparse-only":
+            lpa_sparse_only = int(argv[i + 1])
+            i += 2
+        elif argv[i] == "--lpa-shard-only":
+            lpa_sparse_only = int(argv[i + 1])
+            lpa_hub_avoiding = True
+            i += 2
         else:
             pos.append(argv[i])
             i += 1
@@ -875,6 +973,45 @@ def main() -> None:
     anchor = 10 if 10 in points else points[-1]
     spark = get_spark("scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if lpa_sparse_only is not None:
+        copies = lpa_sparse_only
+        dst = os.path.join(REPO, "_rehearsal", f"x{copies}")
+        t0 = time.time()
+        build(spark, copies, dst)
+        print(f"built {copies}x in {round(time.time()-t0,1)}s", flush=True)
+        entry = lpa_sparse_point(
+            spark, dst, copies, hub_avoiding=lpa_hub_avoiding
+        )
+        shutil.rmtree(dst, ignore_errors=True)
+        key = (
+            "lpa_labels_shard_delta"
+            if lpa_hub_avoiding
+            else "lpa_labels_sparse_delta"
+        )
+        path = os.path.join(REPO, "SCALE_REHEARSAL.json")
+        with open(path) as f:
+            prev = json.load(f)
+        prev.setdefault("index_refresh", {})[key] = entry
+        ups = [
+            u
+            for u in prev.get("targeted_updates", [])
+            if u.get("keys") != [key]
+        ]
+        ups.append(
+            {
+                "keys": [key],
+                "points": [copies],
+                "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+                "measured": [key],
+            }
+        )
+        prev["targeted_updates"] = ups
+        with open(path, "w") as f:
+            json.dump(prev, f, indent=1, sort_keys=True)
+        print(json.dumps(entry))
+        spark.stop()
+        return
 
     if refresh_only is not None:
         # re-take ONLY the +1-copy index-refresh point (corpus +
