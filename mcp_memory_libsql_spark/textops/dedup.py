@@ -619,27 +619,22 @@ def substring_fingerprints(
     extra distinct shuffle — the explode output goes straight to the
     postings groupBy.
 
-    Window keys are md5 HEX STRINGS, kept deliberately after a
-    measured A/B against the BIGINT recipes: at 30× volume with the
-    postings groupBy + combo explode, hex md5 ran 5.5s vs 6.3s for
-    conv-folded 60-bit keys and 5.5-6.3s for xxhash64 — the
-    narrower-key shuffle saves less than the fold costs here, because
-    the per-doc array_distinct already bounds the posting rows to
-    ~|text|/stride and the wall is dominated by the combo output, not
-    key bytes. SPARK_GRAFT_FAST_HASH=1 swaps the window md5 for
-    xxhash64 (the 100 TB CPU lever — the r07 rehearsal's first
-    substring fasthash column measured NO speedup because this
-    function ignored the flag); the md5 default keeps the DuckDB
-    oracle hash gate bit-identical.
-
-    SPARK_GRAFT_SUBSTR_KEY=bigint60 re-opens the 30× revert at the
-    SPILL regime (VERDICT r07 item 6): conv-folded 60-bit BIGINT
-    window keys (md5_hash60) instead of the 32-char hex string — the
-    30× A/B ran in page cache where key bytes were free, but the
-    300×-equivalent tail pushes ~30 GB of shuffle through one disk,
-    where an 8-byte key vs a ~36-byte string is a real bandwidth
-    lever. Measured by tools/ab_substring_keys.py with shuffle bytes
-    recorded; md5hex stays the default (oracle-matchable).
+    Window keys default to conv-folded 60-bit BIGINTs (md5_hash60) —
+    flipped from hex strings by the r08 300× A/B (VERDICT r07 item
+    6, tools/ab_substring_keys.py): the r07 30× A/B had kept hex
+    (5.5s vs 6.3s) because shuffle still fit page cache; at the
+    300×-equivalent SPILL point the 8-byte key vs the ~36-byte hex
+    string is disk bandwidth, measured 286.7s → 166.3s (1.72×) with
+    shuffle 2.05 → 0.86 GB on lz4 and confirmed in reverse run
+    order. A zstd-codec A/B in the same harness stays off: it
+    rescues the wide key (198.6s) but is a wash once keys are narrow
+    (167.3s vs 166.3s). Keys are join-internal — query outputs (and
+    so the oracle gate) agree across key modes absent 60-bit
+    collisions, the module's standing budget.
+    SPARK_GRAFT_SUBSTR_KEY=md5hex opts back; SPARK_GRAFT_FAST_HASH=1
+    swaps the window hash for xxhash64 instead (the 100 TB CPU lever
+    — the r07 rehearsal's first substring fasthash column measured
+    NO speedup because this function ignored the flag).
     """
     from .tokenize import fast_hash_enabled, substr_bigint_keys
 

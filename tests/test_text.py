@@ -887,15 +887,19 @@ def test_star_keep_lists_match_clique_fed_path(spark):
 
 
 def test_substring_bigint_key_flag_identical_pairs(spark, sf_dir, monkeypatch):
-    """SPARK_GRAFT_SUBSTR_KEY=bigint60 changes window-key WIDTH (the
-    300x spill-regime shuffle lever), never the answer — and the flag
-    must actually reach the plan (the r07 fasthash lesson: a vacuous
-    flag measured as a no-op for a round)."""
+    """Window-key mode changes key WIDTH (the 300x spill-regime
+    shuffle lever), never the answer — and each mode must actually
+    reach the plan (the r07 fasthash lesson: a vacuous flag measured
+    as a no-op for a round). Since the r08 300x A/B the DEFAULT is
+    bigint60; SPARK_GRAFT_SUBSTR_KEY=md5hex is the opt-out."""
     docs = load_tables(spark, sf_dir)["documents"]
-    base = sorted(map(str, dedup.substring_dup_pairs(docs).collect()))
-    monkeypatch.setenv("SPARK_GRAFT_SUBSTR_KEY", "bigint60")
-    flagged_plan = dedup.substring_fingerprints(docs)._jdf.queryExecution(
+    default_plan = dedup.substring_fingerprints(docs)._jdf.queryExecution(
     ).optimizedPlan().toString()
-    assert "conv(" in flagged_plan  # the fold is really in the plan
+    assert "conv(" in default_plan  # bigint60 fold is the default plan
+    base = sorted(map(str, dedup.substring_dup_pairs(docs).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_SUBSTR_KEY", "md5hex")
+    hex_plan = dedup.substring_fingerprints(docs)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert "conv(" not in hex_plan  # opt-out really strips the fold
     flagged = sorted(map(str, dedup.substring_dup_pairs(docs).collect()))
     assert flagged == base
