@@ -506,7 +506,13 @@ def test_fast_hash_path_preserves_dedup_semantics(spark, monkeypatch):
     fp_base = {r.h for r in dd.substring_fingerprints(docs).collect()}
     assert fp_fast != fp_base  # genuinely a different hash family
     assert all(isinstance(h, int) for h in fp_fast)  # xxhash64 longs
-    assert all(isinstance(h, str) for h in fp_base)  # oracle-gated md5 hex
+    # default key mode is bigint60 (r08 A/B flip): md5-derived 60-bit longs
+    assert all(isinstance(h, int) for h in fp_base)
+    # the md5hex opt-out still yields the oracle-gated hex strings
+    monkeypatch.setenv("SPARK_GRAFT_SUBSTR_KEY", "md5hex")
+    fp_hex = {r.h for r in dd.substring_fingerprints(docs).collect()}
+    monkeypatch.delenv("SPARK_GRAFT_SUBSTR_KEY")
+    assert all(isinstance(h, str) for h in fp_hex)
     sub_base = {
         (r.doc_a, r.doc_b)
         for r in dd.substring_dup_pairs(docs, min_shared=1).collect()

@@ -76,9 +76,11 @@ def shuffle_bytes(spark) -> tuple[int, int]:
 
 
 def run_variant(codec: str, key_mode: str, pert_dir: str) -> dict:
-    os.environ.pop("SPARK_GRAFT_SUBSTR_KEY", None)
-    if key_mode == "bigint60":
-        os.environ["SPARK_GRAFT_SUBSTR_KEY"] = "bigint60"
+    # Set the key mode EXPLICITLY for both arms: the default flipped to
+    # bigint60 in r08, so a pop-only md5hex arm would silently measure
+    # bigint60 in both arms (ADVICE r08). Restored in the finally.
+    prev_key = os.environ.get("SPARK_GRAFT_SUBSTR_KEY")
+    os.environ["SPARK_GRAFT_SUBSTR_KEY"] = key_mode
     spark = make_session(codec)
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -107,7 +109,10 @@ def run_variant(codec: str, key_mode: str, pert_dir: str) -> dict:
         return out
     finally:
         spark.stop()
-        os.environ.pop("SPARK_GRAFT_SUBSTR_KEY", None)
+        if prev_key is None:
+            os.environ.pop("SPARK_GRAFT_SUBSTR_KEY", None)
+        else:
+            os.environ["SPARK_GRAFT_SUBSTR_KEY"] = prev_key
 
 
 def main() -> None:
