@@ -26,6 +26,7 @@ unparseable ("parsed": null).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -186,6 +187,24 @@ EXT_MEDIAN3 = {
 }
 
 
+def cpu_calib_sec(n: int = 1_000_000) -> float:
+    """Single-thread CPU reference: n chained md5 digests over a
+    16-byte state — deterministic, allocation-free, no I/O. Emitted as
+    `calib_sec` next to every timing artifact so cross-session walls
+    can be normalized for box contention (r08's 18.0s-vs-8.9s headline
+    ambiguity came from a ~3x-loaded box with no in-artifact way to
+    tell). Reported as the median of 3 runs; a contended box shows up
+    directly as a larger value (~0.4s on an idle core here)."""
+    samples = []
+    for _ in range(3):
+        b = b"spark-graft-calib"
+        t0 = time.perf_counter()
+        for _ in range(n):
+            b = hashlib.md5(b).digest()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
 def _build_indexes(spark, sf_dir: str) -> dict[str, float]:
     """Force-build each shared disk index BEFORE any extended timing
     and report the build as its own named entry. r03's single-run
@@ -226,6 +245,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # CPU calibration BEFORE the JVM spins up (quietest point) — see
+    # cpu_calib_sec. A second sample after the timed suites catches a
+    # box whose load changed mid-run.
+    calib_pre = cpu_calib_sec()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -314,6 +337,11 @@ def main() -> None:
         # inherits.
         "iqr": iqrs,
         "noise_floor_sec": noise_floor,
+        # single-thread CPU reference (median-of-3 of 1e6 chained md5
+        # digests) before/after the timed suites: normalizes walls
+        # across sessions with different box contention (r09).
+        "calib_sec_pre": calib_pre,
+        "calib_sec_post": cpu_calib_sec(),
         "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0":
@@ -342,6 +370,9 @@ def main() -> None:
                     "sf": sf,
                     "extended": ext,
                     "samples": ext_samples,
+                    # taken AFTER the extended suite: with the headline
+                    # pre/post pair this brackets the whole run
+                    "calib_sec_post_extended": cpu_calib_sec(),
                     "note": (
                         "regenerated by EVERY bench.py run — the "
                         "driver re-runs bench post-HEAD each round, "

@@ -376,13 +376,21 @@ def label_propagation_history(
     )
     from pyspark.sql.functions import broadcast
 
-    from .traverse import BROADCAST_LOOP_MAX
+    from .traverse import BROADCAST_LOOP_MAX, _loop_edge_side
 
     n_nodes = prev.count()
-    hint = broadcast if n_nodes <= BROADCAST_LOOP_MAX else (lambda df: df)
+    # above the loop gate, cache the edge side co-partitioned on the
+    # per-round join key once so each round shuffles only the O(V)
+    # label map — the same fix as traverse.label_propagation
+    co_part = n_nodes > BROADCAST_LOOP_MAX
+    if co_part:
+        edges_loop = _loop_edge_side(edges, "a", True)
+    else:
+        edges_loop = edges
+    hint = (lambda df: df) if co_part else broadcast
     hist = prev.select("name")
     for r in range(1, iterations + 1):
-        prev = _ckpt(_lpa_round(edges, hint(prev)))
+        prev = _ckpt(_lpa_round(edges_loop, hint(prev)))
         hist = hist.join(
             prev.select("name", F.col("label").alias(f"l{r}")), "name"
         )

@@ -671,3 +671,55 @@ def test_cc_single_task_equals_hashmin_rounds(spark, monkeypatch):
         map(str, traverse.connected_components(rel).collect())
     )
     assert fast == slow and len(fast) == 18
+
+
+def test_loop_gate_co_partitioned_path_identical(spark, t, monkeypatch):
+    """Above BROADCAST_LOOP_MAX every iterative loop joins the cached
+    co-partitioned edge side against the per-round O(V) map instead of
+    broadcasting it (r09: the old above-gate fallback re-shuffled O(E)
+    per round). Force the gate to 0 and pin that the co-partitioned
+    regime returns the identical rows as the broadcast regime for all
+    six gated loops (pagerank, pagerank_full, ppr, hits, components,
+    LPA) plus the LPA history build."""
+    from mcp_memory_libsql_spark.kg import refresh as kg_refresh
+    from mcp_memory_libsql_spark.kg import traverse
+
+    rel = kg_views.relations(t).localCheckpoint(eager=True)
+    seeds = rel.select(F.col("source").alias("name")).limit(3)
+
+    def run():
+        return {
+            "pagerank": sorted(map(str, traverse.pagerank(rel, 3).collect())),
+            "pagerank_full": sorted(
+                map(str, traverse.pagerank_full(rel, 3).collect())
+            ),
+            "ppr": sorted(
+                map(
+                    str,
+                    traverse.personalized_pagerank(rel, seeds, 3).collect(),
+                )
+            ),
+            "hits": sorted(map(str, traverse.hits(rel, 2).collect())),
+            "cc": sorted(
+                map(str, traverse.connected_components(rel).collect())
+            ),
+            "lpa": sorted(
+                map(str, traverse.label_propagation(rel, 2).collect())
+            ),
+            "lpa_hist": sorted(
+                map(
+                    str,
+                    kg_refresh.label_propagation_history(rel, 2).collect(),
+                )
+            ),
+        }
+
+    base = run()
+    monkeypatch.setattr(traverse, "BROADCAST_LOOP_MAX", 0)
+    # keep the single-task CC shortcut out of the way so the gated
+    # HashMin loop itself runs in the co-partitioned regime
+    monkeypatch.setattr(traverse, "CC_LOCAL_MAX_EDGES", 0)
+    co = run()
+    for k in base:
+        assert co[k] == base[k], k
+    assert base["pagerank"] and base["lpa_hist"]

@@ -1071,6 +1071,15 @@ def main() -> None:
     # the round clock runs out — the failure mode that matters is
     # losing the 100x evidence, not the 3x one. Per-point warm-ups
     # make the order measurement-neutral.
+    # Per-POINT single-thread CPU calibration (VERDICT r08 item 2):
+    # point retakes have landed in sessions with a measured ~3x wall
+    # spread, making cross-session segment slopes unfalsifiable. The
+    # reference loop is taken right before each point's timed keys so
+    # any slope over mixed sessions can be normalized from the
+    # artifact alone.
+    from bench import cpu_calib_sec
+
+    calib_by_point: dict[int, float] = {}
     for copies in sorted(points, reverse=True):
         dst = os.path.join(REPO, "_rehearsal", f"x{copies}")
         pert = os.path.join(REPO, "_rehearsal", f"x{copies}_pert")
@@ -1164,6 +1173,9 @@ def main() -> None:
             _run(spark, k, pert)
         spark.catalog.clearCache()
 
+        calib_by_point[copies] = cpu_calib_sec()
+        print(f"calib_sec ({copies}x): {calib_by_point[copies]}", flush=True)
+
         timings = {}
         for key in keys:
             timings[key] = _run(spark, key, dst)
@@ -1247,7 +1259,7 @@ def main() -> None:
         # lose the completed ones
         _emit(full, points, sweep, rows_by, bites, ibuilds,
               refresh=refresh_entry, sugg=sugg, partial=copies,
-              merge=targeted, only_keys=only_keys)
+              merge=targeted, only_keys=only_keys, calib=calib_by_point)
 
     # VERDICT r05 item 4 (tail settle): one extra perturbed-docs-ONLY
     # point at 3× the largest for each perturbed twin — the
@@ -1259,6 +1271,8 @@ def main() -> None:
     if points and points[-1] >= 100 and tail_keys:
         big = points[-1] * 3
         pert = os.path.join(REPO, "_rehearsal", f"x{big}_pert")
+        calib_by_point[big] = cpu_calib_sec()
+        print(f"calib_sec ({big}x): {calib_by_point[big]}", flush=True)
         t0 = time.time()
         build_perturbed_docs(spark, big, pert)
         print(f"built {big}x perturbed docs in {round(time.time()-t0,1)}s",
@@ -1281,12 +1295,13 @@ def main() -> None:
 
     _emit(full, points, sweep, rows_by, bites, ibuilds,
           refresh=refresh_entry, sugg=sugg,
-          merge=targeted, only_keys=only_keys)
+          merge=targeted, only_keys=only_keys, calib=calib_by_point)
     spark.stop()
 
 
 def _emit(full, points, sweep, rows_by, bites, ibuilds, refresh=None,
-          sugg=None, partial=None, merge=False, only_keys=None) -> None:
+          sugg=None, partial=None, merge=False, only_keys=None,
+          calib=None) -> None:
     out = dict(full)
     out["sweep_points"] = points
     out["growth"] = {
@@ -1310,6 +1325,11 @@ def _emit(full, points, sweep, rows_by, bites, ibuilds, refresh=None,
         for k, v in sweep.items()
     }
     out["cap_bites_by_copies"] = {str(c): b for c, b in bites.items()}
+    # per-point single-thread CPU reference (VERDICT r08 item 2): lets
+    # a reader normalize cross-session segment slopes from the
+    # artifact alone (merged point-wise like the walls on --keys runs)
+    if calib:
+        out["calib_sec_by_copies"] = {str(c): s for c, s in calib.items()}
     if refresh is not None:
         out["index_refresh"] = refresh
     if sugg is not None:
@@ -1363,6 +1383,10 @@ def _emit(full, points, sweep, rows_by, bites, ibuilds, refresh=None,
                 new_e["output_rows_exponent"] = _exponent(r_int)
             g[k] = new_e
         merged["growth"] = g
+        cal = dict(prev.get("calib_sec_by_copies", {}))
+        cal.update(out.get("calib_sec_by_copies", {}))
+        if cal:
+            merged["calib_sec_by_copies"] = cal
         merged.pop("partial_through_copies", None)
         if partial is not None:
             merged["partial_through_copies"] = partial
@@ -1377,6 +1401,9 @@ def _emit(full, points, sweep, rows_by, bites, ibuilds, refresh=None,
                 "points": points,
                 "driver_mem": out["driver_mem"],
                 "measured": sorted(out["growth"]),
+                # per-batch box factor: the same reference loop, taken
+                # inside THIS batch right before its timed points
+                "calib_sec_by_point": out.get("calib_sec_by_copies", {}),
             }
         )
         merged["targeted_updates"] = ups
