@@ -403,6 +403,7 @@ def refresh_lpa_labels(
     old_edges: DataFrame,
     delta_relations: DataFrame,
     iterations: int = 4,
+    changed_only: bool = False,
 ) -> DataFrame:
     """Delta-localized LPA re-propagation (VERDICT r07 item 4) →
     the refreshed (name, l1 … l{k}) history over base∪delta,
@@ -433,6 +434,15 @@ def refresh_lpa_labels(
     boundary (delta-adjacent communities holding > half the nodes)
     callers take the rebuild path (maintenance.maintain_lpa_labels
     routes this).
+
+    ``changed_only=True`` returns ONLY the affected-set rows (the
+    rows whose history this refresh recomputed — a superset of the
+    rows that actually changed) instead of the merged full history:
+    the delta-log row set :class:`LpaHistoryLog` appends per refresh,
+    so successive refreshes write O(affected) history rows, not k·V
+    (VERDICT r08 item 5). The merged view is recoverable exactly as
+    untouched-stored ∪ changed (latest-wins per name), which is what
+    ``LpaHistoryLog.read`` folds.
     """
     from pyspark.sql.functions import broadcast
 
@@ -520,6 +530,109 @@ def refresh_lpa_labels(
             for r in range(1, k + 1)
         ],
     )
+    if changed_only:
+        edges_full.unpersist()
+        return filled.select(*cols)
     out = untouched.select(*cols).unionByName(filled.select(*cols))
     edges_full.unpersist()
     return out
+
+
+COMPACT_EVERY = 8  # deltas folded into a fresh snapshot, LSM-style
+
+
+class LpaHistoryLog:
+    """Snapshot + changed-rows delta log for the (name, l1..lk) LPA
+    history artifact (VERDICT r08 item 5).
+
+    The history is what makes fixed-round synchronous LPA refreshable
+    (see :func:`label_propagation_history`), but the r08 rehearsal
+    measured its full build as the #3 index line (141s at 30×) and a
+    naive store rewrites all k·V label cells on EVERY refresh even
+    when the delta touches a sliver of the graph. This class applies
+    the GraphStore delta-log recipe to the history: a full snapshot
+    written once, then each refresh appends ONLY the affected-set
+    rows (``refresh_lpa_labels(..., changed_only=True)`` — O(affected
+    × k) cells); reads fold snapshot + deltas with latest-version-
+    wins-per-name (one max_by aggregation); every ``COMPACT_EVERY``
+    deltas the folded view is rewritten as a fresh snapshot and the
+    delta files dropped, bounding read amplification exactly like
+    GraphStore.compact (kg/store.py). Append-only regime only —
+    deletes need a rebuild, same as the neighbor-index refresh.
+
+    Result identity is pytest-pinned: after N successive deltas,
+    ``read()`` ≡ ``label_propagation_history`` over the fully merged
+    relation set whenever each step's refresh path itself is exact
+    (tests/test_refresh.py)."""
+
+    def __init__(self, spark, path: str, iterations: int = 4):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.k = iterations
+        self.cols = ["name"] + [f"l{r}" for r in range(1, iterations + 1)]
+        os.makedirs(path, exist_ok=True)
+
+    def _delta_versions(self) -> list[int]:
+        import os
+
+        return sorted(
+            int(d.split("_", 1)[1])
+            for d in os.listdir(self.path)
+            if d.startswith("delta_")
+        )
+
+    def write_snapshot(self, hist: DataFrame) -> None:
+        """Write ``hist`` as the new base snapshot and drop the folded
+        delta files (atomic enough for a single-writer maintenance
+        job, which is the GraphStore model too)."""
+        import shutil
+
+        hist.select(*self.cols).write.mode("overwrite").parquet(
+            self.path + "/snapshot"
+        )
+        for v in self._delta_versions():
+            shutil.rmtree(f"{self.path}/delta_{v}", ignore_errors=True)
+
+    def append(self, changed: DataFrame) -> None:
+        vs = self._delta_versions()
+        v = (vs[-1] + 1) if vs else 1
+        changed.select(*self.cols).write.mode("overwrite").parquet(
+            f"{self.path}/delta_{v}"
+        )
+        if len(vs) + 1 >= COMPACT_EVERY:
+            folded = self.read().localCheckpoint(eager=True)
+            self.write_snapshot(folded)
+
+    def read(self) -> DataFrame:
+        """Fold snapshot + deltas: latest version wins per name — ONE
+        max_by aggregation over the union, no per-delta join chain."""
+        parts = self.spark.read.parquet(self.path + "/snapshot").withColumn(
+            "_v", F.lit(0)
+        )
+        for v in self._delta_versions():
+            parts = parts.unionByName(
+                self.spark.read.parquet(f"{self.path}/delta_{v}").withColumn(
+                    "_v", F.lit(v)
+                )
+            )
+        label_cols = self.cols[1:]
+        folded = parts.groupBy("name").agg(
+            F.max(F.struct("_v", *label_cols)).alias("s")
+        )
+        return folded.select(
+            "name", *[F.col(f"s.{c}").alias(c) for c in label_cols]
+        )
+
+    def refresh(self, old_edges: DataFrame, delta_relations: DataFrame) -> None:
+        """One maintenance step: delta-localized re-propagation against
+        the CURRENT folded view, appending only the affected rows."""
+        changed = refresh_lpa_labels(
+            self.read(),
+            old_edges,
+            delta_relations,
+            iterations=self.k,
+            changed_only=True,
+        )
+        self.append(changed)

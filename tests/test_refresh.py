@@ -633,3 +633,79 @@ def test_maintain_lpa_labels_routes(spark):
     assert _hist_rows(out2) == _hist_rows(
         kgr.label_propagation_history(base_df.unionByName(wide), 4)
     )
+
+
+def test_lpa_history_log_bounded_and_exact(spark, tmp_path, monkeypatch):
+    """VERDICT r08 item 5: the LpaHistoryLog appends only the
+    affected-set rows per refresh (bounded, not k·V), its folded read
+    equals the from-scratch history over the merged graph after ≥3
+    successive deltas, and compaction collapses the deltas into a
+    fresh snapshot without changing the read."""
+    import os
+
+    from mcp_memory_libsql_spark.kg import refresh as kgr
+
+    def clique(ns):
+        return [(a, b) for a in ns for b in ns if a < b]
+
+    # three well-separated communities + a long chain: localized
+    # deltas touch one community's neighborhood only
+    base = (
+        clique(["a1", "a2", "a3", "a4"])
+        + clique(["b1", "b2", "b3", "b4"])
+        + clique(["c1", "c2", "c3", "c4"])
+        + [("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("d4", "d5")]
+    )
+    base_df = _rel(spark, base)
+    log = kgr.LpaHistoryLog(spark, str(tmp_path / "lpa_log"), 4)
+    log.write_snapshot(
+        kgr.label_propagation_history(base_df, 4).localCheckpoint(eager=True)
+    )
+    n_nodes = (
+        base_df.select("source")
+        .union(base_df.select("target"))
+        .distinct()
+        .count()
+    )
+
+    deltas = [
+        [("a1", "a5")],           # grow community A
+        [("b4", "b5"), ("b5", "b6")],  # grow community B by a chain
+        [("z1", "z2")],           # brand-new disjoint component
+    ]
+    merged = base_df
+    edges = kgr._sym_edges(base_df).localCheckpoint(eager=True)
+    for d in deltas:
+        d_df = _rel(spark, d)
+        log.refresh(edges, d_df)
+        merged = merged.unionByName(d_df)
+        edges = kgr._sym_edges(merged).localCheckpoint(eager=True)
+
+    # bounded: each delta file holds the affected superset, strictly
+    # fewer rows than the full node set (k·V would be a full rewrite)
+    delta_dirs = sorted(
+        p for p in os.listdir(str(tmp_path / "lpa_log"))
+        if p.startswith("delta_")
+    )
+    assert len(delta_dirs) == 3
+    for p in delta_dirs:
+        n = spark.read.parquet(str(tmp_path / "lpa_log" / p)).count()
+        assert 0 < n < n_nodes, (p, n, n_nodes)
+
+    # exact: folded read ≡ from-scratch history over the merged graph
+    rebuilt = kgr.label_propagation_history(merged, 4)
+    assert _hist_rows(log.read()) == _hist_rows(rebuilt)
+
+    # compaction: force the threshold, append one more delta, and pin
+    # that the deltas collapsed into the snapshot with the read intact
+    monkeypatch.setattr(kgr, "COMPACT_EVERY", 2)
+    d_df = _rel(spark, [("c4", "c5")])
+    log.refresh(edges, d_df)
+    merged = merged.unionByName(d_df)
+    assert not [
+        p for p in os.listdir(str(tmp_path / "lpa_log"))
+        if p.startswith("delta_")
+    ]
+    assert _hist_rows(log.read()) == _hist_rows(
+        kgr.label_propagation_history(merged, 4)
+    )
