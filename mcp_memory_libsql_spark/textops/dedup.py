@@ -147,41 +147,60 @@ def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
 
     The k=8 hash family is sliced out of TWO md5 digests (4×32-bit
     chunks each) instead of k keyed digests — md5 is the expensive
-    part (k× fewer digest computations; at sf0.1 that's ~60M saved
-    md5 calls), and chunks of one digest are independent enough for
+    part, and chunks of one digest are independent enough for
     MinHash. Under SPARK_GRAFT_FAST_HASH=1 the family comes from
     FOUR seeded xxhash64 values split into 32-bit halves instead —
     the 100 TB CPU path (no digest schedule per shingle); md5 stays
-    the default because the DuckDB gate needs it."""
+    the default because the DuckDB gate needs it.
+
+    Plan (r09, tools/ab_minhash_lsh.py with exceptAll equality
+    gates): the DF cap is a size filter on an aggregated POSTING LIST
+    (one hash-aggregate on the shingle key), replacing doc_shingles's
+    count-window — same single shuffle but no sort of the exploded
+    table — and the digest family is computed once per DISTINCT
+    shingle on the aggregated row, not once per (doc, shingle)
+    occurrence, before exploding the ids back out into the per-doc
+    min. Measured at sf0.1: signature stage 1.298s → 0.988s, end
+    pipeline 1.372s → 1.076s (with numeric band keys), rows proven
+    identical in both arms."""
     from .tokenize import fast_hash_enabled
 
+    sh = _exploded_shingles(documents, n)
+    postings = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") <= DF_CAP)
+    )
     if fast_hash_enabled():
-        sh = doc_shingles(documents, n).select(
-            "doc_id",
+        hashed = postings.select(
+            "ids",
             *[
                 F.xxhash64(F.lit(j), F.col("shingle")).alias(f"d{j}")
                 for j in range(MINHASH_K // 2)
             ],
         )
-        aggs = []
+        vals = []
         for i in range(MINHASH_K):
             d = F.col(f"d{i // 2}")
             half = (
                 F.shiftright(d, 32) if i % 2 else d
             ).bitwiseAND(F.lit((1 << 32) - 1))
-            aggs.append(F.min(half.cast("bigint")).alias(f"h{i}"))
-        return sh.groupBy("doc_id").agg(*aggs)
-    sh = doc_shingles(documents, n).select(
-        "doc_id",
-        F.md5(F.col("shingle")).alias("d1"),
-        F.md5(F.concat(F.lit("x:"), F.col("shingle"))).alias("d2"),
+            vals.append(half.cast("bigint").alias(f"v{i}"))
+    else:
+        hashed = postings.select(
+            "ids",
+            F.md5(F.col("shingle")).alias("d1"),
+            F.md5(F.concat(F.lit("x:"), F.col("shingle"))).alias("d2"),
+        )
+        vals = []
+        for i in range(MINHASH_K):
+            src = F.col("d1") if i < 4 else F.col("d2")
+            chunk = F.substring(src, 1 + 8 * (i % 4), 8)
+            vals.append(F.conv(chunk, 16, 10).cast("bigint").alias(f"v{i}"))
+    exploded = hashed.select(F.explode("ids").alias("doc_id"), *vals)
+    return exploded.groupBy("doc_id").agg(
+        *[F.min(f"v{i}").alias(f"h{i}") for i in range(MINHASH_K)]
     )
-    aggs = []
-    for i in range(MINHASH_K):
-        src = F.col("d1") if i < 4 else F.col("d2")
-        chunk = F.substring(src, 1 + 8 * (i % 4), 8)
-        aggs.append(F.min(F.conv(chunk, 16, 10).cast("bigint")).alias(f"h{i}"))
-    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -214,20 +233,44 @@ def minhash_lsh_candidates(
     # All band keys in ONE array projection + a single explode — a
     # per-band UNION would re-derive the whole signature pipeline
     # once per band (4× the work).
-    keys = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(str(b)),
-                F.col(f"h{2 * b}").cast("string"),
-                F.col(f"h{2 * b + 1}").cast("string"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    banded = sig.select("doc_id", F.explode(keys).alias("band_key"))
-    group_cols = ["band_key"]
-    if bucket_cap is not None:
+    if bucket_cap is None:
+        # numeric (band_idx, h_even, h_odd) struct key instead of the
+        # string concat: same groups ((b,x,y) ↔ string is a bijection
+        # and the h's are never null), ~half the exchange bytes and no
+        # per-row string rendering (r09 A/B: 1.155s → 1.076s, pair
+        # rows proven identical). The CAPPED twin below keeps the
+        # string key: split_fat_buckets md5-hashes the key STRING to
+        # deal sub-buckets, so the key rendering is semantics there
+        # (mirrored by the dedup_minhash_lsh_capped oracle).
+        banded = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("b"),
+                            F.col(f"h{2 * b}").alias("x"),
+                            F.col(f"h{2 * b + 1}").alias("y"),
+                        )
+                        for b in range(BANDS)
+                    ]
+                )
+            ).alias("band_key"),
+        )
+        group_cols = ["band_key"]
+    else:
+        keys = F.array(
+            *[
+                F.concat_ws(
+                    "_",
+                    F.lit(str(b)),
+                    F.col(f"h{2 * b}").cast("string"),
+                    F.col(f"h{2 * b + 1}").cast("string"),
+                )
+                for b in range(BANDS)
+            ]
+        )
+        banded = sig.select("doc_id", F.explode(keys).alias("band_key"))
         from .tokenize import split_fat_buckets
 
         banded = split_fat_buckets(banded, ["band_key"], "doc_id", bucket_cap)
