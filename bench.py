@@ -238,6 +238,28 @@ def _build_indexes(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     reg._refresh_base(spark, sf_dir)
     builds["refresh_base_build"] = round(time.perf_counter() - t0, 3)
+    # r09: two more one-time bases joined the disk-backed family —
+    # vec_neardup_refresh's 95% signature index + pair stream
+    # (_neardup_base) and kg_lpa_refresh's base label history
+    # (_lpa_hist_base). Same accounting rule as r03/r07: report the
+    # build as its own entry so the refresh entries time the MERGE,
+    # not whichever invocation ran first.
+    from pyspark.sql import functions as F
+
+    from mcp_memory_libsql_spark.io.tables import load_tables as _lt
+
+    t0 = time.perf_counter()
+    emb = _lt(spark, sf_dir)["embeddings"]
+    reg._neardup_base(
+        spark,
+        sf_dir,
+        emb.where(F.pmod(F.col("vec_id"), F.lit(19)) != 0),
+        reg._mining_bits(spark, sf_dir, 0.4),
+    )
+    builds["neardup_base_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    reg._lpa_hist_base(spark, sf_dir)
+    builds["lpa_hist_base_build"] = round(time.perf_counter() - t0, 3)
     return builds
 
 

@@ -228,6 +228,13 @@ def hits(relations: DataFrame, iterations: int = 2) -> DataFrame:
         auths = nodes.alias("n").join(auths, "name", "left").select(
             "name", F.coalesce("a", F.lit(0)).cast("bigint").alias("a")
         )
+        # cut auths BEFORE the hub half-step consumes it: auths has
+        # two consumers (this round's hubs + the final join / next
+        # round), so an un-cut auths subtree would be planned twice —
+        # the same two-consumer duplication pagerank_full's dangling
+        # aggregate had (values identical; checkpoint is a plan
+        # artifact, r09)
+        auths = auths.localCheckpoint(eager=False)
         # hub(u) = Σ a(v) over out-edges (u, v), from THIS round's a
         hubs = (
             edges_tgt.join(hint(auths), edges_tgt["target"] == auths["name"])
@@ -238,7 +245,6 @@ def hits(relations: DataFrame, iterations: int = 2) -> DataFrame:
             "name", F.coalesce("h", F.lit(0)).cast("bigint").alias("h")
         )
         hubs = hubs.localCheckpoint(eager=False)
-        auths = auths.localCheckpoint(eager=False)
     return (
         hubs.join(auths.select("name", "a"), "name")
         .select(

@@ -667,9 +667,11 @@ def substring_fingerprints(
     6, tools/ab_substring_keys.py): the r07 30× A/B had kept hex
     (5.5s vs 6.3s) because shuffle still fit page cache; at the
     300×-equivalent SPILL point the 8-byte key vs the ~36-byte hex
-    string is disk bandwidth, measured 286.7s → 166.3s (1.72×) with
-    shuffle 2.05 → 0.86 GB on lz4 and confirmed in reverse run
-    order. A zstd-codec A/B in the same harness stays off: it
+    string is disk bandwidth, measured 269.3s → 173.2s (1.56×,
+    both run orders averaged — the artifact's decision basis;
+    forward order alone 286.7s → 166.3s, reverse lz4 251.9s →
+    180.0s) with shuffle 2.05 → 0.86 GB on lz4.
+    A zstd-codec A/B in the same harness stays off: it
     rescues the wide key (198.6s) but is a wash once keys are narrow
     (167.3s vs 166.3s). Keys are join-internal — query outputs (and
     so the oracle gate) agree across key modes absent 60-bit

@@ -204,9 +204,11 @@ def substr_bigint_keys() -> bool:
     (md5_hash60) instead of 32-char md5 hex strings — the DEFAULT
     since the r08 300× A/B (tools/ab_substring_keys.py, fresh session
     per variant, shuffle bytes from the REST API): at the spill
-    regime the 8-byte key cut dedup_substring's wall 286.7s → 166.3s
-    (1.72×) and shuffle 2.05 GB → 0.86 GB on lz4, confirmed in
-    reverse run order. The r07 30× revert measured the opposite only
+    regime the 8-byte key cut dedup_substring's wall 269.3s → 173.2s
+    (1.56× averaged over both run orders, the artifact's decision
+    basis; forward order alone was 286.7s → 166.3s, reverse-order
+    lz4 251.9s → 180.0s) and shuffle 2.05 GB → 0.86 GB on lz4.
+    The r07 30× revert measured the opposite only
     because shuffle still fit page cache (key bytes were free there;
     the fold cost ~15% — the in-cache price of the spill-regime win).
     zstd was A/B'd in the same harness and stays off: it rescues the
