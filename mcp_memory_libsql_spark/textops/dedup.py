@@ -287,33 +287,41 @@ def minhash_lsh_candidates(
 
 def simhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, simhash) — 60-bit bit-majority SimHash over shingle
-    hashes. posexplode of per-shingle bit arrays → per-(doc,bit)
-    majority vote → weighted bit sum (all BIGINT math, no doubles)."""
+    hashes, as ONE groupBy(doc_id) with 60 per-bit popcount sums
+    (all BIGINT math, no doubles).
+
+    Identity with the posexplode formulation it replaces (r09): the
+    per-(doc, bit) majority vote Σ(bit·2−1) equals 2·Σbit − n, so
+    bit j of the signature is [2·c_j − n > 0] — same integers, same
+    signature, and the DuckDB oracle's arithmetic is unchanged. The
+    old plan exploded 60 rows per (doc, shingle) through a
+    60×-as-wide aggregation hash map plus a SECOND shuffle for the
+    per-doc fold; this shape is one partial-aggregated shuffle of 61
+    longs per doc (A/B walls in OPTIMIZATION_r09.md; rows
+    hash-identical at sf0.001 and sf0.01)."""
     sh = doc_shingles(documents, n).select(
         "doc_id", md5_hash60(F.col("shingle")).alias("h")
     )
-    bits = sh.select(
-        "doc_id",
-        F.posexplode(
-            # shift amount is a column → SQL expr (the python
-            # shiftright() only takes a literal bit count)
-            F.expr(
-                f"transform(sequence(0, {SIMHASH_BITS - 1}),"
-                " j -> shiftright(h, j) & CAST(1 AS BIGINT))"
-            )
-        ).alias("j", "bit"),
+    counts = sh.groupBy("doc_id").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1).cast("bigint"))
+            ).alias(f"c{j}")
+            for j in range(SIMHASH_BITS)
+        ],
     )
-    votes = bits.groupBy("doc_id", "j").agg(
-        F.sum(F.col("bit") * 2 - 1).alias("vote")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("vote") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
-    )
+    bit_terms = [
+        F.when(
+            F.col(f"c{j}") * 2 - F.col("_n") > 0,
+            F.lit(1 << j).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(SIMHASH_BITS)
+    ]
+    simhash = bit_terms[0]
+    for t in bit_terms[1:]:
+        simhash = simhash + t
+    return counts.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_chunk_pairs(
@@ -350,6 +358,19 @@ def simhash_chunk_pairs(
     eager localCheckpoint is gone: the window-based split is a single
     pass over the banded table (no count-pass + semi-join double
     consumer)."""
+    # Re-bind the incoming simhash column as a LAMBDA VARIABLE
+    # (single-element transform) before deriving keys from it: the
+    # banding below references simhash FIVE times (4 chunk keys + the
+    # carried column), and when the producer's simhash is itself a
+    # wide expression (the 60-term majority sum of
+    # simhash_signatures), Catalyst's projection collapse would
+    # inline that sum into every reference — the measured blowup the
+    # winnowing selector documents (capped twin 5.96s inlined vs
+    # ~3.5s bound at sf0.1, r09).
+    bound = F.transform(F.array(F.col("simhash")), lambda s: s)[0]
+    sig = sig.select(
+        id_col, *carry_cols, *key_cols, bound.alias("simhash")
+    )
     keys = F.array(
         *[
             F.concat_ws(
