@@ -723,3 +723,25 @@ def test_loop_gate_co_partitioned_path_identical(spark, t, monkeypatch):
     for k in base:
         assert co[k] == base[k], k
     assert base["pagerank"] and base["lpa_hist"]
+
+
+def test_pagerank_full_cadence_invariant(spark, t, monkeypatch):
+    """The lineage-cut cadence (PAGERANK_CKPT_EVERY, r09) is a plan
+    artifact, not semantics: rank rows must be identical at every
+    cadence. Pins the equality the r09 A/B
+    (tools/ab_pagerank_cadence.py) gated before restoring the
+    per-round cut."""
+    from mcp_memory_libsql_spark.kg import traverse
+
+    rel = kg_views.relations(t)
+
+    def rows(cadence):
+        monkeypatch.setattr(traverse, "PAGERANK_CKPT_EVERY", cadence)
+        return sorted(
+            map(str, traverse.pagerank_full(rel, iterations=5).collect())
+        )
+
+    base = rows(1)
+    assert base
+    assert rows(2) == base
+    assert rows(3) == base
