@@ -171,6 +171,13 @@ EXTENDED = [
 # round-over-round comparison reads plan changes, not env variance
 # (single-run extended numbers swung ±50% between r02 and r03).
 EXT_MEDIAN3 = {
+    # r09: the refresh merges and the capped simhash miner joined the
+    # median-3 set — their single samples swung 2-3x with box load
+    # (calib-tracked) while their median-3 walls were stable, so a
+    # lone bad sample read as a phantom regression.
+    "vec_neardup_refresh",
+    "kg_lpa_refresh",
+    "dedup_simhash_capped",
     "kg_suggest_weighted",
     "kg_suggest_relations",
     "dedup_winnowing",
