@@ -78,6 +78,11 @@ def kmeans_refine(
             F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
             for i in range(dim)
         ]
+        # persist each iterate (≤K rows): the loop-carried cents is
+        # otherwise re-planned — full assign pass included — once per
+        # downstream consumer AND once per later iteration, the same
+        # multiplicative re-plan the exact path (pq_codes_exact) already
+        # cuts with its per-round localCheckpoint
         cents = (
             assigned.groupBy("cell")
             .agg(*aggs)
@@ -85,6 +90,7 @@ def kmeans_refine(
                 "cell",
                 F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid"),
             )
+            .persist()
         )
     return cents
 

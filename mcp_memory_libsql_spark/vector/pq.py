@@ -78,10 +78,16 @@ def train_codebooks(
             F.array(*[F.col(f"c{i}") for i in range(width)]).alias("centroid"),
         )
 
-    books = _means(sv)
+    # persist each iterate (m·k rows): the loop-carried books is
+    # otherwise re-planned — the (vec_id, sub) assignment shuffle
+    # included — once per later iteration and once per downstream
+    # consumer (ann_ivfpq reads the final books twice); the exact
+    # path (pq_codes_exact) already cuts this with per-round
+    # localCheckpoints
+    books = _means(sv).persist()
     for _ in range(steps):
         assigned = _assign(sv.select("vec_id", "sub", "subvec"), books)
-        books = _means(assigned)
+        books = _means(assigned).persist()
     return books
 
 
