@@ -178,6 +178,10 @@ EXT_MEDIAN3 = {
     "vec_neardup_refresh",
     "kg_lpa_refresh",
     "dedup_simhash_capped",
+    # r09 session 4: three identical-code runs read 8.3 / 10.1 / 13.1
+    # under the box's drifting external load — same phantom-regression
+    # exposure that moved the three keys above into this set
+    "index_refresh_plan",
     "kg_suggest_weighted",
     "kg_suggest_relations",
     "dedup_winnowing",
@@ -210,6 +214,41 @@ def cpu_calib_sec(n: int = 1_000_000) -> float:
             b = hashlib.md5(b).digest()
         samples.append(time.perf_counter() - t0)
     return round(statistics.median(samples), 4)
+
+
+def _calib_burn(n: int = 400_000) -> float:
+    """One worker's share of the parallel calibration: n chained md5
+    digests (same kernel as cpu_calib_sec), returns its own wall."""
+    b = b"spark-graft-calib-par"
+    t0 = time.perf_counter()
+    for _ in range(n):
+        b = hashlib.md5(b).digest()
+    return time.perf_counter() - t0
+
+
+def cpu_calib_par(cpus: int | None = None) -> dict[str, float]:
+    """ALL-CORE throughput reference: `cpus` processes each running
+    the single-thread calibration kernel concurrently. Emitted as
+    `calib_par` next to calib_sec because the single-thread number
+    alone cannot distinguish a fast-core/few-core box from a
+    slow-core/many-core one: this session measured single-thread calib
+    ~25% FASTER than the prior r09 sessions while every fully-parallel
+    32-task build stage ran ~2x SLOWER — SMT siblings counted as
+    vCPUs (effective parallelism 16.4 on local[32]). Fields: wall of
+    the parallel batch, and effective_parallelism = sum(per-task
+    walls)/wall — the box's real concurrent-throughput multiple."""
+    import multiprocessing
+
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    with multiprocessing.Pool(cpus) as pool:
+        t0 = time.perf_counter()
+        per_task = pool.map(_calib_burn, [400_000] * cpus)
+        wall = time.perf_counter() - t0
+    return {
+        "cpus": cpus,
+        "wall_sec": round(wall, 4),
+        "effective_parallelism": round(sum(per_task) / wall, 2),
+    }
 
 
 def _build_indexes(spark, sf_dir: str) -> dict[str, float]:
@@ -278,6 +317,7 @@ def main() -> None:
     # cpu_calib_sec. A second sample after the timed suites catches a
     # box whose load changed mid-run.
     calib_pre = cpu_calib_sec()
+    calib_par = cpu_calib_par()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -371,6 +411,11 @@ def main() -> None:
         # across sessions with different box contention (r09).
         "calib_sec_pre": calib_pre,
         "calib_sec_post": cpu_calib_sec(),
+        # all-core throughput reference (see cpu_calib_par): the
+        # single-thread calib pair cannot tell a 32-real-core box from
+        # 32 SMT threads on 16 cores, which moves every fully-parallel
+        # stage ~2x while calib_sec stays flat
+        "calib_par": calib_par,
         "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0":
@@ -402,6 +447,7 @@ def main() -> None:
                     # taken AFTER the extended suite: with the headline
                     # pre/post pair this brackets the whole run
                     "calib_sec_post_extended": cpu_calib_sec(),
+                    "calib_par": calib_par,
                     "note": (
                         "regenerated by EVERY bench.py run — the "
                         "driver re-runs bench post-HEAD each round, "
