@@ -709,3 +709,22 @@ def test_lpa_history_log_bounded_and_exact(spark, tmp_path, monkeypatch):
     assert _hist_rows(log.read()) == _hist_rows(
         kgr.label_propagation_history(merged, 4)
     )
+
+
+def test_refresh_plan_probe_subtrees_stay_deduped(spark, sf_dir):
+    """r09 plan-shape pin: index_refresh_plan's postings probes persist
+    their multi-consumer intermediates (und_base, kept), so the
+    physical plan must carry InMemoryTableScans and far fewer base
+    scans than the pre-fix shape (62 relations scans / 90 Exchange —
+    every consumer re-planned the O(E) distinct). Loose ceilings: the
+    point is catching a regression to per-consumer re-planning, not
+    pinning exact operator counts across Spark versions."""
+    from mcp_memory_libsql_spark.registry import QUERIES
+
+    df = QUERIES["index_refresh_plan"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("InMemoryTableScan") >= 4, plan[:2000]
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 40, f"{n_scans} parquet scans - probe dedup regressed?"

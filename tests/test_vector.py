@@ -546,3 +546,22 @@ def test_gram_exact_matches_numpy(spark, sf_dir):
     for i in range(d):
         for j in range(i, d):
             assert got[(i, j)] == want[i, j], (i, j)
+
+
+def test_lloyd_iterates_are_persisted(spark, emb):
+    """r09 pin: the float kmeans/PQ helpers persist their loop-carried
+    iterates (kmeans_refine cents, train_codebooks books) so downstream
+    consumers reuse one InMemoryRelation instead of re-planning the
+    whole refinement chain per consumer (the exact-integer twin
+    already materializes per round via localCheckpoint)."""
+    from mcp_memory_libsql_spark.vector import pq
+    from mcp_memory_libsql_spark.vector.ivf import (
+        kmeans_refine,
+        label_centroids,
+    )
+
+    cents = kmeans_refine(emb, label_centroids(emb, 64), 64, 1)
+    assert cents.storageLevel.useMemory
+    books = pq.train_codebooks(emb, 64)
+    assert books.storageLevel.useMemory
+    spark.catalog.clearCache()
