@@ -726,5 +726,8 @@ def test_refresh_plan_probe_subtrees_stay_deduped(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     )
     assert plan.count("InMemoryTableScan") >= 4, plan[:2000]
+    # 28 isolated at sf0.1; 44 inside the full suite at sf0.001 (session
+    # cache state + size-dependent join planning move it) — the
+    # regression being pinned is the ~62-scan per-consumer re-planning
     n_scans = plan.count("Scan parquet")
-    assert n_scans <= 40, f"{n_scans} parquet scans - probe dedup regressed?"
+    assert n_scans <= 52, f"{n_scans} parquet scans - probe dedup regressed?"
