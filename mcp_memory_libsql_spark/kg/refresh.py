@@ -49,6 +49,7 @@ the reference's delete_entity cascades rebuild its read views
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from ..textops.tokenize import md5_hash60
 from .similarity import NEIGHBOR_CAP, scored_pairs
@@ -149,13 +150,20 @@ def refresh_neighbor_index(
         .select(F.col("m.nid").alias("nid"))
     )
     # new membership: full recompute of ONLY the affected groups from
-    # one map-side-filtered scan of the merged edge set
+    # one map-side-filtered scan of the merged edge set. The cap is a
+    # COUNT-WINDOW filter (r10, guide §5): the old
+    # collect_list→size→explode roundtrip buffered a hub-affected
+    # group's full member list in one aggregation buffer just to
+    # drop it; the window's per-group state is one spill-backed long
+    # and the collect/explode pair disappears entirely (the list
+    # existed only to carry the size filter).
     aff_members = _edges(und_merged).join(_hint(affected, n_aff), "nbr", "leftsemi")
     new_aff = (
-        aff_members.groupBy("nbr")
-        .agg(F.collect_list(md5_hash60(F.col("name"))).alias("ids"))
-        .where(F.size("ids") <= cap)
-        .select(F.explode("ids").alias("nid"))
+        aff_members.withColumn(
+            "_w", F.count("*").over(Window.partitionBy("nbr"))
+        )
+        .where(F.col("_w") <= cap)
+        .select(md5_hash60(F.col("name")).alias("nid"))
     )
     # net per-entity index-size change: retained members cancel (+1/−1),
     # new members +1, members of cap-crossing groups −1
@@ -217,14 +225,17 @@ def refresh_neighbor_index(
     # rebuild keeps no such group. (Members of genuinely surviving
     # groups always have sz ≥ 1 — they are in that group — so the
     # inner join after the filter loses nothing.)
+    # (cap via count window, not collect_list→size→explode — same
+    # bounded-buffer rewrite as new_aff above; the full-count-before-
+    # sizes-join rule is unchanged because the window counts every
+    # member, sz-less or not)
     rw_rows = (
         _edges(und_merged)
         .join(_hint(rewrite, n_rw), "nbr", "leftsemi")
         .select("nbr", md5_hash60(F.col("name")).alias("nid"))
-        .groupBy("nbr")
-        .agg(F.collect_list("nid").alias("nids"))
-        .where(F.size("nids") <= cap)
-        .select("nbr", F.explode("nids").alias("nid"))
+        .withColumn("_w", F.count("*").over(Window.partitionBy("nbr")))
+        .where(F.col("_w") <= cap)
+        .drop("_w")
         .join(sizes_merged, "nid")
         .groupBy("nbr")
         .agg(F.sort_array(F.collect_list(F.struct("nid", "sz"))).alias("ids"))

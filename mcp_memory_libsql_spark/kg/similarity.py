@@ -67,10 +67,23 @@ def neighbor_postings(
     und = undirected_neighbors(relations)
     nid = md5_hash60(F.col("name"))
     enc = und.select(nid.alias("nid"), "name", "nbr")
+    # Hub cap BEFORE the posting lists materialize (r10, the same
+    # guide-§5 bounded-buffer fix as textops.dedup's DF cap): the
+    # size(ids) filter on the aggregated row buffered a hub
+    # neighbor's FULL posting list — O(graph) ids for a nation every
+    # customer links to — in one aggregation buffer before dropping
+    # it. The count window's per-group state is one spill-backed
+    # long, shares the same single hash-partitioning on nbr as the
+    # groupBy (no second exchange, one sort), and the collect_list
+    # below it is ≤ cap by construction. Rows exceptAll-identical.
+    from pyspark.sql.window import Window
+
+    w = F.count("*").over(Window.partitionBy("nbr"))
     post0 = (
-        enc.groupBy("nbr")
+        enc.withColumn("_w", w)
+        .where(F.col("_w") <= cap)
+        .groupBy("nbr")
         .agg(F.sort_array(F.collect_list("nid")).alias("ids"))
-        .where(F.size("ids") <= cap)
     )
     sizes = (
         post0.select(F.explode("ids").alias("nid"))
@@ -272,10 +285,17 @@ def similar_entities_minhash(
     )
     banded = sig.select("nid", F.explode(keys).alias("band_key"))
     combos = pair_combos("ids")
+    # bucket cap via count window before the collect (r10, guide §5
+    # bounded aggregation state — see neighbor_postings): a fat band
+    # bucket is filtered as rows, never buffered as a full list
+    from pyspark.sql.window import Window
+
+    bw = F.count("*").over(Window.partitionBy("band_key"))
     cand = (
-        banded.groupBy("band_key")
+        banded.withColumn("_w", bw)
+        .where((F.col("_w") >= 2) & (F.col("_w") <= bucket_cap))
+        .groupBy("band_key")
         .agg(F.sort_array(F.collect_list("nid")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap))
         .select(F.explode(combos).alias("p"))
         .select(F.col("p.a").alias("na"), F.col("p.b").alias("nb"))
         .distinct()
@@ -351,10 +371,16 @@ def entity_name_neardup(
         ),
     ).otherwise(F.array().cast("array<string>"))
     g0 = d.select("name", F.explode(grams).alias("gram"))
+    # DF cap via count window before the collect (r10, guide §5
+    # bounded aggregation state — see neighbor_postings)
+    from pyspark.sql.window import Window
+
+    gw = F.count("*").over(Window.partitionBy("gram"))
     postings = (
-        g0.groupBy("gram")
+        g0.withColumn("_w", gw)
+        .where(F.col("_w") <= cap)
+        .groupBy("gram")
         .agg(F.sort_array(F.collect_list("name")).alias("ids"))
-        .where(F.size("ids") <= cap)
         .persist()
     )
     sizes = (
@@ -663,10 +689,16 @@ def similar_entities_content(
     sh = toks.select(
         "eid", F.explode(word_shingles(F.col("w"), n)).alias("shingle")
     ).distinct()
+    # DF cap via count window before the collect (r10, guide §5
+    # bounded aggregation state — see neighbor_postings)
+    from pyspark.sql.window import Window
+
+    shw = F.count("*").over(Window.partitionBy("shingle"))
     postings = (
-        sh.groupBy("shingle")
+        sh.withColumn("_w", shw)
+        .where(F.col("_w") <= cap)
+        .groupBy("shingle")
         .agg(F.sort_array(F.collect_list("eid")).alias("ids"))
-        .where(F.size("ids") <= cap)
         .persist()
     )
     sizes = (
